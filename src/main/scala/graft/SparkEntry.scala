@@ -1,13 +1,52 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{Oracles, Queries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
+  * §3 (oracle determinism strategy). One `queries` entry per implemented
+  * operator; `oracleSql` holds the DuckDB twin of each.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Batch exact KNN — the core retrieval op of the reference
+    * (faiss_utils.py:19-22). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.v1KnnL2(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // vector / retrieval core
+    "v1_knn_l2" -> (Queries.v1KnnL2 _),
+    "v2_knn_cosine" -> (Queries.v2KnnCosine _),
+    "v3_vector_norms" -> (Queries.v3VectorNorms _),
+    "v4_category_counts" -> (Queries.v4CategoryCounts _),
+    "v5_per_class_sample" -> (Queries.v5PerClassSample _),
+    "v6_ivf_assign" -> (Queries.v6IvfAssign _),
+    "v7_ivf_search" -> (Queries.v7IvfSearch _),
+    "v8_knn_join_meta" -> (Queries.v8KnnJoinMeta _),
+    "v9_train_val_split" -> (Queries.v9TrainValSplit _),
+    // dedup
+    "d1_dedup_exact" -> (Queries.d1DedupExact _),
+    "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
+    "d3_simhash" -> (Queries.d3Simhash _),
+    "d4_ngram_jaccard" -> (Queries.d4NgramJaccard _),
+    "d5_embedding_dup" -> (Queries.d5EmbeddingDup _),
+    // text analysis
+    "t1_lang_id" -> (Queries.t1LangId _),
+    "t2_quality_score" -> (Queries.t2QualityScore _),
+    "t3_token_count" -> (Queries.t3TokenCount _),
+    "t4_fingerprint" -> (Queries.t4Fingerprint _),
+    // multimodal
+    "m1_binary_meta" -> (Queries.m1BinaryMeta _),
+    // relational analytics
+    "q1_pricing_summary" -> (Queries.q1PricingSummary _),
+    "q3_top_orders" -> (Queries.q3TopOrders _),
+    "q5_revenue_by_nation" -> (Queries.q5RevenueByNation _),
+    "q7_top_customers" -> (Queries.q7TopCustomers _),
+    // events
+    "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
+    "e2_sessionize" -> (Queries.e2Sessionize _))
+
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface:
+  * tokenization, shingling, MinHash signatures, SimHash fingerprints,
+  * language-ID heuristics and quality scores. All built from codegen'd
+  * built-ins (split / transform / aggregate / md5) — no UDFs, so every
+  * doc streams through whole-stage codegen and the only shuffles are the
+  * ones the calling operator asks for.
+  *
+  * Portability: hashes use `md5` (identical hex output in Spark and
+  * DuckDB), ratios are exact integer divisions — the oracle can replicate
+  * every function bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct whitespace tokens (set semantics for simhash/jaccard). */
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles ("a b c" strings), distinct.
+    * Empty when the doc has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: k independent hash functions, h_j(s) = md5(j:s);
+    * signature element j is the lexicographic min over the shingle set.
+    * min-of-md5-hex is a valid uniform minhash and is engine-portable. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(shingleCol, s => md5(concat(lit(j.toString), lit(":"), s))))
+    }: _*)
+
+  /** LSH band keys from a minhash signature: bands of `rowsPerBand`
+    * consecutive signature entries, each hashed to one band key. */
+  def bandHashes(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).flatMap { r =>
+        val e = element_at(sigCol, b * rowsPerBand + r + 1)
+        if (r == 0) Seq(e) else Seq(lit("|"), e)
+      }
+      md5(concat(parts: _*))
+    }: _*)
+
+  /** Hex digit value of the 1-char column `c` ('0'-'9','a'-'f'). Uses
+    * ascii() arithmetic (portable; instr needs a literal needle). */
+  private def hexVal(c: Column): Column =
+    when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+
+  /** 64-bit SimHash of the distinct-token set, as a 64-char '0'/'1'
+    * string (string form keeps it exact + portable; no sign issues).
+    * Bit j votes +1/-1 per token according to bit j of md5(token). */
+  def simhash64(text: Column): Column = {
+    val hexes = transform(distinctTokens(text), t => substring(md5(t), 1, 16))
+    val bitCols = transform(sequence(lit(0), lit(63)), j => {
+      // char index: j div 4 (0-based) → substr pos j/4+1; bit-in-digit
+      // weight 8,4,2,1 selected by j mod 4.
+      val p = element_at(array(lit(8), lit(4), lit(2), lit(1)),
+        (j % 4).cast("int") + 1)
+      val votes = aggregate(hexes, lit(0), (acc, h) => {
+        val d = hexVal(h.substr((j / 4).cast("int") + 1, lit(1)))
+        acc + ((d / p).cast("int") % 2) * 2 - 1
+      })
+      when(votes > 0, lit("1")).otherwise(lit("0"))
+    })
+    concat_ws("", bitCols)
+  }
+
+  /** English stopword-hit count over whitespace tokens. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  def stopwordHits(text: Column): Column =
+    aggregate(tokens(text),
+      lit(0), (acc, t) => acc + when(t.isInCollection(stopwords), 1).otherwise(0))
+
+  /** Stopword ratio (exact integer division → deterministic double). */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text) / size(tokens(text))
+
+  /** Heuristic language ID: stopword-ratio threshold (the reference-scale
+    * n-gram detector reduces to this for the synthetic corpus). */
+  def langId(text: Column, threshold: Double = 0.1): Column =
+    when(stopwordRatio(text) >= threshold, lit("en")).otherwise(lit("other"))
+
+  /** Quality score in [0,1]: rewards length (up to 100 tokens) and
+    * stopword density. Deterministic double arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text))
+    val lengthTerm = least(nTok / lit(100.0), lit(1.0))
+    stopwordRatio(text) * lit(0.4) + lengthTerm * lit(0.6)
+  }
+
+  /** BPE-ish token count: alnum runs (sub-word regex proxy). */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z0-9]+"))
+
+  /** Winnowing-style fingerprint: min md5 over 3-gram shingles. */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions, built entirely from codegen'd
+  * higher-order functions (`transform` / `zip_with` / `aggregate`) so the
+  * whole distance pipeline stays inside whole-stage codegen — no UDFs.
+  *
+  * Spark-first re-expression of the reference's FAISS flat index math:
+  * L2 distance (reference faiss_utils.py:4-9, IndexFlatL2) and cosine on
+  * L2-normalized embeddings (reference src/model.py:58, F.normalize).
+  *
+  * Determinism note: the oracle-checked query surface quantizes vectors to
+  * fixed-point Long (`quantize`), so distances are exact integer sums and
+  * every derived double (sqrt / division of exact ints) is bit-identical
+  * across engines regardless of summation order. The float-path functions
+  * (`dot`, `l2Dist`, `cosine`) are the general-purpose API.
+  */
+object VectorFunctions {
+
+  /** Cast a numeric array column to array<double> for f64 math. */
+  def toDoubleArray(v: Column): Column = v.cast("array<double>")
+
+  /** Fixed-point quantization: round(x * scale) per element, as Long.
+    * Exact in any engine; makes distance sums order-independent. */
+  def quantize(v: Column, scale: Int = 10000): Column =
+    transform(toDoubleArray(v), x => round(x * lit(scale)).cast("long"))
+
+  /** Sequential left fold — keeps all math in codegen. */
+  private def foldSum(v: Column, zero: Column): Column =
+    aggregate(v, zero, (acc, x) => acc + x)
+
+  // ---- float-path API (general purpose) ----
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y), lit(0.0))
+  def normSq(a: Column): Column = dot(a, a)
+  def norm(a: Column): Column = sqrt(normSq(a))
+  def l2DistSq(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0))
+  def l2Dist(a: Column, b: Column): Column = sqrt(l2DistSq(a, b))
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(normSq(a) * normSq(b))
+  /** Unit-normalize (reference model.py:58). */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x / n)
+  }
+
+  // ---- exact integer path (oracle-deterministic) ----
+  /** Integer squared L2 distance between two quantized (Long) vectors. */
+  def intL2Sq(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L))
+  /** Integer dot product of quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y), lit(0L))
+  /** Integer squared norm. */
+  def intNormSq(a: Column): Column = intDot(a, a)
+  /** Real-scale distance from integer squared distance. */
+  def distFromIntSq(d2: Column, scale: Int = 10000): Column =
+    sqrt(d2) / lit(scale.toDouble)
+  /** Cosine from exact integer dot/norms: ip / sqrt(na * nb), computed
+    * identically (same IEEE op sequence) by the DuckDB oracle. */
+  def cosineFromInts(ip: Column, na: Column, nb: Column): Column =
+    ip / sqrt(na.cast("double") * nb)
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch IVF (inverted-file) vector index built with DataFrame ops — the
+  * scale path the reference's flat FAISS index (faiss_utils.py:4-9) grows
+  * into when one matrix no longer fits a node.
+  *
+  * Layout: the "index" is a parquet table (id, vec, centroid_id)
+  * physically partitioned by `centroid_id`. Probe search then reads only
+  * `nprobe/nlist` of the data via partition pruning — at 100 TB that is
+  * the difference between scanning everything and scanning a few shards.
+  *
+  * Centroids are broadcast everywhere (≤ tens of thousands of rows);
+  * assignment is a map-only pass with a map-side-combined argmin.
+  */
+object IvfIndex {
+
+  /** Assign each vector to its nearest centroid (exact integer L2,
+    * ties → lowest centroid id). Returns (id, vec, centroid_id, d2). */
+  def assign(vectors: DataFrame, centroids: DataFrame, idCol: String,
+             vecCol: String, cidCol: String,
+             scale: Int = 10000): DataFrame = {
+    val v = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"), quantize(col(vecCol), scale).as("qv"))
+    val c = centroids.select(col(cidCol).cast("long").as("cid"),
+      quantize(col(vecCol), scale).as("cv"))
+    // argmin via min(struct(d2, cid)): map-side combinable, no window.
+    v.join(broadcast(c))
+      .select(col("id"), col("vec"),
+        struct(intL2Sq(col("qv"), col("cv")).as("d2"), col("cid")).as("dc"))
+      .groupBy(col("id"), col("vec"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("id"), col("vec"),
+        col("best.cid").as("centroid_id"), col("best.d2").as("d2"))
+  }
+
+  /** One Lloyd iteration: recompute centroids as element-wise means of
+    * their assigned vectors. Exploded (cid, dim_pos) partial means —
+    * a single shuffle keyed by (cid, pos), map-side combined. */
+  def lloydStep(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"),
+        posexplode(toDoubleArray(col("vec"))).as(Seq("pos", "x")))
+      .groupBy("centroid_id", "pos")
+      .agg(avg("x").as("m"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("centroid_id"),
+        transform(col("pm"), p => p.getField("m")).as("vec"))
+
+  /** Persist the index partitioned by centroid id (partition pruning on
+    * probe). The reference's save_faiss_index (faiss_utils.py:11-13). */
+  def save(assigned: DataFrame, path: String): Unit =
+    assigned.select("id", "vec", "centroid_id")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Load a persisted index (faiss_utils.py:15-17). */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** IVF probe search: route each query to its `nprobe` nearest
+    * centroids, then exact top-k among vectors in the probed partitions.
+    * Output (query_id, rnk, neighbor_id, dist). */
+  def search(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, cidCol: String, qidCol: String,
+             k: Int, nprobe: Int, scale: Int = 10000): DataFrame = {
+    // stage 1: query → nprobe nearest centroids (tiny crossjoin).
+    val probes = KnnJoin.knnL2(
+      centroids.select(col(cidCol), col(vecCol)), queries,
+      cidCol, vecCol, qidCol, k = nprobe, scale = scale)
+      .select(col("query_id"), col("neighbor_id").as("centroid_id"))
+    // stage 2: candidates = index rows in probed partitions (partition
+    // pruning when `index` is loaded from the partitioned layout).
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      quantize(col(vecCol), scale).as("qv"))
+    val cand = index
+      .select(col("id").cast("long").as("neighbor_id"), col("vec"),
+        col("centroid_id").cast("long").as("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(quantize(col("vec"), scale), col("qv"))
+          .cast("double").as("d2"))
+    TopK.perGroup(cand, "query_id", "neighbor_id", "d2", k, ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
+  }
+}

@@ -1,0 +1,299 @@
+package graft.queries
+
+/** DuckDB twins of every query in [[Queries]]. Same column names, same
+  * exact arithmetic (fixed-point Long vectors, md5 hashes, integer
+  * ratios) so values hash-match bit-for-bit — see SURVEY §3.
+  */
+object Oracles {
+
+  /** Fixed-point quantization of a float-list column (scale 10000). */
+  private def qv(e: String): String =
+    s"list_transform(CAST($e AS DOUBLE[]), x -> CAST(round(x * 10000) AS BIGINT))"
+
+  /** Exact integer squared-L2 between two quantized list columns. */
+  private def l2sq(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(len($a)), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]))) AS BIGINT)"
+
+  /** Exact integer dot product. */
+  private def idot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1])) AS BIGINT)"
+
+  /** Distinct word n-gram shingles of `toks` (empty if too short). */
+  private def shingleSql(toks: String, n: Int): String = {
+    val joined = (1 to n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
+    s"CASE WHEN len($toks) >= $n THEN list_distinct(list_transform(range(len($toks) - ${n - 1}), i -> $joined)) ELSE CAST([] AS VARCHAR[]) END"
+  }
+
+  private val stopList = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on')"
+
+  /** Cents-exact money sum: CAST(round(expr*scale)) summed as BIGINT. */
+  private def moneySum(e: String, scale: Int): String =
+    s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT)"
+
+  private val discPrice = "l_extendedprice * (1 - l_discount)"
+
+  val sql: Map[String, String] = Map(
+
+    "v1_knn_l2" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM d)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+FROM r WHERE rnk <= 5""",
+
+    "v2_knn_cosine" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+d AS (SELECT query_id, gid,
+             ${idot("gvec", "qvec")} / sqrt(CAST(${idot("gvec", "gvec")} AS DOUBLE) * ${idot("qvec", "qvec")}) AS cos_sim
+      FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, gid) AS rnk
+      FROM d)
+SELECT query_id, rnk, gid AS neighbor_id, cos_sim FROM r WHERE rnk <= 5""",
+
+    "v3_vector_norms" -> s"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, ${qv("embedding")} AS v FROM embeddings)
+SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+       sqrt(${idot("v", "v")}) / 10000.0 AS norm
+FROM e""",
+
+    "v4_category_counts" -> """
+SELECT CAST(label AS BIGINT) AS label_id, count(*) AS n
+FROM embeddings GROUP BY 1""",
+
+    "v5_per_class_sample" -> """
+WITH h AS (SELECT CAST(label AS BIGINT) AS label_id, CAST(vec_id AS BIGINT) AS vec_id,
+                  (CAST(vec_id AS BIGINT) * 2654435761) % 2147483647 AS hk
+           FROM embeddings),
+r AS (SELECT label_id, vec_id,
+             row_number() OVER (PARTITION BY label_id ORDER BY hk, vec_id) AS rnk
+      FROM h)
+SELECT label_id, vec_id, rnk FROM r WHERE rnk <= 10""",
+
+    "v6_ivf_assign" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+d AS (SELECT gid, cid, ${l2sq("gvec", "cvec")} AS d2 FROM g CROSS JOIN c),
+a AS (SELECT gid, cid, d2,
+             row_number() OVER (PARTITION BY gid ORDER BY d2, cid) AS rn
+      FROM d)
+SELECT cid AS centroid_id, count(*) AS n, CAST(sum(d2) AS BIGINT) AS sum_d2
+FROM a WHERE rn = 1 GROUP BY 1""",
+
+    "v7_ivf_search" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+asn AS (SELECT gid, cid, rn FROM (
+          SELECT gid, cid, row_number() OVER (PARTITION BY gid ORDER BY ${l2sq("gvec", "cvec")}, cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+      FROM embeddings WHERE vec_id % 100 = 0),
+probe AS (SELECT query_id, cid FROM (
+            SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY ${l2sq("qvec", "cvec")}, cid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 2),
+cand AS (SELECT p.query_id, a.gid, ${l2sq("gvec", "qvec")} AS d2
+         FROM probe p JOIN asn a ON p.cid = a.cid
+         JOIN g ON g.gid = a.gid JOIN q ON q.query_id = p.query_id),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM cand)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+FROM r WHERE rnk <= 3""",
+
+    "v8_knn_join_meta" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM d),
+hits AS (SELECT query_id, rnk, gid AS neighbor_id FROM r WHERE rnk <= 5)
+SELECT h.query_id, h.rnk, h.neighbor_id,
+       CAST(em.label AS BIGINT) AS label_id,
+       CAST(CASE WHEN em.label = eq.label THEN 1 ELSE 0 END AS BIGINT) AS same_label
+FROM hits h
+JOIN embeddings em ON em.vec_id = h.neighbor_id
+JOIN embeddings eq ON eq.vec_id = h.query_id""",
+
+    "v9_train_val_split" -> """
+SELECT CAST(label AS BIGINT) AS label_id,
+       CASE WHEN (CAST(vec_id AS BIGINT) * 2654435761) % 2147483647 % 5 = 0
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n
+FROM embeddings GROUP BY 1, 2""",
+
+    "d1_dedup_exact" -> """
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(*) AS n
+FROM documents GROUP BY 1""",
+
+    "d2_minhash_pairs" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, ${shingleSql("toks", 3)} AS sh FROM d),
+sg AS (SELECT doc_id, sh,
+              list_transform(range(12), j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
+       FROM s),
+b AS (SELECT doc_id, j AS band_idx,
+             md5(sig[3*j+1] || '|' || sig[3*j+2] || '|' || sig[3*j+3]) AS band_hash
+      FROM sg, (SELECT unnest(range(4)) AS j)),
+cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM b x JOIN b y ON x.band_idx = y.band_idx
+          AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+v AS (SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+             CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS inter,
+             CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+               - CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS uni
+      FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id)
+SELECT a_id, b_id, inter, uni, inter / uni AS jaccard
+FROM v WHERE inter / uni >= 0.5""",
+
+    "d3_simhash" -> """
+WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS t FROM d),
+h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tk),
+hj AS (SELECT doc_id, hx, unnest(range(64)) AS j FROM h),
+bits AS (SELECT doc_id, j,
+                substr(hx, CAST(j // 4 AS INT) + 1, 1) AS c,
+                [8,4,2,1][CAST(j % 4 AS INT) + 1] AS p
+         FROM hj),
+votes AS (SELECT doc_id, j,
+                 sum((((CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 ELSE ascii(c) - 48 END) // p) % 2) * 2 - 1) AS v
+          FROM bits GROUP BY doc_id, j)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+FROM votes GROUP BY doc_id""",
+
+    "d4_ngram_jaccard" -> s"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, source, ${shingleSql("toks", 2)} AS sh FROM d),
+inv AS (SELECT doc_id, source, unnest(sh) AS sg FROM s),
+inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+          FROM inv x JOIN inv y ON x.sg = y.sg AND x.source = y.source
+           AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM s)
+SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id, inter,
+       sa.n_sh + sb.n_sh - inter AS uni,
+       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3""",
+
+    "d5_embedding_dup" -> s"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS blk,
+                  ${qv("embedding")} AS v
+           FROM embeddings)
+SELECT x.id AS a_id, y.id AS b_id, x.blk AS block_id,
+       ${idot("x.v", "y.v")} / sqrt(CAST(${idot("x.v", "x.v")} AS DOUBLE) * ${idot("y.v", "y.v")}) AS cos_sim
+FROM e x JOIN e y ON x.blk = y.blk AND x.id < y.id
+WHERE ${idot("x.v", "y.v")} / sqrt(CAST(${idot("x.v", "x.v")} AS DOUBLE) * ${idot("y.v", "y.v")}) >= 0.35""",
+
+    "t1_lang_id" -> s"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_filter(toks, t -> t IN $stopList)) AS hits
+      FROM d)
+SELECT doc_id, n_tokens, hits / n_tokens AS stop_ratio,
+       CASE WHEN hits / n_tokens >= 0.1 THEN 'en' ELSE 'other' END AS lang_pred
+FROM c""",
+
+    "t2_quality_score" -> s"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_filter(toks, t -> t IN $stopList)) AS hits
+      FROM d)
+SELECT doc_id, n_tokens,
+       (hits / n_tokens) * 0.4 + least(n_tokens / 100.0, 1.0) * 0.6 AS score
+FROM c""",
+
+    "t3_token_count" -> """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens
+FROM documents""",
+
+    "t4_fingerprint" -> s"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS full_md5,
+                  string_split(text, ' ') AS toks
+           FROM documents)
+SELECT doc_id, full_md5,
+       list_min(list_transform(${shingleSql("toks", 3)}, s -> md5(s))) AS min_shingle_hash
+FROM d""",
+
+    "m1_binary_meta" -> """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents""",
+
+    "q1_pricing_summary" -> s"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       ${moneySum("l_extendedprice", 100)} / 100.0 AS sum_base,
+       ${moneySum(discPrice, 10000)} / 10000.0 AS sum_disc,
+       ${moneySum(s"($discPrice) * (1 + l_tax)", 10000)} / 10000.0 AS sum_charge,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*) AS avg_qty,
+       (${moneySum("l_extendedprice", 100)} / 100.0) / count(*) AS avg_price,
+       count(*) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2""",
+
+    "q3_top_orders" -> s"""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       ${moneySum(discPrice, 10000)} / 10000.0 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY ${moneySum(discPrice, 10000)} DESC, o_orderkey
+LIMIT 10""",
+
+    "q5_revenue_by_nation" -> s"""
+SELECT n_name, ${moneySum(discPrice, 10000)} / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1""",
+
+    "q7_top_customers" -> """
+WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal,
+                  row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name, c_custkey, c_name, c_acctbal, rnk FROM r WHERE rnk <= 3""",
+
+    "e1_event_window_agg" -> s"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type, count(*) AS n,
+       ${moneySum("\"value\"", 10000)} / 10000.0 AS sum_value
+FROM events GROUP BY 1, 2""",
+
+    "e2_sessionize" -> """
+WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM x)
+SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM l GROUP BY 1""")
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.multimodal.BinaryPipeline
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The Spark side of every SURVEY §2 operator, one method per
+  * `SparkEntry.queries` key. Each result is column-name/type-aligned
+  * with its DuckDB twin in [[Oracles]] (the driver sorts columns by name
+  * and hashes values — names AND numeric determinism both matter; see
+  * SURVEY §3 for the exact-arithmetic strategy).
+  */
+object Queries {
+
+  // ---------- vector / retrieval core ----------
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  /** Query set: every 100th vector (deterministic, data-independent). */
+  private def queryVecs(e: DataFrame) = e.filter(col("vec_id") % 100 === 0)
+  /** Seed centroids: first 10 vectors (deterministic IVF quantizer). */
+  private def seedCentroids(e: DataFrame) =
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding"))
+
+  def v1KnnL2(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    KnnJoin.knnL2(e, queryVecs(e), "vec_id", "embedding", "vec_id", k = 5)
+  }
+
+  def v2KnnCosine(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    KnnJoin.knnCosine(e, queryVecs(e), "vec_id", "embedding", "vec_id", k = 5)
+  }
+
+  def v3VectorNorms(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(
+      col("vec_id").cast("long").as("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      (sqrt(intNormSq(quantize(col("embedding")))) / lit(10000.0)).as("norm"))
+
+  def v4CategoryCounts(s: SparkSession, d: String): DataFrame =
+    emb(s, d).groupBy(col("label").cast("long").as("label_id"))
+      .agg(count(lit(1)).as("n"))
+
+  def v5PerClassSample(s: SparkSession, d: String): DataFrame =
+    Sampling.perClassSample(
+      emb(s, d).select(col("label").cast("long").as("label_id"),
+        col("vec_id").cast("long").as("vec_id")),
+      "label_id", "vec_id", n = 10)
+      .select("label_id", "vec_id", "rnk")
+
+  def v6IvfAssign(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    IvfIndex.assign(e, seedCentroids(e), "vec_id", "embedding", "cid")
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), sum("d2").cast("long").as("sum_d2"))
+  }
+
+  def v7IvfSearch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = seedCentroids(e)
+    val index = IvfIndex.assign(e, cents, "vec_id", "embedding", "cid")
+    IvfIndex.search(index, cents, queryVecs(e),
+      "vec_id", "embedding", "cid", "vec_id", k = 3, nprobe = 2)
+  }
+
+  def v8KnnJoinMeta(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    // metadata lookup join (reference app.py:171-174): broadcast here;
+    // at 100 TB this is a shuffle join on the id key.
+    val meta = e.select(col("vec_id").cast("long").as("id"),
+      col("label").cast("long").as("lab"))
+    v1KnnL2(s, d)
+      .join(broadcast(meta.withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("lab", "label_id")), "neighbor_id")
+      .join(broadcast(meta.withColumnRenamed("id", "query_id")
+        .withColumnRenamed("lab", "qlab")), "query_id")
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("label_id"),
+        when(col("label_id") === col("qlab"), 1L).otherwise(0L)
+          .as("same_label"))
+  }
+
+  def v9TrainValSplit(s: SparkSession, d: String): DataFrame =
+    Sampling.hashSplit(emb(s, d), "vec_id")
+      .groupBy(col("label").cast("long").as("label_id"), col("split"))
+      .agg(count(lit(1)).as("n"))
+
+  // ---------- dedup ----------
+
+  def d1DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), "doc_id", "text")
+
+  def d2MinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(docs(s, d), "doc_id", "text")
+
+  def d3Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(docs(s, d), "doc_id", "text")
+
+  def d4NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", "source",
+      shingleN = 2, threshold = 0.3)
+
+  def d5EmbeddingDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label",
+      threshold = 0.35)
+
+  // ---------- text analysis ----------
+
+  def t1LangId(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      stopwordRatio(col("text")).as("stop_ratio"),
+      langId(col("text")).as("lang_pred"))
+
+  def t2QualityScore(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      qualityScore(col("text")).as("score"))
+
+  def t3TokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexTokenCount(col("text")).cast("long").as("re_tokens"),
+      size(distinctTokens(col("text"))).cast("long").as("distinct_tokens"))
+
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id").cast("long").as("doc_id"),
+      md5(col("text")).as("full_md5"),
+      minShingleFingerprint(col("text")).as("min_shingle_hash"))
+
+  // ---------- multimodal ----------
+
+  def m1BinaryMeta(s: SparkSession, d: String): DataFrame =
+    BinaryPipeline.toAssets(docs(s, d), "doc_id", "text")
+      .select("asset_id", "n_bytes", "sha256")
+
+  // ---------- relational analytics ----------
+
+  /** Cents-exact money aggregate: round(expr * scale) summed as Long. */
+  private def moneySum(e: Column, scale: Int): Column =
+    sum(round(e * lit(scale)).cast("long"))
+
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        (moneySum(col("l_extendedprice"), 100) / lit(100.0)).as("sum_base"),
+        (moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+          / lit(10000.0)).as("sum_disc"),
+        (moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 10000) / lit(10000.0)).as("sum_charge"),
+        (sum(col("l_quantity").cast("long")) / count(lit(1))).as("avg_qty"),
+        ((moneySum(col("l_extendedprice"), 100) / lit(100.0)) / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("n_orders"))
+
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01 00:00:00")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        (col("revenue_c") / lit(10000.0)).as("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+  }
+
+  def q5RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000).as("revenue_c"))
+      .select(col("n_name"), (col("revenue_c") / lit(10000.0)).as("revenue"))
+  }
+
+  def q7TopCustomers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_acctbal"), col("rnk"))
+  }
+
+  // ---------- events (batch twins of the streaming ops) ----------
+
+  // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
+  // nanosecond timestamp type). All time math stays in exact integer
+  // space: `div` (integer division), never a double round-trip — 1.7e18
+  // ns exceeds double's 2^53 exact-integer range.
+
+  def e1EventWindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        (expr("ts div 3600000000000") * 3600).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (moneySum(col("value"), 10000) / lit(10000.0)).as("sum_value"))
+
+  def e2Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("new_sess").as("n_sessions"))
+  }
+}
