@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event operators (e1/e2 in
+  * SURVEY §2): the same semantics expressed over an unbounded stream.
+  *
+  * - `windowedCounts`: tumbling event-time window + watermark → late data
+  *   handled by the engine, state bounded by the watermark horizon.
+  * - `sessionize`: per-user inactivity-gap sessions via
+  *   `flatMapGroupsWithState` — the custom-state escape hatch for
+  *   semantics window functions can't express incrementally.
+  *
+  * At scale: state is partitioned by the grouping key across executors;
+  * the watermark/timeout bounds state size so the job runs forever.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionCount: Long, lastTs: Long, events: Long)
+  case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Tumbling 1-hour windowed counts per event type with a 30-min
+    * watermark (streaming twin of e1). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Inactivity-gap sessionization (streaming twin of e2): a new session
+    * starts when a user is idle > gapSeconds. Emits one row per closed
+    * session; processing-time timeout flushes the final open session. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.sessionCount, s.events))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            val closed = Seq.newBuilder[SessionUpdate]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (s.lastTs == Long.MinValue) {
+                s = SessionState(1L, t, 1L)
+              } else if (t - s.lastTs > gapSeconds * 1000) {
+                closed += SessionUpdate(userId, s.sessionCount, s.events)
+                s = SessionState(s.sessionCount + 1, t, 1L)
+              } else {
+                s = SessionState(s.sessionCount, t, s.events + 1)
+              }
+            }
+            state.update(s)
+            state.setTimeoutDuration(s"$gapSeconds seconds")
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "s1"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "s1"),   // near dup of 1
+    (4L, "completely different text with unrelated words here", "s1"),
+    (5L, "another unrelated document about spark engines", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps min id per text group") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n").as[(Long, Long)].collect().toSet
+    assert(r === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val r = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    val pairs = r.map(x => (x._1, x._2)).toSet
+    assert(pairs.contains((1L, 2L)))             // identical → jaccard 1
+    assert(r.find(x => (x._1, x._2) == ((1L, 2L))).get._3 === 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs agree, fingerprint is 64 bits") {
+    val r = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) === r(2L))
+    assert(r.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(r(1L) !== r(4L))
+  }
+
+  test("ngram jaccard pairs respect blocking and threshold") {
+    val r = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      shingleN = 2, threshold = 0.3)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    val m = r.map(x => (x._1, x._2) -> x._3).toMap
+    assert(m((1L, 2L)) === 1.0)
+    // docs 1,3 share 6 of their 8-shingle union... verify exact value:
+    // shingles(1)=8 distinct bigrams, shingles(3)=8, intersection=7 → 7/9
+    assert(math.abs(m((1L, 3L)) - 7.0 / 9.0) < 1e-12)
+    assert(!m.keySet.exists(p => p._1 == 5L || p._2 == 5L)) // different source/block
+  }
+
+  test("embedding near-dup finds duplicate vectors within a block") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.001f), 0),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", "label", 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(r === Set((1L, 2L)))                  // 4 blocked away, 3 orthogonal
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, SessionUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("windowedCounts aggregates tumbling windows over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0))
+    val q = StreamingOps.windowedCounts(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(col("event_type"), col("n"), col("sum_value"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // batch 1: two events 10 min apart (same session), then a 2h gap event
+    mem.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "click", 1.0),
+      Event(3, ts(130), 7, "click", 1.0))
+    // AvailableNow: drain the available data, then stop — avoids the
+    // busy-loop of empty micro-batches that processing-time timeouts
+    // schedule under the default trigger.
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sess").start()
+    try {
+      q.awaitTermination(120000)
+      val closed = spark.table("sess").as[SessionUpdate].collect()
+      // first session (2 events) closed by the gap inside the batch
+      assert(closed.toSeq === Seq(SessionUpdate(7, 1, 2)))
+    } finally q.stop()
+  }
+}
