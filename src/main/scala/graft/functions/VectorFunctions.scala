@@ -48,11 +48,21 @@ object VectorFunctions {
   }
 
   // ---- exact integer path (oracle-deterministic) ----
+  // Fused native kernels (graft.plans.VectorExpressions) — one tight
+  // codegen'd loop, no per-row intermediate arrays. `intL2SqHof` /
+  // `intDotHof` are the equivalent built-in-only forms kept for
+  // reference and A/B benchmarking; results are identical.
   /** Integer squared L2 distance between two quantized (Long) vectors. */
   def intL2Sq(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L))
+    graft.plans.VectorExpressions.intL2Sq(a, b)
   /** Integer dot product of quantized vectors. */
   def intDot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.intDot(a, b)
+  /** Composed-builtin variant of [[intL2Sq]] (zip_with + aggregate). */
+  def intL2SqHof(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L))
+  /** Composed-builtin variant of [[intDot]]. */
+  def intDotHof(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x * y), lit(0L))
   /** Integer squared norm. */
   def intNormSq(a: Column): Column = intDot(a, a)

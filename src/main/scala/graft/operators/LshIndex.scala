@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane LSH (sign hashing) for embedding vectors — the
+  * sub-quadratic blocking path for cosine similarity search / near-dup
+  * at 100 TB, where exact all-pairs or full-gallery scans are off the
+  * table and even IVF probing wants a cheaper candidate filter.
+  *
+  * Hyperplanes are generated on the driver from a seed (deterministic,
+  * tiny: nPlanes × dim doubles) and folded into the plan as literals —
+  * effectively a free broadcast. Bucket key = the nPlanes sign bits of
+  * the hyperplane dot products. Vectors with high cosine similarity
+  * agree on most signs, so near-dups collide with high probability;
+  * bucket equality becomes the shuffle key, never a cross join.
+  */
+object LshIndex {
+
+  /** Deterministic Gaussian hyperplanes (driver-side, seed-fixed). */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket key column for a vector column. */
+  def bucketKey(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val v = toDoubleArray(vec)
+    val bits = planes.map { p =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Attach LSH buckets: (idCol, vecCol, bucket). */
+  def bucketed(vecs: DataFrame, idCol: String, vecCol: String,
+               dim: Int, nPlanes: Int = 12, seed: Long = 42L): DataFrame =
+    vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      bucketKey(col(vecCol), hyperplanes(dim, nPlanes, seed)).as("bucket"))
+
+  /** Near-dup candidate pairs: same bucket, verified by exact cosine.
+    * One shuffle keyed by bucket; skew-capped by the bit width. */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, threshold: Double, nPlanes: Int = 12,
+                   seed: Long = 42L, scale: Int = 10000): DataFrame = {
+    val b = bucketed(vecs, idCol, vecCol, dim, nPlanes, seed)
+      .select(col("id"), col("bucket"), quantize(col("vec"), scale).as("qv"))
+      .withColumn("nsq", intNormSq(col("qv")))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        cosineFromInts(intDot(col("x.qv"), col("y.qv")),
+          col("x.nsq"), col("y.nsq")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Approximate KNN: candidates restricted to the query's bucket, then
+    * exact ranking within it. Queries are broadcast; the gallery-side
+    * bucket join prunes the scan to colliding rows only. */
+  def search(gallery: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, qidCol: String, dim: Int, k: Int,
+             nPlanes: Int = 12, seed: Long = 42L,
+             scale: Int = 10000): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val g = gallery.select(col(idCol).cast("long").as("neighbor_id"),
+      quantize(col(vecCol), scale).as("gv"),
+      bucketKey(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      quantize(col(vecCol), scale).as("qv"),
+      bucketKey(col(vecCol), planes).as("bucket"))
+    val scored = g.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "d2", k, ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
+  }
+}

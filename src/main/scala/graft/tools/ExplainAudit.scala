@@ -32,7 +32,7 @@ object ExplainAudit {
         val smj = "SortMergeJoin".r.findAllIn(plan).size
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
         val cart = "CartesianProduct".r.findAllIn(plan).size
-        val wsc = "WholeStageCodegen".r.findAllIn(plan).size
+        val wsc = "codegen id".r.findAllIn(plan).size
         println(s"[audit] $name scans=$scans pushedFilterScans=$pushed " +
           s"bhj=$bhj smj=$smj bnlj=$bnlj cartesian=$cart codegenSpans=$wsc")
       } catch {
