@@ -37,12 +37,15 @@ object SparkEntry {
     "t2_quality_score" -> (Queries.t2QualityScore _),
     "t3_token_count" -> (Queries.t3TokenCount _),
     "t4_fingerprint" -> (Queries.t4Fingerprint _),
+    "t5_top_terms" -> (Queries.t5TopTerms _),
     // multimodal
     "m1_binary_meta" -> (Queries.m1BinaryMeta _),
+    "m2_decode_features" -> (Queries.m2DecodeFeatures _),
     // relational analytics
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
     "q5_revenue_by_nation" -> (Queries.q5RevenueByNation _),
+    "q6_forecast_revenue" -> (Queries.q6ForecastRevenue _),
     "q7_top_customers" -> (Queries.q7TopCustomers _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),

@@ -229,6 +229,34 @@ SELECT doc_id, full_md5,
        list_min(list_transform(${shingleSql("toks", 3)}, s -> md5(s))) AS min_shingle_hash
 FROM d""",
 
+    "t5_top_terms" -> """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT source, token, count(*) AS n FROM t GROUP BY 1, 2),
+r AS (SELECT source, token, n,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rnk
+      FROM c)
+SELECT source, token, n, rnk FROM r WHERE rnk <= 5""",
+
+    "q6_forecast_revenue" -> s"""
+SELECT ${moneySum("l_extendedprice * l_discount", 10000)} / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+
+    "m2_decode_features" -> """
+WITH ch AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                   unnest(range(strlen(text))) AS i,
+                   text AS t
+            FROM documents),
+b AS (SELECT asset_id, CAST(i % 8 AS BIGINT) AS dim,
+             ascii(substr(t, CAST(i AS INT) + 1, 1)) AS code
+      FROM ch)
+SELECT asset_id, dim,
+       CAST(sum(code) AS BIGINT) / count(*) AS feature
+FROM b GROUP BY 1, 2""",
+
     "m1_binary_meta" -> """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -139,11 +139,36 @@ object Queries {
       md5(col("text")).as("full_md5"),
       minShingleFingerprint(col("text")).as("min_shingle_hash"))
 
+  /** Top-5 terms per source by frequency (tie → lexicographic). */
+  def t5TopTerms(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("token"))
+    docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
   // ---------- multimodal ----------
 
   def m1BinaryMeta(s: SparkSession, d: String): DataFrame =
     BinaryPipeline.toAssets(docs(s, d), "doc_id", "text")
       .select("asset_id", "n_bytes", "sha256")
+
+  /** Decode-stub features, long format (asset_id, dim, feature): the
+    * multimodal plumbing end-to-end — binary payload → partition-
+    * parallel decode → per-dim features. The stub's strided byte means
+    * are exactly replicable in SQL, so even this path is oracle-checked. */
+  def m2DecodeFeatures(s: SparkSession, d: String): DataFrame = {
+    val assets = BinaryPipeline.toAssets(docs(s, d), "doc_id", "text")
+    BinaryPipeline.decodeStub(assets, featureDim = 8)
+      .select(col("asset_id"),
+        posexplode(col("features")).as(Seq("dim", "feature")))
+      .select(col("asset_id"), col("dim").cast("long").as("dim"),
+        col("feature"))
+  }
 
   // ---------- relational analytics ----------
 
@@ -204,6 +229,17 @@ object Queries {
         10000).as("revenue_c"))
       .select(col("n_name"), (col("revenue_c") / lit(10000.0)).as("revenue"))
   }
+
+  /** TPC-H Q6 shape: map-only filter + single scalar aggregate — the
+    * pure scan-throughput query (filters fully pushed to parquet). */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg((moneySum(col("l_extendedprice") * col("l_discount"), 10000)
+        / lit(10000.0)).as("revenue"))
 
   def q7TopCustomers(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("n_name"))
