@@ -51,6 +51,38 @@ object IvfIndex {
       .select(col("centroid_id"),
         transform(col("pm"), p => p.getField("m")).as("vec"))
 
+  /** Full Lloyd/k-means training of the coarse quantizer: deterministic
+    * seeding (k lowest ids), then `iters` assign→mean rounds. Centroids
+    * are collected to the driver between rounds — they are broadcast-
+    * sized by definition (nlist × dim), and re-literalizing them keeps
+    * the per-iteration plan flat instead of a growing lineage. Each
+    * iteration is one map-only assign pass + one (cid,dim)-keyed shuffle.
+    * Returns (cid, embedding) centroids. */
+  def train(spark: SparkSession, vectors: DataFrame, idCol: String,
+            vecCol: String, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val centSchema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType), nullable = false)))
+    def toDf(rows: Seq[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+        centSchema)
+    var cents = toDf(
+      vectors.orderBy(col(idCol)).limit(k)
+        .select(toDoubleArray(col(vecCol))).collect()
+        .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+        .toSeq)
+    for (_ <- 1 to iters) {
+      val assigned = assign(vectors, cents, idCol, vecCol, "cid")
+      cents = toDf(lloydStep(assigned)
+        .select(col("centroid_id"), col("vec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+    }
+    cents
+  }
+
   /** Persist the index partitioned by centroid id (partition pruning on
     * probe). The reference's save_faiss_index (faiss_utils.py:11-13). */
   def save(assigned: DataFrame, path: String): Unit =
