@@ -64,7 +64,7 @@ object IvfIndex {
     import org.apache.spark.sql.types._
     val centSchema = StructType(Seq(
       StructField("cid", LongType, nullable = false),
-      StructField("embedding", ArrayType(DoubleType), nullable = false)))
+      StructField(vecCol, ArrayType(DoubleType), nullable = false)))
     def toDf(rows: Seq[(Long, Seq[Double])]): DataFrame =
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),

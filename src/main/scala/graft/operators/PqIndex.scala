@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (PQ) — the compressed-index scale path of a
+  * FAISS-style engine (IndexPQ/IVFPQ semantics re-expressed as
+  * DataFrame ops). A D-dim float vector becomes `m` small codes
+  * (argmin centroid per subspace), an ~D·4/m-fold compression; queries
+  * then rank candidates with asymmetric distance (ADC): exact query
+  * sub-vectors against the codebook, summed via a per-query lookup
+  * table.
+  *
+  * Scale shape: codebooks are tiny (m × ksub × D/m) → driver/broadcast;
+  * encoding is a map-only pass over the gallery (literal-folded argmin,
+  * fully codegen'd); ADC search shuffles only (gallery_id × m) code
+  * rows joined to a broadcast distance table, then partial top-k — the
+  * 100 TB gallery is never touched at full precision.
+  */
+object PqIndex {
+
+  case class Codebook(sub: Int, cid: Int, centroid: Seq[Double])
+
+  /** Train per-subspace codebooks with deterministic Lloyd k-means.
+    * dim must divide evenly into m subspaces. */
+  def train(spark: SparkSession, vecs: DataFrame, idCol: String,
+            vecCol: String, dim: Int, m: Int, ksub: Int,
+            iters: Int): Seq[Codebook] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).flatMap { j =>
+      val slice_j = vecs.select(col(idCol),
+        slice(toDoubleArray(col(vecCol)), j * sub + 1, sub).as("subvec"))
+      IvfIndex.train(spark, slice_j, idCol, "subvec", ksub, iters)
+        .collect()
+        .map(r => Codebook(j, r.getLong(0).toInt, r.getSeq[Double](1)))
+    }
+  }
+
+  /** Literal-folded argmin: distance of a sub-slice against every
+    * centroid of its codebook, smallest (d2, cid) wins. */
+  private def encodeSub(vec: Column, j: Int, sub: Int,
+                        book: Seq[Codebook]): Column = {
+    val cands = book.filter(_.sub == j).sortBy(_.cid).map { cb =>
+      val cent = array(cb.centroid.map(lit): _*)
+      struct(
+        l2DistSq(slice(vec, j * sub + 1, sub), cent).as("d2"),
+        lit(cb.cid).as("cid"))
+    }
+    array_min(array(cands: _*)).getField("cid")
+  }
+
+  /** Encode: (id, codes array<int>) — map-only, no shuffle. */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+             m: Int, book: Seq[Codebook]): DataFrame = {
+    val sub = dim / m
+    val v = toDoubleArray(col(vecCol))
+    vecs.select(col(idCol).cast("long").as("id"),
+      array((0 until m).map(j => encodeSub(v, j, sub, book)): _*).as("codes"))
+  }
+
+  /** ADC search: for each query, distances to all codebook centroids
+    * form a (sub, cid) → d2 table (broadcast); gallery codes join the
+    * table and sum per (gallery, query); partial top-k finishes it.
+    * Returns (query_id, rnk, neighbor_id, dist) with dist the ADC
+    * approximation of L2. */
+  def searchAdc(codes: DataFrame, queries: DataFrame, qidCol: String,
+                vecCol: String, dim: Int, m: Int, book: Seq[Codebook],
+                k: Int): DataFrame = {
+    val sub = dim / m
+    val spark = codes.sparkSession
+    val qv = toDoubleArray(col(vecCol))
+    // per-query distance table rows: (query_id, sub, cid, d2)
+    val tableRows = book.map { cb =>
+      val cent = array(cb.centroid.map(lit): _*)
+      struct(lit(cb.sub).as("sub"), lit(cb.cid).as("cid"),
+        l2DistSq(slice(qv, cb.sub * sub + 1, sub), cent).as("d2"))
+    }
+    val qTable = queries.select(col(qidCol).cast("long").as("query_id"),
+        explode(array(tableRows: _*)).as("e"))
+      .select(col("query_id"), col("e.sub"), col("e.cid"), col("e.d2"))
+    val exploded = codes.select(col("id").as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("sub", "cid")))
+    val scored = exploded
+      .join(broadcast(qTable), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum("d2").as("adc"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "adc", k,
+      ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        sqrt(col("adc")).as("dist"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.PqIndex
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two obvious clusters per 2-dim subspace
+  private lazy val vecs = Seq(
+    (0L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+    (1L, Array(0.1f, 0.0f, 10.0f, 10.1f)),
+    (2L, Array(9.0f, 9.0f, 0.0f, 0.0f)),
+    (3L, Array(9.1f, 9.0f, 0.1f, 0.0f)),
+    (4L, Array(0.0f, 0.1f, 0.0f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  private lazy val book =
+    PqIndex.train(spark, vecs, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 3)
+
+  test("train yields one codebook per subspace with ksub centroids") {
+    assert(book.map(_.sub).toSet === Set(0, 1))
+    assert(book.count(_.sub == 0) === 2)
+    assert(book.forall(_.centroid.length == 2))
+  }
+
+  test("encode groups same-cluster vectors onto the same codes") {
+    val codes = PqIndex.encode(vecs, "vec_id", "embedding", 4, 2, book)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(_.length == 2))
+    assert(codes(0L) === codes(1L))              // same subspace clusters
+    assert(codes(2L) === codes(3L))
+    assert(codes(0L) !== codes(2L))
+  }
+
+  test("ADC search finds the true nearest group first") {
+    val codes = PqIndex.encode(vecs, "vec_id", "embedding", 4, 2, book)
+    val q = vecs.filter($"vec_id" === 1)
+    val r = PqIndex.searchAdc(codes, q, "vec_id", "embedding", 4, 2, book, k = 3)
+      .orderBy("rnk").as[(Long, Long, Long, Double)].collect()
+    // rank 1 and 2 are the {0,1} cluster (identical codes → tie by id)
+    assert(Seq(r(0)._3, r(1)._3).sorted === Seq(0L, 1L))
+    assert(r(2)._3 === 4L)                       // next-closest codes
+  }
+}
