@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * greps for the scale-health signals SURVEY §4 promises:
   * PushedFilters reaching the parquet scan, pruned ReadSchema,
   * broadcast joins on small sides, whole-stage codegen coverage.
+  *
+  * Caveat: under AQE the pre-execution formatted plan (isFinalPlan=
+  * false) does not print `[codegen id: N]` annotations, so
+  * codegenSpans reads 0 for adaptive plans — not a codegen failure
+  * (RDD-based plans like m2 show their spans).
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
