@@ -34,8 +34,15 @@ object TextFunctions {
 
   /** MinHash signature: k independent hash functions, h_j(s) = md5(j:s);
     * signature element j is the lexicographic min over the shingle set.
-    * min-of-md5-hex is a valid uniform minhash and is engine-portable. */
+    * min-of-md5-hex is a valid uniform minhash and is engine-portable.
+    * Routed through the native byte-level kernel
+    * (graft.plans.MinhashSignatureExpr); `minhashSignatureHof` is the
+    * equivalent composed-builtin form. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
+    graft.plans.TextExpressions.minhashSignature(shingleCol, k)
+
+  /** Composed-builtin variant of [[minhashSignature]]. */
+  def minhashSignatureHof(shingleCol: Column, k: Int): Column =
     array((0 until k).map { j =>
       array_min(transform(shingleCol, s => md5(concat(lit(j.toString), lit(":"), s))))
     }: _*)
