@@ -26,6 +26,9 @@ object SparkEntry {
     "v7_ivf_search" -> (Queries.v7IvfSearch _),
     "v8_knn_join_meta" -> (Queries.v8KnnJoinMeta _),
     "v9_train_val_split" -> (Queries.v9TrainValSplit _),
+    "v10_lsh_search" -> (Queries.v10LshSearch _),
+    "v11_pq_adc" -> (Queries.v11PqAdc _),
+    "v12_knn_category" -> (Queries.v12KnnCategory _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,39 +37,47 @@ object BinaryPipeline {
       octet_length(col(textCol)).cast("long").as("n_bytes"),
       sha2(col(textCol).cast("binary"), 256).as("sha256"))
 
+  /** Input/output records of the decode boundary — Tungsten product
+    * encoders, so the object round-trip is codegen'd serialization, not
+    * per-row `Row` boxing. */
+  case class AssetPayload(asset_id: Long, payload: Array[Byte])
+  case class AssetFeatures(asset_id: Long, features: Array[Double])
+
   /** STUB decode: where a real pipeline would decode pixels and run the
     * embedding model (reference model.py:51-58), we emit deterministic
-    * per-payload statistics from the raw bytes. Runs partition-parallel
-    * over iterator batches — the execution shape a real
-    * decoder/feature-extractor plugs into unchanged. */
-  def decodeStub(assets: DataFrame, featureDim: Int = 8): DataFrame = {
-    val spark = assets.sparkSession
-    val outSchema = StructType(assets.schema.fields.toSeq :+
-      StructField("features", ArrayType(DoubleType), nullable = true))
-    val payloadIdx = assets.schema.fieldIndex("payload")
-    val rdd = assets.rdd.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](payloadIdx)
-        val feats: Array[Double] =
-          if (bytes == null) null
-          else {
-            // deterministic fake "embedding": dim-strided byte averages
-            val acc = new Array[Double](featureDim)
-            val cnt = new Array[Long](featureDim)
-            var i = 0
-            while (i < bytes.length) {
-              val d = i % featureDim
-              acc(d) += (bytes(i) & 0xff); cnt(d) += 1; i += 1
-            }
-            var d = 0
-            while (d < featureDim) {
-              if (cnt(d) > 0) acc(d) = acc(d) / cnt(d); d += 1
-            }
-            acc
-          }
-        Row.fromSeq(row.toSeq :+ (feats: Any))
+    * per-payload statistics from the raw bytes.
+    *
+    * Execution shape: a typed `Dataset.mapPartitions` — the Scala twin
+    * of `mapInPandas`, and the plug-in point where a real
+    * decoder/feature-extractor (batched, per-partition library init)
+    * drops in unchanged. Only (asset_id, payload) crosses the object
+    * boundary (column pruning reaches the scan); metadata re-joins by
+    * asset_id downstream. */
+  def decodeStub(assets: DataFrame, featureDim: Int = 8): DataFrame =
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as(Encoders.product[AssetPayload])
+      .mapPartitions(_.map(a =>
+        AssetFeatures(a.asset_id, strideMeans(a.payload, featureDim))))(
+        Encoders.product[AssetFeatures])
+      .toDF()
+
+  /** Deterministic fake "embedding": dim-strided byte averages. Exact
+    * integer sums (< 2^53) with one IEEE division per dim, so the SQL
+    * oracle replicates it bit-for-bit. */
+  private def strideMeans(bytes: Array[Byte], featureDim: Int): Array[Double] =
+    if (bytes == null) null
+    else {
+      val acc = new Array[Double](featureDim)
+      val cnt = new Array[Long](featureDim)
+      var i = 0
+      while (i < bytes.length) {
+        val d = i % featureDim
+        acc(d) += (bytes(i) & 0xff); cnt(d) += 1; i += 1
       }
+      var d = 0
+      while (d < featureDim) {
+        if (cnt(d) > 0) acc(d) = acc(d) / cnt(d); d += 1
+      }
+      acc
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 }

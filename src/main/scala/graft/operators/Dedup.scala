@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface: exact,
@@ -36,18 +37,23 @@ object Dedup {
     val rows = numHashes / bands
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       shingles(col(textCol), shingleN).as("sh"))
+    // only (doc_id, band) rides through the bucket self-join — the full
+    // shingle sets are re-joined by id AFTER candidate dedup, so the
+    // band shuffle and the dropDuplicates shuffle move fixed-width rows,
+    // not whole shingle arrays.
     val banded = base
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         posexplode(bandHashes(minhashSignature(col("sh"), numHashes),
           bands, rows)).as(Seq("band_idx", "band_hash")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     cand
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .withColumn("inter",
         size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("uni",
@@ -64,9 +70,23 @@ object Dedup {
     docs.select(col(idCol).cast("long").as("doc_id"),
       simhash64(col(textCol)).as("simhash"))
 
-  /** n-gram Jaccard similarity pairs via inverted-index join (never a
-    * cross join): explode distinct shingles, self-join on (shingle,
-    * blocking key), count intersections, derive |union| arithmetically.
+  /** n-gram Jaccard similarity pairs via a PREFIX-FILTERED inverted-index
+    * join (never a cross join, never an uncapped hot-shingle bucket).
+    *
+    * Candidate generation uses the standard prefix-filtering bound
+    * (SSJoin/PPJoin): order each doc's shingles rarest-first by document
+    * frequency within the block and keep only the first
+    * `n - ceil(t*n) + 1` of them. Any pair with Jaccard >= t shares at
+    * least ceil(t*max(na,nb)) shingles, and the alpha-th-largest shared
+    * element (in the global df order) provably sits inside BOTH prefixes
+    * — so joining prefix x prefix loses no qualifying pair, while
+    * stop-shingles ("of the") with huge df fall at the END of the order
+    * and out of every prefix: the quadratic hot bucket never forms.
+    *
+    * Verification then computes EXACT Jaccard from the full shingle
+    * sets (re-joined by id — candidates are tiny), so results are
+    * identical to the naive all-shared-shingles join.
+    *
     * `blockCol` bounds the candidate space (at 100 TB: a real blocking
     * key — LSH band, source, time bucket). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -74,18 +94,32 @@ object Dedup {
                         threshold: Double = 0.3): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(blockCol).as("blk"), shingles(col(textCol), shingleN).as("sh"))
-    val sizes = base.select(col("doc_id"), col("blk"),
-      size(col("sh")).cast("long").as("n_sh"))
-    val inv = base.select(col("doc_id"), col("blk"),
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val inv = base.select(col("doc_id"), col("blk"), col("n_sh"),
       explode(col("sh")).as("s"))
-    val inter = inv.as("x").join(inv.as("y"),
+    // per-(block, shingle) document frequency: one map-side-combined agg.
+    val dfreq = inv.groupBy("blk", "s").agg(count(lit(1)).as("df"))
+    // rarest-first rank within each doc; (df, s) is a deterministic
+    // total order because shingles are distinct within a doc.
+    val wDoc = Window.partitionBy("blk", "doc_id")
+      .orderBy(col("df"), col("s"))
+    val pref = inv.join(dfreq, Seq("blk", "s"))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
+      .select("doc_id", "blk", "s")
+    val cand = pref.as("x").join(pref.as("y"),
         col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&
         col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+        col("n_sh").as("na")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+        col("n_sh").as("nb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni"))
       .filter(col("jaccard") >= threshold)

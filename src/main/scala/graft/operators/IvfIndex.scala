@@ -19,20 +19,33 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Assign each vector to its nearest centroid (exact integer L2,
-    * ties → lowest centroid id). Returns (id, vec, centroid_id, d2). */
+    * ties → lowest centroid id). Returns (id, vec, centroid_id, d2).
+    *
+    * Centroids are broadcast-sized by definition (nlist × dim), so they
+    * are collected and folded into the plan as literals: the whole
+    * assignment is one map-only codegen'd projection — zero joins, zero
+    * aggregates, zero shuffles. (The earlier groupBy(id, vec)
+    * .agg(min(struct)) shape shuffled every row with the full embedding
+    * in the grouping key — wrong at 100 TB.) */
   def assign(vectors: DataFrame, centroids: DataFrame, idCol: String,
              vecCol: String, cidCol: String,
              scale: Int = 10000): DataFrame = {
-    val v = vectors.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("vec"), quantize(col(vecCol), scale).as("qv"))
-    val c = centroids.select(col(cidCol).cast("long").as("cid"),
-      quantize(col(vecCol), scale).as("cv"))
-    // argmin via min(struct(d2, cid)): map-side combinable, no window.
-    v.join(broadcast(c))
-      .select(col("id"), col("vec"),
-        struct(intL2Sq(col("qv"), col("cv")).as("d2"), col("cid")).as("dc"))
-      .groupBy(col("id"), col("vec"))
-      .agg(min(col("dc")).as("best"))
+    val cents: Array[(Long, Array[Long])] = centroids
+      .select(col(cidCol).cast("long"), quantize(col(vecCol), scale))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assign: empty centroid set")
+    // argmin via array_min over (d2, cid) structs: lexicographic struct
+    // ordering = smallest distance, ties to lowest centroid id.
+    val cands = cents.map { case (cid, cv) =>
+      struct(intL2Sq(col("qv"), array(cv.map(lit): _*)).as("d2"),
+        lit(cid).as("cid"))
+    }
+    vectors
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        quantize(col(vecCol), scale).as("qv"))
+      .withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
       .select(col("id"), col("vec"),
         col("best.cid").as("centroid_id"), col("best.d2").as("d2"))
   }

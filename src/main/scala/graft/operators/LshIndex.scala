@@ -24,15 +24,28 @@ object LshIndex {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bucket key column for a vector column. */
-  def bucketKey(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val v = toDoubleArray(vec)
-    val bits = planes.map { p =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(v, planeLit) >= 0, lit("1")).otherwise(lit("0"))
+  /** Fixed-point hyperplanes: round(p * planeScale) as Long. Sign tests
+    * then run in exact integer arithmetic (sum of Long products), which
+    * is bit-reproducible in ANY engine — the property that lets the
+    * DuckDB oracle fold the same plane literals into SQL. */
+  def quantizePlanes(planes: Seq[Seq[Double]],
+                     planeScale: Int = 1000000): Seq[Seq[Long]] =
+    planes.map(_.map(x => math.round(x * planeScale)))
+
+  /** Sign-bucket key from an already-quantized (array<long>) vector
+    * column — one codegen'd dot-product kernel per plane, no doubles. */
+  def bucketKeyQ(qv: Column, qplanes: Seq[Seq[Long]]): Column = {
+    val bits = qplanes.map { p =>
+      when(intDot(qv, array(p.map(lit): _*)) >= 0, lit("1"))
+        .otherwise(lit("0"))
     }
     concat(bits: _*)
   }
+
+  /** Sign-bucket key column for a raw vector column. */
+  def bucketKey(vec: Column, planes: Seq[Seq[Double]],
+                scale: Int = 10000): Column =
+    bucketKeyQ(quantize(vec, scale), quantizePlanes(planes))
 
   /** Attach LSH buckets: (idCol, vecCol, bucket). */
   def bucketed(vecs: DataFrame, idCol: String, vecCol: String,
@@ -63,13 +76,15 @@ object LshIndex {
              vecCol: String, qidCol: String, dim: Int, k: Int,
              nPlanes: Int = 12, seed: Long = 42L,
              scale: Int = 10000): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes, seed)
-    val g = gallery.select(col(idCol).cast("long").as("neighbor_id"),
-      quantize(col(vecCol), scale).as("gv"),
-      bucketKey(col(vecCol), planes).as("bucket"))
-    val q = queries.select(col(qidCol).cast("long").as("query_id"),
-      quantize(col(vecCol), scale).as("qv"),
-      bucketKey(col(vecCol), planes).as("bucket"))
+    val qplanes = quantizePlanes(hyperplanes(dim, nPlanes, seed))
+    val g = gallery
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantize(col(vecCol), scale).as("gv"))
+      .withColumn("bucket", bucketKeyQ(col("gv"), qplanes))
+    val q = queries
+      .select(col(qidCol).cast("long").as("query_id"),
+        quantize(col(vecCol), scale).as("qv"))
+      .withColumn("bucket", bucketKeyQ(col("qv"), qplanes))
     val scored = g.join(broadcast(q), Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
         intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))

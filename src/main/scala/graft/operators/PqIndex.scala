@@ -61,32 +61,49 @@ object PqIndex {
       array((0 until m).map(j => encodeSub(v, j, sub, book)): _*).as("codes"))
   }
 
-  /** ADC search: for each query, distances to all codebook centroids
-    * form a (sub, cid) → d2 table (broadcast); gallery codes join the
-    * table and sum per (gallery, query); partial top-k finishes it.
+  /** ADC search: each query's (sub → cid → d2) lookup table is computed
+    * driver-side (queries are broadcast-sized by the batch-KNN contract,
+    * like centroids) and folded into the plan as LITERAL nested arrays.
+    * Scoring is then a pure map-side projection over the codes table —
+    * `element_at` lookups summed per gallery row, fully codegen'd, with
+    * NO join and NO exchange until the O(Q·k) partial top-k. (The
+    * round-1 shape exploded codes and shuffled the full O(N·Q) score
+    * matrix through a groupBy — the exact thing ADC exists to avoid.)
     * Returns (query_id, rnk, neighbor_id, dist) with dist the ADC
     * approximation of L2. */
   def searchAdc(codes: DataFrame, queries: DataFrame, qidCol: String,
                 vecCol: String, dim: Int, m: Int, book: Seq[Codebook],
                 k: Int): DataFrame = {
     val sub = dim / m
-    val spark = codes.sparkSession
-    val qv = toDoubleArray(col(vecCol))
-    // per-query distance table rows: (query_id, sub, cid, d2)
-    val tableRows = book.map { cb =>
-      val cent = array(cb.centroid.map(lit): _*)
-      struct(lit(cb.sub).as("sub"), lit(cb.cid).as("cid"),
-        l2DistSq(slice(qv, cb.sub * sub + 1, sub), cent).as("d2"))
+    val bySub: Map[Int, Seq[Codebook]] =
+      book.groupBy(_.sub).map { case (j, cbs) => j -> cbs.sortBy(_.cid) }
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(qidCol).cast("long"), toDoubleArray(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val perQuery = qRows.map { case (qid, qvec) =>
+      // dtab(j)(c) = ||q_sub_j - centroid_{j,c}||^2, exact driver math
+      val dtab = (0 until m).map { j =>
+        array(bySub(j).map { cb =>
+          var acc = 0.0
+          var i = 0
+          while (i < sub) {
+            val dd = qvec(j * sub + i) - cb.centroid(i)
+            acc += dd * dd; i += 1
+          }
+          lit(acc)
+        }: _*)
+      }
+      val adc = (0 until m)
+        .map(j => element_at(dtab(j), col("codes").getItem(j) + 1))
+        .reduce(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("adc"))
     }
-    val qTable = queries.select(col(qidCol).cast("long").as("query_id"),
-        explode(array(tableRows: _*)).as("e"))
-      .select(col("query_id"), col("e.sub"), col("e.cid"), col("e.d2"))
-    val exploded = codes.select(col("id").as("neighbor_id"),
-      posexplode(col("codes")).as(Seq("sub", "cid")))
-    val scored = exploded
-      .join(broadcast(qTable), Seq("sub", "cid"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum("d2").as("adc"))
+    val scored = codes
+      .select(col("id").cast("long").as("neighbor_id"),
+        explode(array(perQuery.toIndexedSeq: _*)).as("qa"))
+      .select(col("qa.query_id"), col("neighbor_id"), col("qa.adc"))
     TopK.perGroup(scored, "query_id", "neighbor_id", "adc", k,
       ascending = true)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),

@@ -26,6 +26,27 @@ object Oracles {
 
   private val stopList = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on')"
 
+  /** LSH sign-bucket expression over a quantized list column: the SAME
+    * seed-fixed quantized hyperplanes the Spark side uses
+    * (LshIndex.hyperplanes(64, 12, 42) → quantizePlanes), folded in as
+    * list literals. Exact integer dot products → identical sign bits. */
+  private def lshBucket(v: String): String = {
+    val planes = graft.operators.LshIndex.quantizePlanes(
+      graft.operators.LshIndex.hyperplanes(dim = 64, nPlanes = 6,
+        seed = 42L))
+    planes.map { p =>
+      val planeLit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(64), i -> $v[i+1] * ($planeLit)[i+1])) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+  }
+
+  /** Exact integer squared L2 of subspace `j` (width `sub`) of two
+    * quantized list columns. */
+  private def subL2(a: String, b: String, j: String, sub: Int): String = {
+    val d = s"($a[$sub*$j+i+1] - $b[$sub*$j+i+1])"
+    s"CAST(list_sum(list_transform(range($sub), i -> $d * $d)) AS BIGINT)"
+  }
+
   /** Cents-exact money sum: CAST(round(expr*scale)) summed as BIGINT. */
   private def moneySum(e: String, scale: Int): String =
     s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT)"
@@ -123,6 +144,53 @@ SELECT h.query_id, h.rnk, h.neighbor_id,
 FROM hits h
 JOIN embeddings em ON em.vec_id = h.neighbor_id
 JOIN embeddings eq ON eq.vec_id = h.query_id""",
+
+    "v10_lsh_search" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+qb AS (SELECT gid AS query_id, v AS qvec, bucket FROM b WHERE gid % 100 = 0),
+cand AS (SELECT qb.query_id, b.gid, ${l2sq("b.v", "qb.qvec")} AS d2
+         FROM b JOIN qb ON b.bucket = qb.bucket),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM cand)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+FROM r WHERE rnk <= 5""",
+
+    "v11_pq_adc" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+cb AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 16),
+jj AS (SELECT unnest(range(8)) AS j),
+enc AS (SELECT gid, j, cid AS code FROM (
+          SELECT g.gid, jj.j, cb.cid,
+                 row_number() OVER (PARTITION BY g.gid, jj.j
+                   ORDER BY ${subL2("g.v", "cb.cv", "jj.j", 8)}, cb.cid) AS rn
+          FROM g CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+adc AS (SELECT q.query_id, e.gid,
+               CAST(sum(${subL2("q.qvec", "cb.cv", "e.j", 8)}) AS BIGINT) AS adc
+        FROM enc e JOIN cb ON cb.cid = e.code CROSS JOIN q
+        GROUP BY 1, 2),
+r AS (SELECT query_id, gid, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+      FROM adc)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
+FROM r WHERE rnk <= 5""",
+
+    "v12_knn_category" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM d),
+hits AS (SELECT query_id, rnk, gid AS neighbor_id FROM r WHERE rnk <= 5)
+SELECT h.query_id, h.rnk, h.neighbor_id,
+       'img_' || CAST(h.neighbor_id AS VARCHAR) || '.png' AS path,
+       CAST(em.label AS BIGINT) AS label_id,
+       'cat_' || CAST(CAST(em.label AS BIGINT) AS VARCHAR) AS category
+FROM hits h JOIN embeddings em ON em.vec_id = h.neighbor_id""",
 
     "v9_train_val_split" -> """
 SELECT CAST(label AS BIGINT) AS label_id,

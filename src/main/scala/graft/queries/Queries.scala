@@ -72,19 +72,105 @@ object Queries {
 
   def v8KnnJoinMeta(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    // metadata lookup join (reference app.py:171-174): broadcast here;
-    // at 100 TB this is a shuffle join on the id key.
+    // metadata lookup join (reference app.py:171-174). The KNN result is
+    // tiny (Q·k rows) → broadcast THAT side; the gallery-sized metadata
+    // streams through two column-pruned scans as the probe side of
+    // broadcast hash joins. Never broadcast a table that scales with the
+    // gallery.
     val meta = e.select(col("vec_id").cast("long").as("id"),
       col("label").cast("long").as("lab"))
-    v1KnnL2(s, d)
-      .join(broadcast(meta.withColumnRenamed("id", "neighbor_id")
-        .withColumnRenamed("lab", "label_id")), "neighbor_id")
-      .join(broadcast(meta.withColumnRenamed("id", "query_id")
-        .withColumnRenamed("lab", "qlab")), "query_id")
+    val hits = v1KnnL2(s, d).select("query_id", "rnk", "neighbor_id")
+    val withNeighborLab = meta
+      .join(broadcast(hits), col("id") === col("neighbor_id"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("lab").as("label_id"))
+    meta
+      .join(broadcast(withNeighborLab), col("id") === col("query_id"))
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         col("label_id"),
-        when(col("label_id") === col("qlab"), 1L).otherwise(0L)
+        when(col("label_id") === col("lab"), 1L).otherwise(0L)
           .as("same_label"))
+  }
+
+  /** LSH-bucketed approximate KNN under the hard gate: seed-fixed
+    * hyperplanes are quantized to exact Longs (LshIndex.quantizePlanes),
+    * so the DuckDB twin folds the identical plane literals into SQL and
+    * the sign tests agree bit-for-bit. */
+  def v10LshSearch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    // 6 planes → 64 buckets: enough collisions at test SF that the
+    // bucket join and in-bucket top-k do real work (12+ planes at 100 TB)
+    LshIndex.search(e, queryVecs(e), "vec_id", "embedding", "vec_id",
+      dim = 64, k = 5, nPlanes = 6)
+  }
+
+  /** PQ asymmetric-distance search under the hard gate. Codebooks are
+    * SEEDED (sub-slices of the first `ksub` gallery vectors — the same
+    * derive-from-data trick as v6's seed centroids) rather than Lloyd-
+    * trained, so the oracle can reconstruct them in SQL; training is
+    * covered by PqIndexSpec. All math runs on fixed-point values
+    * (integers carried in doubles, < 2^53), so encode argmins and ADC
+    * sums are exact in both engines. */
+  def v11PqAdc(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64; val ksub = 16
+    val e = emb(s, d)
+    // integer-valued doubles: round(x*10000) — exact in IEEE math
+    val g = e.select(col("vec_id").cast("long").as("id"),
+      transform(quantize(col("embedding")), x => x.cast("double"))
+        .as("qemb"))
+    val sub = dim / m
+    val book: Seq[PqIndex.Codebook] = g.filter(col("id") < ksub)
+      .collect()
+      .flatMap { r =>
+        val cid = r.getLong(0).toInt
+        val v = r.getSeq[Double](1)
+        (0 until m).map(j =>
+          PqIndex.Codebook(j, cid, v.slice(j * sub, (j + 1) * sub)))
+      }.toSeq
+    val codes = PqIndex.encode(g, "id", "qemb", dim, m, book)
+    val queries = g.filter(col("id") % 100 === 0)
+    PqIndex.searchAdc(codes, queries, "id", "qemb", dim, m, book, k = 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
+  /** KNN hits joined to the full (path, label, category) metadata triple
+    * of the reference (precompute_features.py:192-213, app.py:171-174).
+    * The category dim arrives through the REAL JSON ingest path: a
+    * train_val.json-shaped file is written from the label domain and
+    * read back via GalleryMetadata (spark.read.json + posexplode), then
+    * broadcast-joined to the hits — category lists are tiny by
+    * definition. */
+  def v12KnnCategory(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val maxLabel = e.agg(max(col("label").cast("long"))).collect()(0)
+      .getLong(0)
+    val jsonPath = writeCategoryJson(maxLabel)
+    val cats = graft.sources.GalleryMetadata.readCategories(s, jsonPath)
+    val meta = e.select(col("vec_id").cast("long").as("id"),
+      col("label").cast("long").as("lab"))
+    val hits = v1KnnL2(s, d).select("query_id", "rnk", "neighbor_id")
+    meta.join(broadcast(hits), col("id") === col("neighbor_id"))
+      .join(broadcast(cats), col("lab") === col("label"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        concat(lit("img_"), col("neighbor_id").cast("string"),
+          lit(".png")).as("path"),
+        col("lab").as("label_id"), col("category"))
+  }
+
+  /** Write the reference-shaped {"train": ..., "categories": [...]}
+    * JSON for labels 0..maxLabel (category name = "cat_<label>"), under
+    * the build dir. Deterministic, oracle-replicable by construction. */
+  private def writeCategoryJson(maxLabel: Long): String = {
+    val cats = (0L to maxLabel).map(l => s""""cat_$l"""").mkString(",")
+    val items = (0L to maxLabel)
+      .map(l => s"""[$l, "img_seed_$l.png"]""").mkString(",")
+    val dir = java.nio.file.Paths.get("target", "graft-tmp")
+    java.nio.file.Files.createDirectories(dir)
+    val p = dir.resolve("train_val.json")
+    java.nio.file.Files.writeString(p,
+      s"""{"train": [$items], "categories": [$cats]}""")
+    p.toString
   }
 
   def v9TrainValSplit(s: SparkSession, d: String): DataFrame =

@@ -27,4 +27,12 @@ object GalleryMetadata {
       .select(col("label").cast("long").as("label"), col("category"))
     items.join(broadcast(cats), Seq("label"), "left")
   }
+
+  /** Just the (label, category) dim from the same JSON shape — the
+    * categories array indexed by label (precompute_features.py:147-159).
+    * Tiny by definition: always the broadcast side of metadata joins. */
+  def readCategories(spark: SparkSession, jsonPath: String): DataFrame =
+    spark.read.option("multiLine", "true").json(jsonPath)
+      .select(posexplode(col("categories")).as(Seq("label", "category")))
+      .select(col("label").cast("long").as("label"), col("category"))
 }

@@ -13,8 +13,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    ensureParallelism(spark.read.parquet(s"$dir/$name.parquet"))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    ensureParallelism(df, Some(path))
+  }
+
+  /** Scan partition count per path, probed once per JVM: the probe
+    * (`df.rdd.getNumPartitions`) forces eager physical planning, so
+    * paying it on EVERY load would re-plan the scan per table reference
+    * in a query. */
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The testdata files are single-row-group parquet, which Spark reads
     * as ONE partition — every narrow (per-row) stage would run on one
@@ -22,9 +32,15 @@ object Tables {
     * partitioned; a real multi-split table (anything at production
     * scale) already has ≥ cores partitions and this is a no-op, so no
     * extra shuffle is paid at 100 TB. */
-  def ensureParallelism(df: DataFrame): DataFrame = {
+  def ensureParallelism(df: DataFrame,
+                        cacheKey: Option[String] = None): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val parts = cacheKey match {
+      case Some(k) => scanParts.computeIfAbsent(k,
+        _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
+      case None => df.rdd.getNumPartitions
+    }
+    if (parts < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

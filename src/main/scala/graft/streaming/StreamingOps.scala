@@ -33,14 +33,19 @@ object StreamingOps {
 
   /** Inactivity-gap sessionization (streaming twin of e2): a new session
     * starts when a user is idle > gapSeconds. Emits one row per closed
-    * session; processing-time timeout flushes the final open session. */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
+    * session. The open session flushes on an EVENT-TIME timeout — it
+    * closes when the watermark passes lastTs + gap, which is
+    * deterministic replayable stream semantics (a processing-time
+    * timeout would tie session boundaries to wall-clock scheduling). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+                 watermarkDelay: String = "30 minutes")
       : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -62,7 +67,8 @@ object StreamingOps {
               }
             }
             state.update(s)
-            state.setTimeoutDuration(s"$gapSeconds seconds")
+            // close the open session once event time passes the gap
+            state.setTimeoutTimestamp(s.lastTs + gapSeconds * 1000)
             closed.result().iterator
           }
       }

@@ -31,26 +31,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionize emits closed sessions across batches") {
+  test("sessionize closes sessions by gap and by event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
-    // batch 1: two events 10 min apart (same session), then a 2h gap event
+    // user 7: two events 10 min apart (one session), then a 2h gap event
+    // (second session); user 8's much-later event advances the watermark
+    // past user 7's open-session timeout (130 min + 30 min gap), so the
+    // final session flushes deterministically on EVENT time.
     mem.addData(
       Event(1, ts(0), 7, "click", 1.0),
       Event(2, ts(10), 7, "click", 1.0),
-      Event(3, ts(130), 7, "click", 1.0))
-    // AvailableNow: drain the available data, then stop — avoids the
-    // busy-loop of empty micro-batches that processing-time timeouts
-    // schedule under the default trigger.
+      Event(3, ts(130), 7, "click", 1.0),
+      Event(4, ts(600), 8, "view", 1.0))
     val q = StreamingOps.sessionize(mem.toDS())
       .writeStream.outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName("sess").start()
     try {
       q.awaitTermination(120000)
-      val closed = spark.table("sess").as[SessionUpdate].collect()
-      // first session (2 events) closed by the gap inside the batch
-      assert(closed.toSeq === Seq(SessionUpdate(7, 1, 2)))
+      val closed = spark.table("sess").as[SessionUpdate].collect().toSet
+      // session 1 (2 events) closed by the in-batch gap; session 2
+      // (1 event) closed by the watermark-driven timeout. User 8's
+      // session stays open (watermark never passes its timeout).
+      assert(closed === Set(SessionUpdate(7, 1, 2), SessionUpdate(7, 2, 1)))
     } finally q.stop()
   }
 }
