@@ -21,15 +21,20 @@ object Bench {
       try fn(spark, dir).count() catch { case _: Throwable => () }
     // Median-of-N per query (default 3): a single-shot number is hostage
     // to host noise / GC / JIT recompiles; the median is the recorded
-    // signal. Interleaving is per-query so one noisy window can't skew
-    // one query's all three runs systematically.
+    // signal. Rounds are interleaved ACROSS the suite (run all queries,
+    // then repeat) so one multi-minute noisy host window cannot poison
+    // all of a single query's samples.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to rounds).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to rounds; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = samples(name).sorted
       name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -41,11 +41,19 @@ object Dedup {
     // shingle sets are re-joined by id AFTER candidate dedup, so the
     // band shuffle and the dropDuplicates shuffle move fixed-width rows,
     // not whole shingle arrays.
+    // Materialize the signature as its own projection: inlining it into
+    // bandHashes would re-evaluate the minhash kernel once per
+    // element_at (k times per row) inside the Generate.
     val banded = base
       .select(col("doc_id"),
-        posexplode(bandHashes(minhashSignature(col("sh"), numHashes),
-          bands, rows)).as(Seq("band_idx", "band_hash")))
-    val cand = banded.as("x").join(banded.as("y"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("doc_id"),
+        posexplode(bandHashes(col("sig"), bands, rows))
+          .as(Seq("band_idx", "band_hash")))
+    // `merge` hint: keep the self-join a shuffle join so the two
+    // identical banded subplans (shingle + minhash compute, the
+    // expensive part) collapse into ONE reused exchange.
+    val cand = banded.as("x").join(banded.as("y").hint("merge"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -107,12 +115,32 @@ object Dedup {
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
-      .select("doc_id", "blk", "s")
-    val cand = pref.as("x").join(pref.as("y"),
+      .select("doc_id", "blk", "s", "n_sh")
+    // Self-join with two further LOSSLESS prunes (PPJoin-style):
+    //  - length filter: J >= t forces t*na <= nb <= na/t;
+    //  - count filter: a qualifying pair shares o >= ceil(t/(1+t)*(na+nb))
+    //    shingles, and the j-th-largest common element (global order)
+    //    sits inside both prefixes for every j >= max(ceil(t*na),
+    //    ceil(t*nb)) — so at least alpha - max(...) + 1 of the shared
+    //    shingles co-occur in the PREFIXES. Pairs below that prefix
+    //    co-occurrence count provably cannot reach Jaccard t.
+    // The `merge` hint keeps the self-join a shuffle join so the two
+    // identical prefix subplans collapse into one reused exchange
+    // (a broadcast side would recompute the whole upstream).
+    val tt = threshold / (1.0 + threshold)
+    val cand = pref.as("x").join(pref.as("y").hint("merge"),
         col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+        col("x.doc_id") < col("y.doc_id") &&
+        col("y.n_sh") * lit(threshold) <= col("x.n_sh") &&
+        col("x.n_sh") * lit(threshold) <= col("y.n_sh"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.n_sh").as("pna"), col("y.n_sh").as("pnb"))
+      .agg(count(lit(1)).as("pc"))
+      .filter(col("pc") >= greatest(lit(1L),
+        ceil(lit(tt) * (col("pna") + col("pnb")))
+          - greatest(ceil(lit(threshold) * col("pna")),
+            ceil(lit(threshold) * col("pnb"))) + lit(1)))
+      .select("a_id", "b_id")
     cand
       .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha"),
         col("n_sh").as("na")), "a_id")

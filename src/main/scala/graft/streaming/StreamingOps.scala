@@ -23,6 +23,18 @@ object StreamingOps {
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long)
   case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long)
 
+  /** Streaming exact dedup (twin of d1, the training-data ingest gate):
+    * emit only first-seen content hashes. State is bounded by the
+    * watermark horizon via `dropDuplicatesWithinWatermark` — at 100 TB/
+    * day the dedup state would otherwise grow without bound; within-
+    * horizon exactness is the standard contract for streaming ingest
+    * (cross-horizon dups are caught by the batch pass, Dedup.exact). */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermarkDelay: String = "30 minutes"): DataFrame =
+    docs.withColumn("text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Tumbling 1-hour windowed counts per event type with a 30-min
     * watermark (streaming twin of e1). */
   def windowedCounts(events: DataFrame): DataFrame =

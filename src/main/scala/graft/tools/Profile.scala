@@ -3,6 +3,7 @@ package graft.tools
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage profiler for slow queries (dev tool, not part of the
@@ -30,35 +31,55 @@ object Profile {
     }
 
     val docs = Tables.documents(spark, sfDir)
+
+    // ---------- d2 minhash stages ----------
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       shingles(col("text"), 3).as("sh"))
-    time("shingles")(base.count())
-    val sig = base.select(col("doc_id"), col("sh"),
+    time("d2 shingles")(base.count())
+    val sig = base.select(col("doc_id"),
       minhashSignature(col("sh"), 12).as("sig"))
-    time("minhash-sig")(sig.count())
-    val banded = sig.select(col("doc_id"), col("sh"),
+    time("d2 minhash-sig")(sig.count())
+    val banded = sig.select(col("doc_id"),
       posexplode(bandHashes(col("sig"), 4, 3)).as(Seq("band_idx", "band_hash")))
-    time("banded")(banded.count())
-    val slim = banded.select("doc_id", "band_idx", "band_hash")
-    val cand = slim.as("x").join(slim.as("y"),
+    time("d2 banded")(banded.count())
+    val cand = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    time("cand-slim")(cand.count())
-    val candFat = banded.as("x").join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.sh").as("sha"), col("y.sh").as("shb"))
       .dropDuplicates("a_id", "b_id")
-    time("cand-fat")(candFat.count())
-    time("cand-fat-2nd")(candFat.count())
-    val full = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")
-    time("full-minhashLsh")(full.count())
-    time("full-minhashLsh-2nd")(full.count())
+    time("d2 cand")(cand.count())
+    val full2 = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")
+    time("d2 full")(full2.count())
+    time("d2 full-2nd")(full2.count())
+
+    // ---------- d4 ngram-jaccard stages ----------
+    val b4 = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("source").as("blk"), shingles(col("text"), 2).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    time("d4 shingles")(b4.count())
+    val inv = b4.select(col("doc_id"), col("blk"), col("n_sh"),
+      explode(col("sh")).as("s"))
+    time("d4 inverted")(inv.count())
+    val dfreq = inv.groupBy("blk", "s").agg(count(lit(1)).as("df"))
+    time("d4 dfreq")(dfreq.count())
+    val wDoc = Window.partitionBy("blk", "doc_id")
+      .orderBy(col("df"), col("s"))
+    val pref = inv.join(dfreq, Seq("blk", "s"))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(0.3) * col("n_sh")) + lit(1))
+      .select("doc_id", "blk", "s")
+    time("d4 prefix")(pref.count())
+    val cand4 = pref.as("x").join(pref.as("y"),
+        col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    time("d4 cand-raw")(cand4.count())
+    time("d4 cand-dedup")(cand4.dropDuplicates("a_id", "b_id").count())
+    val full4 = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", "source", shingleN = 2, threshold = 0.3)
+    time("d4 full")(full4.count())
+    time("d4 full-2nd")(full4.count())
     spark.stop()
   }
 }

@@ -6,11 +6,32 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
+case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(minutes: Long): Timestamp =
     new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("dedupStream emits each content hash once within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    mem.addData(
+      StreamDoc(1, ts(0), "aaa"), StreamDoc(2, ts(1), "bbb"),
+      StreamDoc(3, ts(2), "aaa"))
+    val q = StreamingOps.dedupStream(mem.toDF(), "text", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dd").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(StreamDoc(4, ts(3), "aaa"), StreamDoc(5, ts(4), "ccc"))
+      q.processAllAvailable()
+      val rows = spark.table("dd").select($"text").as[String].collect()
+      assert(rows.length === 3)               // one per distinct content
+      assert(rows.toSet === Set("aaa", "bbb", "ccc"))
+    } finally q.stop()
+  }
 
   test("windowedCounts aggregates tumbling windows over a stream") {
     implicit val sqlCtx = spark.sqlContext
