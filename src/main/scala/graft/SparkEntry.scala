@@ -50,9 +50,12 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (Queries.q5RevenueByNation _),
     "q6_forecast_revenue" -> (Queries.q6ForecastRevenue _),
     "q7_top_customers" -> (Queries.q7TopCustomers _),
+    "q8_inactive_customers" -> (Queries.q8InactiveCustomers _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
-    "e2_sessionize" -> (Queries.e2Sessionize _))
+    "e2_sessionize" -> (Queries.e2Sessionize _),
+    "e3_asof_join" -> (Queries.e3AsofJoin _),
+    "e4_range_join" -> (Queries.e4RangeJoin _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

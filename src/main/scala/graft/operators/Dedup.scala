@@ -21,6 +21,21 @@ object Dedup {
       .agg(min(col(idCol)).cast("long").as("keep_id"),
         count(lit(1)).as("n"))
 
+  /** Incremental exact dedup for batched ingest: drop documents whose
+    * content hash already exists in the seen-index (previous batches),
+    * then exact-dedup within the batch. At 100 TB/day the seen-index is
+    * a persisted table bucketed by `text_hash` ([[graft.sources
+    * .BucketedStore]]) so the left_anti probe joins co-located buckets
+    * without re-shuffling history. Returns (text_hash, keep_id, n) for
+    * the genuinely-new content — the rows to append to the index. */
+  def incremental(newDocs: DataFrame, idCol: String, textCol: String,
+                  seenHashes: DataFrame): DataFrame =
+    newDocs.withColumn("text_hash", md5(col(textCol)))
+      .join(seenHashes.select("text_hash"), Seq("text_hash"), "left_anti")
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).cast("long").as("keep_id"),
+        count(lit(1)).as("n"))
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle(n) → k minhashes → `bands` band keys → self-join on band

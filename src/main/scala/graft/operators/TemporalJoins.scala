@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in for — as-of join and
+  * bounded range join — composed from existing ops per the preference
+  * order (no custom SparkPlan needed: the compositions already have the
+  * right shuffle shape).
+  *
+  * Scale rationale:
+  *  - `asofJoin` is the union + sorted carry-forward formulation: ONE
+  *    shuffle keyed by the join key, then a per-key sort — the same
+  *    distribution a sort-merge join would need, with no candidate
+  *    blow-up (the naive "join all earlier rows, keep latest" is
+  *    O(probe x quote) per key).
+  *  - `rangeJoinAgg` buckets quotes by `delta`-sized time cells and
+  *    joins each probe to exactly two cells, so candidates are bounded
+  *    by 2x the quote rows in range — never an unbounded inequality
+  *    join (which Spark would execute as a per-key cross product).
+  */
+object TemporalJoins {
+
+  /** For each probe row, the latest quote row at-or-before it:
+    * max (ts, id) among quotes with quote.ts <= probe.ts, per key.
+    * Quotes at the probe's exact timestamp count (and order before the
+    * probe); ties break by highest quote id — fully deterministic.
+    *
+    * Probe and quote need (keyCol, tsCol, idCol); rows without any
+    * prior quote are dropped (inner as-of). Output:
+    * (keyCol, tsCol, idCol, asof_ts, asof_id). */
+  def asofJoin(probe: DataFrame, quote: DataFrame, keyCol: String,
+               tsCol: String, idCol: String): DataFrame = {
+    val p = probe.select(col(keyCol).as("k"),
+      col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("i"),
+      lit(1).as("tag"))
+    val q = quote.select(col(keyCol).as("k"),
+      col(tsCol).cast("long").as("t"), col(idCol).cast("long").as("i"),
+      lit(0).as("tag"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("tag"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(q)
+      .withColumn("q", last(
+        when(col("tag") === 0, struct(col("t").as("qt"), col("i").as("qi"))),
+        ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("q").isNotNull)
+      .select(col("k").as(keyCol), col("t").as(tsCol),
+        col("i").as(idCol),
+        col("q.qt").as("asof_ts"), col("q.qi").as("asof_id"))
+  }
+
+  /** Per probe row, the count of quote rows in the half-open window
+    * [probe.ts - delta, probe.ts), per key. Probes with zero quotes in
+    * range are dropped (inner semantics — keeps the output null-free).
+    * Output: (keyCol, idCol, tsCol, n_range). */
+  def rangeJoinAgg(probe: DataFrame, quote: DataFrame, keyCol: String,
+                   tsCol: String, idCol: String, delta: Long): DataFrame = {
+    require(delta > 0, "delta must be positive")
+    val q = quote.select(col(keyCol).as("k"),
+      col(tsCol).cast("long").as("qt"))
+      .withColumn("b", expr(s"qt div $delta"))
+    // a quote in [pt-delta, pt) lives in time cell pt div delta or the
+    // one before it — each probe joins exactly those two cells.
+    val p = probe.select(col(keyCol).as("k"),
+      col(tsCol).cast("long").as("pt"), col(idCol).cast("long").as("pid"))
+      .withColumn("pb", expr(s"pt div $delta"))
+      .withColumn("b", explode(array(col("pb") - 1, col("pb"))))
+    p.join(q, Seq("k", "b"))
+      .filter(col("qt") >= col("pt") - delta && col("qt") < col("pt"))
+      .groupBy(col("k"), col("pid"), col("pt"))
+      .agg(count(lit(1)).as("n_range"))
+      .select(col("k").as(keyCol), col("pid").as(idCol),
+        col("pt").as(tsCol), col("n_range"))
+  }
+}

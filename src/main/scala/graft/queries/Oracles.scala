@@ -384,6 +384,41 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        ${moneySum("\"value\"", 10000)} / 10000.0 AS sum_value
 FROM events GROUP BY 1, 2""",
 
+    "q8_inactive_customers" -> s"""
+SELECT n_name, count(*) AS n_inactive,
+       ${moneySum("c_acctbal", 100)} / 100.0 AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+GROUP BY 1""",
+
+    "e3_asof_join" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(event_id AS BIGINT) AS event_id,
+                  epoch_us(ts) AS us, event_type
+           FROM events),
+p AS (SELECT user_id, event_id, us FROM x WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, us FROM x WHERE event_type = 'click'),
+j AS (SELECT p.user_id, p.event_id, p.us,
+             c.event_id AS click_id, c.us AS click_us,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY c.us DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.us <= p.us)
+SELECT user_id, event_id, us, click_id, click_us FROM j WHERE rn = 1""",
+
+    "e4_range_join" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(event_id AS BIGINT) AS event_id,
+                  epoch_us(ts) AS us, event_type
+           FROM events),
+p AS (SELECT user_id, event_id, us FROM x WHERE event_type = 'purchase'),
+v AS (SELECT user_id, us FROM x WHERE event_type = 'view')
+SELECT p.user_id, p.event_id, p.us, count(*) AS n_range
+FROM p JOIN v ON v.user_id = p.user_id
+  AND v.us >= p.us - 3600000000 AND v.us < p.us
+GROUP BY 1, 2, 3""",
+
     "e2_sessionize" -> """
 WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
 l AS (SELECT user_id, us,

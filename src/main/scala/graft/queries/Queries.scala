@@ -339,6 +339,22 @@ object Queries {
         col("c_name"), col("c_acctbal"), col("rnk"))
   }
 
+  /** Anti-join shape (TPC-H Q22 flavor): per nation, customers with NO
+    * order since 1997 — count + exact-cents balance sum. left_anti on
+    * the orders key; nation dim broadcast. */
+  def q8InactiveCustomers(s: SparkSession, d: String): DataFrame = {
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-06-01 00:00:00")))
+      .select("o_custkey")
+    Tables.customer(s, d)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_inactive"),
+        (moneySum(col("c_acctbal"), 100) / lit(100.0)).as("sum_acctbal"))
+  }
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
@@ -353,6 +369,38 @@ object Queries {
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         (moneySum(col("value"), 10000) / lit(10000.0)).as("sum_value"))
+
+  /** Events projected to exact integer microseconds (nanos div 1000 —
+    * identical to DuckDB's epoch_us on its µs timestamps). */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+
+  /** As-of join: each purchase matched to the user's latest click
+    * at-or-before it (TemporalJoins.asofJoin — union + carry-forward,
+    * one shuffle). */
+  def e3AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsUs(s, d)
+    TemporalJoins.asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "us", "event_id")
+      .select(col("user_id"), col("event_id"), col("us"),
+        col("asof_id").as("click_id"), col("asof_ts").as("click_us"))
+  }
+
+  /** Bounded range join: per purchase, how many views the user made in
+    * the preceding hour (TemporalJoins.rangeJoinAgg — time-cell
+    * bucketed, candidates bounded, never an inequality cross join). */
+  def e4RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsUs(s, d)
+    TemporalJoins.rangeJoinAgg(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"),
+      "user_id", "us", "event_id", delta = 3600000000L)
+  }
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -11,6 +11,18 @@ class BucketedStoreSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      // a previous JVM's warehouse dir survives while the in-memory
+      // catalog does not — clear the orphan locations first
+      for (t <- Seq("bkt_a", "bkt_b")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val dir = java.nio.file.Paths.get("spark-warehouse", t)
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
       val df = (0L until 100L).map(i => (i, i * 2)).toDF("id", "x")
       BucketedStore.save(df, "bkt_a", "id", 4)
       BucketedStore.save(df.withColumnRenamed("x", "y"), "bkt_b", "id", 4)

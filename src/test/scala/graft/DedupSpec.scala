@@ -20,6 +20,18 @@ class DedupSpec extends SparkSpec {
     assert(r === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("incremental dedup drops already-seen content, keeps new") {
+    val seen = Dedup.exact(docs.filter($"doc_id" <= 3), "doc_id", "text")
+    val batch2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "s1"), // seen
+      (11L, "a genuinely new document arrives here", "s1"),
+      (12L, "a genuinely new document arrives here", "s1")        // in-batch dup
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.incremental(batch2, "doc_id", "text", seen)
+      .select("keep_id", "n").as[(Long, Long)].collect().toSet
+    assert(r === Set((11L, 2L)))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val r = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
       .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
