@@ -29,6 +29,7 @@ object SparkEntry {
     "v10_lsh_search" -> (Queries.v10LshSearch _),
     "v11_pq_adc" -> (Queries.v11PqAdc _),
     "v12_knn_category" -> (Queries.v12KnnCategory _),
+    "v13_ivfpq_search" -> (Queries.v13IvfPqSearch _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),

@@ -177,6 +177,41 @@ r AS (SELECT query_id, gid, adc,
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
 FROM r WHERE rnk <= 5""",
 
+    "v13_ivfpq_search" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS ccid, v AS cv FROM g WHERE gid < 10),
+asn AS (SELECT gid, ccid AS acid FROM (
+          SELECT g.gid, c.ccid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.ccid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+cb AS (SELECT gid AS cid, v AS cbv FROM g WHERE gid < 16),
+jj AS (SELECT unnest(range(8)) AS j),
+enc AS (SELECT gid, j, cid AS code FROM (
+          SELECT g.gid, jj.j, cb.cid,
+                 row_number() OVER (PARTITION BY g.gid, jj.j
+                   ORDER BY ${subL2("g.v", "cb.cbv", "jj.j", 8)}, cb.cid) AS rn
+          FROM g CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+probe AS (SELECT query_id, ccid AS pcid FROM (
+            SELECT q.query_id, c.ccid,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${l2sq("q.qvec", "c.cv")}, c.ccid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 2),
+adc AS (SELECT q.query_id, e.gid,
+               CAST(sum(${subL2("q.qvec", "cb.cbv", "e.j", 8)}) AS BIGINT) AS adc
+        FROM probe p
+        JOIN asn a ON a.acid = p.pcid
+        JOIN enc e ON e.gid = a.gid
+        JOIN cb ON cb.cid = e.code
+        JOIN q ON q.query_id = p.query_id
+        GROUP BY 1, 2),
+r AS (SELECT query_id, gid, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+      FROM adc)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
+FROM r WHERE rnk <= 5""",
+
     "v12_knn_category" -> s"""
 WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
            FROM embeddings WHERE vec_id % 100 = 0),

@@ -134,6 +134,41 @@ object Queries {
         (col("dist") / lit(10000.0)).as("dist"))
   }
 
+  /** IVFPQ search under the hard gate: seed centroids (first 10 full
+    * vectors, as in v6) route queries to nprobe=2 partitions; seeded
+    * PQ codebooks (as in v11) rank the pruned candidates by ADC. All
+    * fixed-point-exact, so the DuckDB twin reconstructs the identical
+    * index. The composite is the canonical billion-scale layout:
+    * partition pruning × 32-byte codes ≈ read nprobe/nlist of 1/16th
+    * the bytes. */
+  def v13IvfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64; val ksub = 16
+    val e = emb(s, d)
+    val g = e.select(col("vec_id").cast("long").as("id"),
+      transform(quantize(col("embedding")), x => x.cast("double"))
+        .as("qemb"))
+    val sub = dim / m
+    val book: Seq[PqIndex.Codebook] = g.filter(col("id") < ksub)
+      .collect()
+      .flatMap { r =>
+        val cid = r.getLong(0).toInt
+        val v = r.getSeq[Double](1)
+        (0 until m).map(j =>
+          PqIndex.Codebook(j, cid, v.slice(j * sub, (j + 1) * sub)))
+      }.toSeq
+    val cents = g.filter(col("id") < 10)
+      .select(col("id").as("cid"), col("qemb"))
+    // index build: codes + coarse assignment (scale=1: already ints)
+    val codes = PqIndex.encode(g, "id", "qemb", dim, m, book)
+      .join(IvfIndex.assign(g, cents, "id", "qemb", "cid", scale = 1)
+        .select(col("id"), col("centroid_id")), Seq("id"))
+    val queries = g.filter(col("id") % 100 === 0)
+    IvfPq.search(codes, cents, queries, "cid", "id", "qemb",
+      dim, m, book, k = 5, nprobe = 2, scale = 1)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
   /** KNN hits joined to the full (path, label, category) metadata triple
     * of the reference (precompute_features.py:192-213, app.py:171-174).
     * The category dim arrives through the REAL JSON ingest path: a

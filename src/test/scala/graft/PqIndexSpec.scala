@@ -34,6 +34,42 @@ class PqIndexSpec extends SparkSpec {
     assert(codes(0L) !== codes(2L))
   }
 
+  test("IVFPQ with full probing equals plain PQ ADC ranking") {
+    import graft.operators.{IvfIndex, IvfPq}
+    val codes = PqIndex.encode(vecs, "vec_id", "embedding", 4, 2, book)
+    val cents = Seq((0L, Array(0.0f, 0.0f, 5.0f, 5.0f)),
+      (1L, Array(9.0f, 9.0f, 0.0f, 0.0f))).toDF("cid", "embedding")
+    val indexed = codes.join(
+      IvfIndex.assign(vecs, cents, "vec_id", "embedding", "cid")
+        .select(col("id"), col("centroid_id")), Seq("id"))
+    val q = vecs.filter($"vec_id" === 1)
+    val ivfpq = IvfPq.search(indexed, cents, q, "cid", "vec_id",
+      "embedding", 4, 2, book, k = 3, nprobe = 2)
+      .select("rnk", "neighbor_id").as[(Long, Long)].collect().toSet
+    val flat = PqIndex.searchAdc(codes, q, "vec_id", "embedding", 4, 2,
+      book, k = 3)
+      .select("rnk", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq === flat)
+  }
+
+  test("IVFPQ with nprobe=1 prunes to the probed partition only") {
+    import graft.operators.{IvfIndex, IvfPq}
+    val codes = PqIndex.encode(vecs, "vec_id", "embedding", 4, 2, book)
+    val cents = Seq((0L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+      (1L, Array(9.0f, 9.0f, 0.0f, 0.0f))).toDF("cid", "embedding")
+    val indexed = codes.join(
+      IvfIndex.assign(vecs, cents, "vec_id", "embedding", "cid")
+        .select(col("id"), col("centroid_id")), Seq("id"))
+    val q = vecs.filter($"vec_id" === 1)
+    val hits = IvfPq.search(indexed, cents, q, "cid", "vec_id",
+      "embedding", 4, 2, book, k = 5, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    // query 1 probes centroid 0's partition: vectors 0, 1 (and 4 —
+    // nearer to centroid 0 than 1); cluster {2,3} is never scored
+    assert(!hits.contains(2L) && !hits.contains(3L))
+    assert(hits.contains(0L) && hits.contains(1L))
+  }
+
   test("ADC search finds the true nearest group first") {
     val codes = PqIndex.encode(vecs, "vec_id", "embedding", 4, 2, book)
     val q = vecs.filter($"vec_id" === 1)
