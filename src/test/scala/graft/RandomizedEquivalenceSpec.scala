@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Dedup, TemporalJoins, TopK}
+import org.apache.spark.sql.functions._
+
+/** Seeded-randomized equivalence checks: the operators with novel
+  * pruning/distribution logic must match a naive reference
+  * implementation on arbitrary inputs — ties, duplicates, hot keys and
+  * all. Fixed seeds keep runs deterministic. */
+class RandomizedEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramJaccardPairs == naive all-pairs on random hot-vocab corpora") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 4) {
+      // tiny vocabulary → many shared (hot) shingles: stresses the
+      // prefix/length/count pruning where it could lose pairs
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val docs = (1 to 36).map { id =>
+        val len = 2 + rnd.nextInt(18)
+        (id.toLong,
+          Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          s"s${rnd.nextInt(2)}")
+      }
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text", "source"),
+          "doc_id", "text", "source", shingleN = 2, threshold = 0.3)
+        .select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map(x => (x._1, x._2) -> x._3).toMap
+      def sh(t: String): Set[String] = {
+        val toks = t.split(" ")
+        if (toks.length < 2) Set.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val bySrc = docs.groupBy(_._3)
+      val expected = (for {
+        (_, ds) <- bySrc.toSeq
+        a <- ds; b <- ds if a._1 < b._1
+        sa = sh(a._2); sb = sh(b._2)
+        inter = (sa & sb).size
+        uni = sa.size + sb.size - inter
+        if uni > 0 && inter.toDouble / uni >= 0.3
+      } yield (a._1, b._1) -> inter.toDouble / uni).toMap
+      assert(got.keySet === expected.keySet)
+      expected.foreach { case (p, j) => assert(got(p) === j) }
+    }
+  }
+
+  test("TopK.perGroup == global sort-take-k on random scores with ties") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(20).toDouble)
+    }
+    for (asc <- Seq(true, false)) {
+      val got = TopK.perGroup(rows.toDF("g", "id", "score"),
+          "g", "id", "score", k = 4, ascending = asc)
+        .select("g", "rnk", "id").as[(Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(r =>
+          (if (asc) r._3 else -r._3, r._2)).take(4)
+        sorted.zipWithIndex.map { case (r, i) => (g, (i + 1).toLong, r._2) }
+      }.toSet
+      assert(got === expected)
+    }
+  }
+
+  test("asofJoin == naive latest-at-or-before on random event streams") {
+    val rnd = new scala.util.Random(13)
+    val quotes = (1 to 120).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, i.toLong))
+    val probes = (200 to 260).map(i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(40).toLong, i.toLong))
+    val got = TemporalJoins.asofJoin(probes.toDF("k", "t", "i"),
+        quotes.toDF("k", "t", "i"), "k", "t", "i")
+      .select("i", "asof_ts", "asof_id")
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, t, q) => i -> ((t, q)) }.toMap
+    val expected = probes.flatMap { case (k, t, i) =>
+      val prior = quotes.filter(q => q._1 == k && q._2 <= t)
+      if (prior.isEmpty) None
+      else Some(i -> { val b = prior.maxBy(q => (q._2, q._3)); (b._2, b._3) })
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("rangeJoinAgg == naive window count on random event streams") {
+    val rnd = new scala.util.Random(17)
+    val quotes = (1 to 150).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      .toDF("k", "t").withColumn("i", lit(0L))
+    val probesSeq = (300 to 360).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val got = TemporalJoins.rangeJoinAgg(probesSeq.toDF("k", "t", "i"),
+        quotes, "k", "t", "i", delta = 13L)
+      .select("i", "n_range").as[(Long, Long)].collect().toMap
+    val qRows = quotes.select("k", "t").as[(Long, Long)].collect()
+    val expected = probesSeq.flatMap { case (k, t, i) =>
+      val n = qRows.count(q => q._1 == k && q._2 >= t - 13 && q._2 < t)
+      if (n == 0) None else Some(i -> n.toLong)
+    }.toMap
+    assert(got === expected)
+  }
+}
