@@ -23,14 +23,25 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        e.printStackTrace()
-      }
+    // Queries run concurrently on a small pool: per-query cost at the
+    // gate SF is dominated by single-threaded Catalyst planning/codegen,
+    // which parallelizes perfectly ACROSS queries (Spark's scheduler
+    // interleaves the resulting jobs). Each query writes its own dir.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val tasks = selected.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            e.printStackTrace()
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

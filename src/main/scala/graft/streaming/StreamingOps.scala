@@ -23,6 +23,15 @@ object StreamingOps {
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long)
   case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long)
 
+  /** Stream-static enrichment: attach a static dim (labels, categories,
+    * quality tiers) to a stream at ingest. The dim is broadcast per
+    * micro-batch — at 100 TB/day the stream side never shuffles; a
+    * gallery-sized dim would instead be a pre-bucketed static table
+    * ([[graft.sources.BucketedStore]]) joined on its bucket key. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup (twin of d1, the training-data ingest gate):
     * emit only first-seen content hashes. State is bounded by the
     * watermark horizon via `dropDuplicatesWithinWatermark` — at 100 TB/

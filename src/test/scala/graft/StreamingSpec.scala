@@ -14,6 +14,24 @@ class StreamingSpec extends SparkSpec {
   private def ts(minutes: Long): Timestamp =
     new Timestamp(1700000000000L + minutes * 60000L)
 
+  test("enrich attaches static dim rows to a stream per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0))
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "tier")
+    val q = StreamingOps.enrich(mem.toDF(), dim, "user_id")
+      .select(col("event_id"), col("tier"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enr").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enr").as[(Long, Option[String])]
+        .collect().toMap
+      assert(rows === Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("dedupStream emits each content hash once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
