@@ -38,8 +38,11 @@ object ExplainAudit {
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
         val cart = "CartesianProduct".r.findAllIn(plan).size
         val wsc = "codegen id".r.findAllIn(plan).size
+        val exch = "Exchange".r.findAllIn(plan).size
+        val reuse = "ReusedExchange".r.findAllIn(plan).size
         println(s"[audit] $name scans=$scans pushedFilterScans=$pushed " +
-          s"bhj=$bhj smj=$smj bnlj=$bnlj cartesian=$cart codegenSpans=$wsc")
+          s"bhj=$bhj smj=$smj bnlj=$bnlj cartesian=$cart " +
+          s"exchanges=$exch reusedExchanges=$reuse codegenSpans=$wsc")
       } catch {
         case e: Throwable => println(s"[audit] $name ERROR: ${e.getMessage}")
       }
