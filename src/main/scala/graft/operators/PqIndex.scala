@@ -39,26 +39,31 @@ object PqIndex {
     }
   }
 
-  /** Literal-folded argmin: distance of a sub-slice against every
-    * centroid of its codebook, smallest (d2, cid) wins. */
-  private def encodeSub(vec: Column, j: Int, sub: Int,
+  /** Literal-folded argmin over an ALREADY-SLICED subvector column:
+    * distance against every centroid of the subspace's codebook,
+    * smallest (d2, cid) wins. */
+  private def encodeSub(sliceCol: Column, j: Int,
                         book: Seq[Codebook]): Column = {
     val cands = book.filter(_.sub == j).sortBy(_.cid).map { cb =>
       val cent = array(cb.centroid.map(lit): _*)
-      struct(
-        l2DistSq(slice(vec, j * sub + 1, sub), cent).as("d2"),
-        lit(cb.cid).as("cid"))
+      struct(l2DistSq(sliceCol, cent).as("d2"), lit(cb.cid).as("cid"))
     }
     array_min(array(cands: _*)).getField("cid")
   }
 
-  /** Encode: (id, codes array<int>) — map-only, no shuffle. */
+  /** Encode: (id, codes array<int>) — map-only, no shuffle. Sub-slices
+    * are projected ONCE per subspace before the argmin (inlining the
+    * slice into each candidate's distance re-evaluated it ksub times
+    * per subspace — the dominant cost of index build at 1M rows). */
   def encode(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
              m: Int, book: Seq[Codebook]): DataFrame = {
     val sub = dim / m
     val v = toDoubleArray(col(vecCol))
-    vecs.select(col(idCol).cast("long").as("id"),
-      array((0 until m).map(j => encodeSub(v, j, sub, book)): _*).as("codes"))
+    vecs.select(col(idCol).cast("long").as("id") +:
+        (0 until m).map(j => slice(v, j * sub + 1, sub).as(s"_s$j")): _*)
+      .select(col("id"),
+        array((0 until m).map(j =>
+          encodeSub(col(s"_s$j"), j, book)): _*).as("codes"))
   }
 
   /** ADC search: each query's (sub → cid → d2) lookup table is computed
