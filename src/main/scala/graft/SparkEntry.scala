@@ -48,10 +48,12 @@ object SparkEntry {
     // relational analytics
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
+    "q4_late_priority" -> (Queries.q4LatePriority _),
     "q5_revenue_by_nation" -> (Queries.q5RevenueByNation _),
     "q6_forecast_revenue" -> (Queries.q6ForecastRevenue _),
     "q7_top_customers" -> (Queries.q7TopCustomers _),
     "q8_inactive_customers" -> (Queries.q8InactiveCustomers _),
+    "q9_revenue_rollup" -> (Queries.q9RevenueRollup _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),

@@ -419,6 +419,28 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        ${moneySum("\"value\"", 10000)} / 10000.0 AS sum_value
 FROM events GROUP BY 1, 2""",
 
+    "q4_late_priority" -> """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1""",
+
+    "q9_revenue_rollup" -> s"""
+WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  l_extendedprice, l_discount
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+SELECT coalesce(n_name, 'ALL') AS nation, coalesce(yr, -1) AS yr,
+       ${moneySum(discPrice, 10000)} / 10000.0 AS revenue,
+       count(*) AS n
+FROM j GROUP BY ROLLUP(n_name, yr)""",
+
     "q8_inactive_customers" -> s"""
 SELECT n_name, count(*) AS n_inactive,
        ${moneySum("c_acctbal", 100)} / 100.0 AS sum_acctbal

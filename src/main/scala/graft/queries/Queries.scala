@@ -374,6 +374,41 @@ object Queries {
         col("c_name"), col("c_acctbal"), col("rnk"))
   }
 
+  /** Semi-join shape (TPC-H Q4 flavor): orders in a window with at
+    * least one lineitem shipped more than 60 days after the order
+    * date, counted by priority. left_semi — the probe never duplicates
+    * rows however many lineitems match. */
+  def q4LatePriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    o.join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Multi-level aggregate (ROLLUP): revenue by (nation, year) with
+    * per-nation and grand totals — the reporting shape over the star
+    * join. NULL rollup markers are coalesced to sentinel values so the
+    * output stays hash-comparable. */
+  def q9RevenueRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .rollup(col("n_name"), col("yr"))
+      .agg((moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("yr"), lit(-1L)).as("yr"),
+        col("revenue"), col("n"))
+
   /** Anti-join shape (TPC-H Q22 flavor): per nation, customers with NO
     * order since 1997 — count + exact-cents balance sum. left_anti on
     * the orders key; nation dim broadcast. */
