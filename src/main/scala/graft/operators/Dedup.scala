@@ -120,13 +120,16 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")).cast("long"))
     val inv = base.select(col("doc_id"), col("blk"), col("n_sh"),
       explode(col("sh")).as("s"))
-    // per-(block, shingle) document frequency: one map-side-combined agg.
-    val dfreq = inv.groupBy("blk", "s").agg(count(lit(1)).as("df"))
-    // rarest-first rank within each doc; (df, s) is a deterministic
-    // total order because shingles are distinct within a doc.
+    // Document frequency as a window count and rarest-first rank as a
+    // second window: the pipeline stays LINEAR (inverted index built
+    // once), where a groupBy-df + join back would consume `inv` from
+    // two branches and re-explode the corpus. (df, s) is a
+    // deterministic total order because shingles are distinct per doc.
+    val wShingle = Window.partitionBy("blk", "s")
     val wDoc = Window.partitionBy("blk", "doc_id")
       .orderBy(col("df"), col("s"))
-    val pref = inv.join(dfreq, Seq("blk", "s"))
+    val pref = inv
+      .withColumn("df", count(lit(1)).over(wShingle))
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
