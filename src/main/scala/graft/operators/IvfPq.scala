@@ -23,6 +23,113 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
+  private def collectVecs(df: DataFrame, idCol: String,
+                          vecCol: String): Array[(Long, Array[Double])] =
+    df.select(col(idCol).cast("long"), toDoubleArray(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Residuals v − centroid(v): one map-only pass (assignment argmin +
+    * a literal centroid-map lookup). Returns (id, centroid_id, rvec).
+    * Train residual codebooks on this (`PqIndex.train` over `rvec`). */
+  def residuals(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String, cidCol: String,
+                scale: Int = 10000): DataFrame = {
+    val cmap = map(collectVecs(centroids, cidCol, vecCol).flatMap {
+      case (cid, cv) => Seq(lit(cid), array(cv.map(lit): _*))
+    }.toIndexedSeq: _*)
+    IvfIndex.assign(vectors, centroids, idCol, vecCol, cidCol, scale)
+      .select(col("id"), col("centroid_id"),
+        zip_with(toDoubleArray(col("vec")),
+          element_at(cmap, col("centroid_id")),
+          (x, c) => x - c).as("rvec"))
+  }
+
+  /** Residual-PQ encode (IndexIVFPQ by_residual=true): codes quantize
+    * v − centroid(v). Single map-only pass over [[residuals]] output
+    * — slices projected once per subspace, centroid_id carried through.
+    * Returns (id, codes, centroid_id) — the persisted index layout. */
+  def encodeResidual(vectors: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String, cidCol: String,
+                     dim: Int, m: Int, book: Seq[PqIndex.Codebook],
+                     scale: Int = 10000): DataFrame = {
+    val sub = dim / m
+    residuals(vectors, centroids, idCol, vecCol, cidCol, scale)
+      .select(col("id") +: col("centroid_id") +:
+        (0 until m).map(j =>
+          slice(col("rvec"), j * sub + 1, sub).as(s"_s$j")): _*)
+      .select(col("id"),
+        array((0 until m).map(j =>
+          PqIndex.encodeSub(col(s"_s$j"), j, book)): _*).as("codes"),
+        col("centroid_id"))
+  }
+
+  /** Residual-ADC search: per (query, probed centroid) the lookup
+    * table quantizes ||(q − c) − codeword||². Probe routing runs on
+    * the driver (queries AND centroids are broadcast-sized), so only
+    * Q·nprobe tables are folded into the plan — the same map-side,
+    * no-exchange-before-top-k shape as [[search]]. */
+  def searchResidual(codes: DataFrame, centroids: DataFrame,
+                     queries: DataFrame, cidCol: String, qidCol: String,
+                     vecCol: String, dim: Int, m: Int,
+                     book: Seq[PqIndex.Codebook], k: Int,
+                     nprobe: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val sub = dim / m
+    val cents = collectVecs(centroids, cidCol, vecCol)
+    val qRows = collectVecs(queries, qidCol, vecCol)
+    val bySub: Map[Int, Seq[PqIndex.Codebook]] =
+      book.groupBy(_.sub).map { case (j, cbs) => j -> cbs.sortBy(_.cid) }
+    // driver-side probe routing: ties → lowest centroid id
+    val probePairs: Seq[(Long, Long)] = qRows.toSeq.flatMap {
+      case (qid, qv) =>
+        cents.map { case (cid, cv) => (l2sq(qv, cv), cid) }
+          .sortBy(identity).take(nprobe).map(p => (qid, p._2))
+    }
+    import spark.implicits._
+    val probesDf = probePairs.toDF("query_id", "centroid_id")
+    val centMap = cents.toMap
+    val dtabs = map(qRows.flatMap { case (qid, qv) =>
+      val perCent = map(probePairs.filter(_._1 == qid).flatMap {
+        case (_, cid) =>
+          val cv = centMap(cid)
+          val dtab = (0 until m).map { j =>
+            map(bySub(j).flatMap { cb =>
+              var acc = 0.0; var i = 0
+              while (i < sub) {
+                val d = (qv(j * sub + i) - cv(j * sub + i)) - cb.centroid(i)
+                acc += d * d; i += 1
+              }
+              Seq(lit(cb.cid), lit(acc))
+            }.toIndexedSeq: _*)
+          }
+          Seq(lit(cid), array(dtab: _*))
+      }.toIndexedSeq: _*)
+      Seq(lit(qid), perCent)
+    }.toIndexedSeq: _*)
+    val cand = codes
+      .join(broadcast(probesDf), Seq("centroid_id"))
+      .withColumn("dtab",
+        element_at(element_at(dtabs, col("query_id")), col("centroid_id")))
+    val adc = (0 until m)
+      .map(j => element_at(element_at(col("dtab"), j + 1),
+        col("codes").getItem(j)))
+      .reduce(_ + _)
+    val scored = cand.select(col("query_id"),
+      col("id").cast("long").as("neighbor_id"), adc.as("adc"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "adc", k,
+      ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        sqrt(col("adc")).as("dist"))
+  }
+
   /** Search codes pruned by IVF probes, ranked by ADC.
     *
     * @param codes (id, codes, centroid_id) — PqIndex.encode joined to
@@ -50,19 +157,21 @@ object IvfPq {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    // one literal map: query_id -> [sub -> [cid -> d2]] — the per-row
-    // lookup is then a pure map-side expression over candidate rows
+    // one literal map: query_id -> [per-sub (cid -> d2) maps] — the
+    // per-row lookup is then a pure map-side expression over candidate
+    // rows. Inner tables keyed by cid, robust to non-contiguous
+    // codebook ids (Lloyd-dropped clusters).
     val dtabs: Column = map(qRows.flatMap { case (qid, qvec) =>
       val dtab = (0 until m).map { j =>
-        array(bySub(j).map { cb =>
+        map(bySub(j).flatMap { cb =>
           var acc = 0.0
           var i = 0
           while (i < sub) {
             val dd = qvec(j * sub + i) - cb.centroid(i)
             acc += dd * dd; i += 1
           }
-          lit(acc)
-        }: _*)
+          Seq(lit(cb.cid), lit(acc))
+        }.toIndexedSeq: _*)
       }
       Seq(lit(qid), array(dtab: _*))
     }.toIndexedSeq: _*)
@@ -71,7 +180,7 @@ object IvfPq {
       .withColumn("dtab", element_at(dtabs, col("query_id")))
     val adc = (0 until m)
       .map(j => element_at(element_at(col("dtab"), j + 1),
-        col("codes").getItem(j) + 1))
+        col("codes").getItem(j)))
       .reduce(_ + _)
     val scored = cand.select(col("query_id"),
       col("id").cast("long").as("neighbor_id"), adc.as("adc"))

@@ -42,8 +42,8 @@ object PqIndex {
   /** Literal-folded argmin over an ALREADY-SLICED subvector column:
     * distance against every centroid of the subspace's codebook,
     * smallest (d2, cid) wins. */
-  private def encodeSub(sliceCol: Column, j: Int,
-                        book: Seq[Codebook]): Column = {
+  private[operators] def encodeSub(sliceCol: Column, j: Int,
+                                   book: Seq[Codebook]): Column = {
     val cands = book.filter(_.sub == j).sortBy(_.cid).map { cb =>
       val cent = array(cb.centroid.map(lit): _*)
       struct(l2DistSq(sliceCol, cent).as("d2"), lit(cb.cid).as("cid"))
@@ -88,20 +88,23 @@ object PqIndex {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val perQuery = qRows.map { case (qid, qvec) =>
-      // dtab(j)(c) = ||q_sub_j - centroid_{j,c}||^2, exact driver math
+      // dtab(j): cid -> ||q_sub_j - centroid_{j,cid}||^2, exact driver
+      // math. Keyed by cid (not positional) so a codebook with
+      // non-contiguous ids — e.g. Lloyd dropped an empty cluster —
+      // still looks up correctly.
       val dtab = (0 until m).map { j =>
-        array(bySub(j).map { cb =>
+        map(bySub(j).flatMap { cb =>
           var acc = 0.0
           var i = 0
           while (i < sub) {
             val dd = qvec(j * sub + i) - cb.centroid(i)
             acc += dd * dd; i += 1
           }
-          lit(acc)
-        }: _*)
+          Seq(lit(cb.cid), lit(acc))
+        }.toIndexedSeq: _*)
       }
       val adc = (0 until m)
-        .map(j => element_at(dtab(j), col("codes").getItem(j) + 1))
+        .map(j => element_at(dtab(j), col("codes").getItem(j)))
         .reduce(_ + _)
       struct(lit(qid).as("query_id"), adc.as("adc"))
     }

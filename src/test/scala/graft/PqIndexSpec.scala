@@ -70,6 +70,35 @@ class PqIndexSpec extends SparkSpec {
     assert(hits.contains(0L) && hits.contains(1L))
   }
 
+  test("residual IVFPQ with exact-capacity codebooks reproduces exact KNN") {
+    import graft.operators.{IvfPq, KnnJoin}
+    // 6 distinct vectors, two coarse clusters; residual codebooks with
+    // ksub = n represent every residual exactly, so ADC distance equals
+    // exact distance and full probing must reproduce the exact ranking.
+    val pts = Seq(
+      (0L, Array(0.0f, 1.0f, 10.0f, 11.0f)),
+      (1L, Array(1.0f, 2.0f, 12.0f, 10.0f)),
+      (2L, Array(2.0f, 0.0f, 11.0f, 13.0f)),
+      (3L, Array(9.0f, 8.0f, 1.0f, 2.0f)),
+      (4L, Array(8.0f, 7.0f, 2.0f, 0.0f)),
+      (5L, Array(7.0f, 9.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 1.0f, 11.0f, 11.0f)),
+      (1L, Array(8.0f, 8.0f, 1.0f, 1.0f))).toDF("cid", "embedding")
+    val resid = IvfPq.residuals(pts, cents, "vec_id", "embedding", "cid")
+    val rbook = PqIndex.train(spark, resid, "id", "rvec",
+      dim = 4, m = 2, ksub = 6, iters = 3)
+    val codes = IvfPq.encodeResidual(pts, cents, "vec_id", "embedding",
+      "cid", 4, 2, rbook)
+    val q = pts.filter($"vec_id" === 0)
+    val got = IvfPq.searchResidual(codes, cents, q, "cid", "vec_id",
+      "embedding", 4, 2, rbook, k = 4, nprobe = 2)
+      .select("rnk", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = KnnJoin.knnL2(pts, q, "vec_id", "embedding", "vec_id", k = 4)
+      .select("rnk", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got === exact)
+  }
+
   test("ADC search finds the true nearest group first") {
     val codes = PqIndex.encode(vecs, "vec_id", "embedding", 4, 2, book)
     val q = vecs.filter($"vec_id" === 1)
