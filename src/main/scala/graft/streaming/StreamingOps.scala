@@ -44,6 +44,22 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Stream-stream interval join (streaming twin of the e4 range join):
+    * each left event pairs with right events of the same key whose
+    * event time falls in [left.ts − delta, left.ts]. Both sides carry
+    * watermarks and the join condition time-bounds BOTH directions, so
+    * the engine can expire state — the requirement for an unbounded
+    * run. Column names: left (k, lts, lid), right (k, rts, rid). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   deltaSeconds: Long,
+                   watermarkDelay: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("lts", watermarkDelay)
+    val r = right.withWatermark("rts", watermarkDelay)
+    l.join(r, col("lk") === col("rk") &&
+      col("rts") >= col("lts") - expr(s"INTERVAL $deltaSeconds SECONDS") &&
+      col("rts") <= col("lts"))
+  }
+
   /** Tumbling 1-hour windowed counts per event type with a 30-min
     * watermark (streaming twin of e1). */
   def windowedCounts(events: DataFrame): DataFrame =

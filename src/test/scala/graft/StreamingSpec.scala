@@ -32,6 +32,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs events within the time bound, per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    purchases.addData(Event(100, ts(60), 1, "purchase", 0.0),
+      Event(101, ts(60), 2, "purchase", 0.0))
+    views.addData(
+      Event(1, ts(50), 1, "view", 0.0),   // within 15 min of p100? no (10 ok)
+      Event(2, ts(58), 1, "view", 0.0),   // within
+      Event(3, ts(61), 1, "view", 0.0),   // after purchase → excluded
+      Event(4, ts(10), 2, "view", 0.0))   // too early for p101
+    val l = purchases.toDF().select(col("user_id").as("lk"),
+      col("ts").as("lts"), col("event_id").as("lid"))
+    val r = views.toDF().select(col("user_id").as("rk"),
+      col("ts").as("rts"), col("event_id").as("rid"))
+    val q = StreamingOps.intervalJoin(l, r, deltaSeconds = 900)
+      .select(col("lid"), col("rid"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("ij").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((100L, 1L), (100L, 2L)))
+    } finally q.stop()
+  }
+
   test("dedupStream emits each content hash once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
