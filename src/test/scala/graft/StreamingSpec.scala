@@ -77,6 +77,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize matches a naive reference on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows: Seq[Event] = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_id", "ts div 1000000 as ms", "user_id",
+        "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+      .map(r => Event(r._1, new Timestamp(r._2), r._3, r._4, r._5))
+    val maxMs = rows.map(_.ts.getTime).max
+    // sentinel far past every user's timeout horizon: after the
+    // watermark passes it, EVERY real session must have been emitted
+    val sentinel = Event(-1L, new Timestamp(maxMs + 10L * 3600 * 1000),
+      -999L, "x", 0.0)
+    val mem = MemoryStream[Event]
+    mem.addData(rows: _*)
+    mem.addData(sentinel)
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sessreal").start()
+    try {
+      q.awaitTermination(180000)
+      val got = spark.table("sessreal").as[SessionUpdate].collect()
+        .filter(_.user_id != -999L)
+        .groupBy(_.user_id)
+        .map { case (u, ss) => u -> ((ss.length.toLong, ss.map(_.n_events).sum)) }
+      // naive reference: per user, sort by (ts, id), count gaps > 30 min
+      val expected = rows.groupBy(_.user_id).map { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        val nSess = 1L + sorted.sliding(2).count {
+          case Seq(a, b) => b.ts.getTime - a.ts.getTime > 1800000L
+          case _ => false
+        }
+        u -> ((nSess, es.length.toLong))
+      }
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates tumbling windows over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
