@@ -128,11 +128,18 @@ object Dedup {
     val wShingle = Window.partitionBy("blk", "s")
     val wDoc = Window.partitionBy("blk", "doc_id")
       .orderBy(col("df"), col("s"))
+    // Every floating-point bound below is biased by a tiny epsilon so
+    // FP rounding can only WEAKEN a filter, never strengthen it past
+    // the mathematical bound (e.g. 0.4*5 = 2.0000000000000004 would
+    // otherwise ceil to 3 where the true bound is 2 and drop
+    // qualifying pairs). A weaker filter admits extra candidates that
+    // exact verification removes; a stronger one loses output.
+    val eps = 1e-9
     val pref = inv
       .withColumn("df", count(lit(1)).over(wShingle))
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <=
-        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - eps) + lit(1))
       .select("doc_id", "blk", "s", "n_sh")
     // Self-join with two further LOSSLESS prunes (PPJoin-style):
     //  - length filter: J >= t forces t*na <= nb <= na/t;
@@ -149,15 +156,17 @@ object Dedup {
     val cand = pref.as("x").join(pref.as("y").hint("merge"),
         col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&
         col("x.doc_id") < col("y.doc_id") &&
-        col("y.n_sh") * lit(threshold) <= col("x.n_sh") &&
-        col("x.n_sh") * lit(threshold) <= col("y.n_sh"))
+        col("y.n_sh") * lit(threshold) <= col("x.n_sh") + eps &&
+        col("x.n_sh") * lit(threshold) <= col("y.n_sh") + eps)
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         col("x.n_sh").as("pna"), col("y.n_sh").as("pnb"))
       .agg(count(lit(1)).as("pc"))
+      // alpha term biased down, subtracted ceils biased up: the count
+      // bound only ever relaxes under FP error
       .filter(col("pc") >= greatest(lit(1L),
-        ceil(lit(tt) * (col("pna") + col("pnb")))
-          - greatest(ceil(lit(threshold) * col("pna")),
-            ceil(lit(threshold) * col("pnb"))) + lit(1)))
+        ceil(lit(tt) * (col("pna") + col("pnb")) - eps)
+          - greatest(ceil(lit(threshold) * col("pna") + eps),
+            ceil(lit(threshold) * col("pnb") + eps)) + lit(1)))
       .select("a_id", "b_id")
     cand
       .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha"),

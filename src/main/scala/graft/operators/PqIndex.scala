@@ -23,6 +23,24 @@ object PqIndex {
 
   case class Codebook(sub: Int, cid: Int, centroid: Seq[Double])
 
+  /** Seeded codebooks: sub-slices of the first `ksub` vectors by id —
+    * the derive-from-data construction the oracle-gated queries use so
+    * the DuckDB twins can reconstruct the identical codebooks in SQL.
+    * Single source of truth for v11/v13/ScaleProbe. */
+  def seededBook(vecs: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, m: Int, ksub: Int): Seq[Codebook] = {
+    val sub = dim / m
+    vecs.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("long"), toDoubleArray(col(vecCol)))
+      .collect()
+      .flatMap { r =>
+        val cid = r.getLong(0).toInt
+        val v = r.getSeq[Double](1)
+        (0 until m).map(j =>
+          Codebook(j, cid, v.slice(j * sub, (j + 1) * sub)))
+      }.toSeq
+  }
+
   /** Train per-subspace codebooks with deterministic Lloyd k-means.
     * dim must divide evenly into m subspaces. */
   def train(spark: SparkSession, vecs: DataFrame, idCol: String,

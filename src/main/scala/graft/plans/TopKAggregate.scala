@@ -19,7 +19,11 @@ final class TopKState(val k: Int) {
   val scores: Array[Double] = new Array[Double](k) // raw score
   val ids: Array[Long] = new Array[Long](k)
 
-  def insert(key: Double, score: Double, id: Long): Unit = {
+  def insert(key0: Double, score: Double, id: Long): Unit = {
+    // NaN (e.g. cosine of a zero-norm vector) sorts last instead of
+    // poisoning the comparisons below — every branch would evaluate
+    // false for NaN and the insert would write past the buffer.
+    val key = if (key0.isNaN) Double.PositiveInfinity else key0
     if (size == k &&
         (key > keys(size - 1) ||
           (key == keys(size - 1) && id >= ids(size - 1)))) return

@@ -28,8 +28,9 @@ object Oracles {
 
   /** LSH sign-bucket expression over a quantized list column: the SAME
     * seed-fixed quantized hyperplanes the Spark side uses
-    * (LshIndex.hyperplanes(64, 12, 42) → quantizePlanes), folded in as
-    * list literals. Exact integer dot products → identical sign bits. */
+    * (LshIndex.hyperplanes(64, 6, 42) → quantizePlanes — 6 planes,
+    * matching v10LshSearch's nPlanes), folded in as list literals.
+    * Exact integer dot products → identical sign bits. */
   private def lshBucket(v: String): String = {
     val planes = graft.operators.LshIndex.quantizePlanes(
       graft.operators.LshIndex.hyperplanes(dim = 64, nPlanes = 6,

@@ -118,15 +118,7 @@ object Queries {
     val g = e.select(col("vec_id").cast("long").as("id"),
       transform(quantize(col("embedding")), x => x.cast("double"))
         .as("qemb"))
-    val sub = dim / m
-    val book: Seq[PqIndex.Codebook] = g.filter(col("id") < ksub)
-      .collect()
-      .flatMap { r =>
-        val cid = r.getLong(0).toInt
-        val v = r.getSeq[Double](1)
-        (0 until m).map(j =>
-          PqIndex.Codebook(j, cid, v.slice(j * sub, (j + 1) * sub)))
-      }.toSeq
+    val book = PqIndex.seededBook(g, "id", "qemb", dim, m, ksub)
     val codes = PqIndex.encode(g, "id", "qemb", dim, m, book)
     val queries = g.filter(col("id") % 100 === 0)
     PqIndex.searchAdc(codes, queries, "id", "qemb", dim, m, book, k = 5)
@@ -147,15 +139,7 @@ object Queries {
     val g = e.select(col("vec_id").cast("long").as("id"),
       transform(quantize(col("embedding")), x => x.cast("double"))
         .as("qemb"))
-    val sub = dim / m
-    val book: Seq[PqIndex.Codebook] = g.filter(col("id") < ksub)
-      .collect()
-      .flatMap { r =>
-        val cid = r.getLong(0).toInt
-        val v = r.getSeq[Double](1)
-        (0 until m).map(j =>
-          PqIndex.Codebook(j, cid, v.slice(j * sub, (j + 1) * sub)))
-      }.toSeq
+    val book = PqIndex.seededBook(g, "id", "qemb", dim, m, ksub)
     val cents = g.filter(col("id") < 10)
       .select(col("id").as("cid"), col("qemb"))
     // index build: codes + coarse assignment (scale=1: already ints)

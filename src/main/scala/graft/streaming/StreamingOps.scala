@@ -20,7 +20,10 @@ object StreamingOps {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
-  case class SessionState(sessionCount: Long, lastTs: Long, events: Long)
+  case class SessionState(startTs: Long, lastTs: Long, events: Long)
+  /** `session_id` is the session's START epoch-millis — globally unique
+    * per user WITHOUT cross-session state, so a timeout can drop the
+    * user's state entirely (no leak) and ids never collide or reset. */
   case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long)
 
   /** Stream-static enrichment: attach a static dim (labels, categories,
@@ -46,10 +49,13 @@ object StreamingOps {
 
   /** Stream-stream interval join (streaming twin of the e4 range join):
     * each left event pairs with right events of the same key whose
-    * event time falls in [left.ts − delta, left.ts]. Both sides carry
-    * watermarks and the join condition time-bounds BOTH directions, so
-    * the engine can expire state — the requirement for an unbounded
-    * run. Column names: left (k, lts, lid), right (k, rts, rid). */
+    * event time falls in the half-open window [left.ts − delta,
+    * left.ts) — the SAME bound as `TemporalJoins.rangeJoinAgg`, so
+    * batch backfill and the stream agree on same-timestamp events.
+    * Both sides carry watermarks and the join condition time-bounds
+    * both directions, so the engine can expire state — the requirement
+    * for an unbounded run. Column contract: left (lk, lts, ...),
+    * right (rk, rts, ...). */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    deltaSeconds: Long,
                    watermarkDelay: String = "30 minutes"): DataFrame = {
@@ -57,7 +63,7 @@ object StreamingOps {
     val r = right.withWatermark("rts", watermarkDelay)
     l.join(r, col("lk") === col("rk") &&
       col("rts") >= col("lts") - expr(s"INTERVAL $deltaSeconds SECONDS") &&
-      col("rts") <= col("lts"))
+      col("rts") < col("lts"))
   }
 
   /** Tumbling 1-hour windowed counts per event type with a 30-min
@@ -87,7 +93,7 @@ object StreamingOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionUpdate(userId, s.sessionCount, s.events))
+            Iterator.single(SessionUpdate(userId, s.startTs, s.events))
           } else {
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
@@ -95,12 +101,12 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               if (s.lastTs == Long.MinValue) {
-                s = SessionState(1L, t, 1L)
+                s = SessionState(t, t, 1L)
               } else if (t - s.lastTs > gapSeconds * 1000) {
-                closed += SessionUpdate(userId, s.sessionCount, s.events)
-                s = SessionState(s.sessionCount + 1, t, 1L)
+                closed += SessionUpdate(userId, s.startTs, s.events)
+                s = SessionState(t, t, 1L)
               } else {
-                s = SessionState(s.sessionCount, t, s.events + 1)
+                s = SessionState(s.startTs, t, s.events + 1)
               }
             }
             state.update(s)

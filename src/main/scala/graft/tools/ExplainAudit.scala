@@ -38,7 +38,7 @@ object ExplainAudit {
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
         val cart = "CartesianProduct".r.findAllIn(plan).size
         val wsc = "codegen id".r.findAllIn(plan).size
-        val exch = "Exchange".r.findAllIn(plan).size
+        val exch = "(?<!Reused)Exchange".r.findAllIn(plan).size
         val reuse = "ReusedExchange".r.findAllIn(plan).size
         println(s"[audit] $name scans=$scans pushedFilterScans=$pushed " +
           s"bhj=$bhj smj=$smj bnlj=$bnlj cartesian=$cart " +

@@ -24,15 +24,8 @@ object ScaleProbe {
       .select(col("vec_id").cast("long").as("id"),
         transform(quantize(col("embedding")), x => x.cast("double"))
           .as("qemb"))
-    val m = 8; val dim = 64; val ksub = 16; val sub = dim / m
-    val book: Seq[PqIndex.Codebook] = base.filter(col("id") < ksub)
-      .collect()
-      .flatMap { r =>
-        val cid = r.getLong(0).toInt
-        val v = r.getSeq[Double](1)
-        (0 until m).map(j =>
-          PqIndex.Codebook(j, cid, v.slice(j * sub, (j + 1) * sub)))
-      }.toSeq
+    val m = 8; val dim = 64; val ksub = 16
+    val book = PqIndex.seededBook(base, "id", "qemb", dim, m, ksub)
     val cents = base.filter(col("id") < 10)
       .select(col("id").as("cid"), col("qemb"))
     val queries = base.filter(col("id") % 100 === 0)

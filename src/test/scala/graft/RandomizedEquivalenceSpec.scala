@@ -12,7 +12,10 @@ class RandomizedEquivalenceSpec extends SparkSpec {
 
   test("ngramJaccardPairs == naive all-pairs on random hot-vocab corpora") {
     val rnd = new scala.util.Random(7)
-    for (_ <- 1 to 4) {
+    // sweep thresholds whose FP products land exactly ON integers
+    // (0.2, 0.4) — the cases where a naive ceil() overshoots the
+    // mathematical pruning bound and would drop qualifying pairs
+    for (trial <- 1 to 4; threshold <- Seq(0.2, 0.3, 0.4)) {
       // tiny vocabulary → many shared (hot) shingles: stresses the
       // prefix/length/count pruning where it could lose pairs
       val vocab = Vector("a", "b", "c", "d", "e", "f")
@@ -23,7 +26,7 @@ class RandomizedEquivalenceSpec extends SparkSpec {
           s"s${rnd.nextInt(2)}")
       }
       val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text", "source"),
-          "doc_id", "text", "source", shingleN = 2, threshold = 0.3)
+          "doc_id", "text", "source", shingleN = 2, threshold = threshold)
         .select("a_id", "b_id", "jaccard")
         .as[(Long, Long, Double)].collect()
         .map(x => (x._1, x._2) -> x._3).toMap
@@ -39,11 +42,22 @@ class RandomizedEquivalenceSpec extends SparkSpec {
         sa = sh(a._2); sb = sh(b._2)
         inter = (sa & sb).size
         uni = sa.size + sb.size - inter
-        if uni > 0 && inter.toDouble / uni >= 0.3
+        if uni > 0 && inter.toDouble / uni >= threshold
       } yield (a._1, b._1) -> inter.toDouble / uni).toMap
-      assert(got.keySet === expected.keySet)
+      assert(got.keySet === expected.keySet,
+        s"trial=$trial threshold=$threshold")
       expected.foreach { case (p, j) => assert(got(p) === j) }
     }
+  }
+
+  test("TopK.perGroup survives NaN scores (zero-norm cosine) ranking them last") {
+    val rows = Seq(
+      (1L, 10L, 2.0), (1L, 11L, Double.NaN), (1L, 12L, 1.0),
+      (1L, 13L, Double.NaN), (1L, 14L, 3.0))
+    val r = TopK.perGroup(rows.toDF("g", "id", "score"),
+        "g", "id", "score", k = 4, ascending = true)
+      .select("rnk", "id").as[(Long, Long)].collect().toSet
+    assert(r === Set((1L, 12L), (2L, 10L), (3L, 14L), (4L, 11L)))
   }
 
   test("TopK.perGroup == global sort-take-k on random scores with ties") {

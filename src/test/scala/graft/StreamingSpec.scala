@@ -153,10 +153,13 @@ class StreamingSpec extends SparkSpec {
     try {
       q.awaitTermination(120000)
       val closed = spark.table("sess").as[SessionUpdate].collect().toSet
-      // session 1 (2 events) closed by the in-batch gap; session 2
-      // (1 event) closed by the watermark-driven timeout. User 8's
-      // session stays open (watermark never passes its timeout).
-      assert(closed === Set(SessionUpdate(7, 1, 2), SessionUpdate(7, 2, 1)))
+      // session ids are session-START epoch millis. Session 1 (2
+      // events) closed by the in-batch gap; session 2 (1 event) closed
+      // by the watermark-driven timeout. User 8's session stays open
+      // (watermark never passes its timeout).
+      assert(closed === Set(
+        SessionUpdate(7, ts(0).getTime, 2),
+        SessionUpdate(7, ts(130).getTime, 1)))
     } finally q.stop()
   }
 }
