@@ -42,6 +42,7 @@ object SparkEntry {
     "t3_token_count" -> (Queries.t3TokenCount _),
     "t4_fingerprint" -> (Queries.t4Fingerprint _),
     "t5_top_terms" -> (Queries.t5TopTerms _),
+    "t6_winnowing" -> (Queries.t6Winnowing _),
     // multimodal
     "m1_binary_meta" -> (Queries.m1BinaryMeta _),
     "m2_decode_features" -> (Queries.m2DecodeFeatures _),

@@ -113,4 +113,26 @@ object TextFunctions {
   /** Winnowing-style fingerprint: min md5 over 3-gram shingles. */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** Positional n-gram shingle hashes (NOT deduped — winnowing is
+    * positional). Empty when the doc has fewer than n tokens. */
+  def positionalShingleHashes(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => md5(array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Full winnowing (MOSS): the distinct minima of every w-wide sliding
+    * window over a positional hash array. Guarantees any shared run of
+    * >= w+n-1 tokens between two docs shares a fingerprint — the
+    * local-min property t4's single global min lacks. Project the hash
+    * array as its OWN column first (`positionalShingleHashes`): inlining
+    * it here would re-evaluate the whole array once per window. */
+  def windowMins(hashes: Column, w: Int = 4): Column =
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w))))))
+      .otherwise(array().cast("array<string>"))
 }

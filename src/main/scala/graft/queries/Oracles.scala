@@ -341,6 +341,24 @@ r AS (SELECT source, token, n,
       FROM c)
 SELECT source, token, n, rnk FROM r WHERE rnk <= 5""",
 
+    "t6_winnowing" -> """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS toks
+           FROM documents),
+h AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(len(toks) - 2),
+                         i -> md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                  ELSE CAST([] AS VARCHAR[]) END AS hs
+      FROM d),
+w AS (SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_distinct(list_transform(range(len(hs) - 3),
+                         i -> list_min(hs[i+1:i+4])))
+                  ELSE CAST([] AS VARCHAR[]) END AS fps
+      FROM h)
+SELECT doc_id, unnest(fps) AS fp FROM w""",
+
     "q6_forecast_revenue" -> s"""
 SELECT ${moneySum("l_extendedprice * l_discount", 10000)} / 10000.0 AS revenue
 FROM lineitem

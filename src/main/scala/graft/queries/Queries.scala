@@ -256,6 +256,15 @@ object Queries {
       .filter(col("rnk") <= 5)
   }
 
+  /** MOSS-style winnowing fingerprints, long format (doc_id, fp): the
+    * plagiarism/attribution primitive — any shared >= 6-token run
+    * between docs shares a fingerprint row. */
+  def t6Winnowing(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        positionalShingleHashes(col("text"), n = 3).as("hs"))
+      .select(col("doc_id"), explode(windowMins(col("hs"), w = 4)).as("fp"))
+
   // ---------- multimodal ----------
 
   def m1BinaryMeta(s: SparkSession, d: String): DataFrame =

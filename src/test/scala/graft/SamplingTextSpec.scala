@@ -62,6 +62,27 @@ class SamplingTextSpec extends SparkSpec {
     assert(r === ((4, 5, 3)))                    // "spark-sql" → spark,sql; "rocks" ×2
   }
 
+  test("winnowing: docs sharing a >= w+n-1 token run share a fingerprint") {
+    // n=3, w=4 → any shared 6-token run guarantees a common local-min
+    val shared = "one two three four five six"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zz yy xx $shared ww"),
+      (3L, "totally different words with no overlap at all here")
+    ).toDF("id", "t")
+    val fps = docs
+      .select($"id", positionalShingleHashes($"t", 3).as("hs"))
+      .select($"id", windowMins($"hs", 4).as("fp"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    // too short for any full window → empty fingerprint set
+    val short = Seq((9L, "a b c d")).toDF("id", "t")
+      .select(windowMins(positionalShingleHashes($"t", 3), 4))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
   test("simhash64 emits 64-char bitstring; fingerprint stable") {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "t")
     val s = df.select(simhash64($"t")).as[String].head()
