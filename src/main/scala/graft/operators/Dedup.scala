@@ -93,6 +93,48 @@ object Dedup {
     docs.select(col(idCol).cast("long").as("doc_id"),
       simhash64(col(textCol)).as("simhash"))
 
+  /** SimHash near-duplicate PAIRS: Hamming-banded blocking over the
+    * 64-bit fingerprints from [[simhash]], exact Hamming verification.
+    *
+    * `bands` bands of 64/bands bits each: a pair at Hamming distance
+    * <= maxHamming differs in at most maxHamming bands, so with
+    * bands > maxHamming the pigeonhole principle guarantees at least
+    * one band matches exactly — the band-bucket self-join is
+    * candidate-complete (no recall loss, unlike probabilistic MinHash
+    * banding). Default 4×16 bits covers maxHamming = 3.
+    *
+    * The fingerprint (64 bytes) is cheap enough to ride through the
+    * band shuffle, so verification needs NO re-join against the corpus
+    * — one banded subplan, computed once (`merge` hint → exchange
+    * reuse), one dropDuplicates, then a codegen'd 64-char compare. */
+  def simhashDup(docs: DataFrame, idCol: String, textCol: String,
+                 bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands > maxHamming, "need bands > maxHamming for completeness")
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    // fingerprint projected as its own column BEFORE the band explode:
+    // inlining simhash64 into the posexplode would re-evaluate the
+    // whole md5-vote kernel once per band.
+    val banded = simhash(docs, idCol, textCol)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until bands).map(b =>
+          substring(col("simhash"), b * width + 1, width)): _*))
+          .as(Seq("band_idx", "band_bits")))
+    val ham = aggregate(sequence(lit(0), lit(63)), lit(0),
+      (acc, i) => acc + when(col("fa").substr(i + 1, lit(1)) ===
+        col("fb").substr(i + 1, lit(1)), 0).otherwise(1))
+    banded.as("x").join(banded.as("y").hint("merge"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_bits") === col("y.band_bits") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("fa"), col("y.simhash").as("fb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** n-gram Jaccard similarity pairs via a PREFIX-FILTERED inverted-index
     * join (never a cross join, never an uncapped hot-shingle bucket).
     *

@@ -26,6 +26,26 @@ object Oracles {
 
   private val stopList = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on')"
 
+  /** CTE chain producing `f(doc_id BIGINT, simhash VARCHAR(64))` — the
+    * naive SimHash fingerprint shared by d3 (fingerprints) and d6
+    * (near-dup pairs). Votes via ascii() arithmetic on md5 hex chars,
+    * identical to TextFunctions.simhash64. */
+  private val simhashFpCtes: String = """
+d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS t FROM d),
+h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tk),
+hj AS (SELECT doc_id, hx, unnest(range(64)) AS j FROM h),
+bits AS (SELECT doc_id, j,
+                substr(hx, CAST(j // 4 AS INT) + 1, 1) AS c,
+                [8,4,2,1][CAST(j % 4 AS INT) + 1] AS p
+         FROM hj),
+votes AS (SELECT doc_id, j,
+                 sum((((CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 ELSE ascii(c) - 48 END) // p) % 2) * 2 - 1) AS v
+          FROM bits GROUP BY doc_id, j),
+f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      FROM votes GROUP BY doc_id)"""
+
   /** LSH sign-bucket expression over a quantized list column: the SAME
     * seed-fixed quantized hyperplanes the Spark side uses
     * (LshIndex.hyperplanes(64, 6, 42) → quantizePlanes — 6 planes,
@@ -260,21 +280,19 @@ v AS (SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
 SELECT a_id, b_id, inter, uni, inter / uni AS jaccard
 FROM v WHERE inter / uni >= 0.5""",
 
-    "d3_simhash" -> """
-WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-tk AS (SELECT doc_id, unnest(toks) AS t FROM d),
-h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tk),
-hj AS (SELECT doc_id, hx, unnest(range(64)) AS j FROM h),
-bits AS (SELECT doc_id, j,
-                substr(hx, CAST(j // 4 AS INT) + 1, 1) AS c,
-                [8,4,2,1][CAST(j % 4 AS INT) + 1] AS p
-         FROM hj),
-votes AS (SELECT doc_id, j,
-                 sum((((CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 ELSE ascii(c) - 48 END) // p) % 2) * 2 - 1) AS v
-          FROM bits GROUP BY doc_id, j)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-FROM votes GROUP BY doc_id""",
+    "d3_simhash" -> s"""
+WITH $simhashFpCtes
+SELECT doc_id, simhash FROM f""",
+
+    "d6_simhash_dup" -> s"""
+WITH $simhashFpCtes,
+p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+             CAST(list_sum(list_transform(range(64), i ->
+               CASE WHEN substr(x.simhash, CAST(i AS INT) + 1, 1)
+                         = substr(y.simhash, CAST(i AS INT) + 1, 1)
+                    THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+      FROM f x JOIN f y ON x.doc_id < y.doc_id)
+SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""",
 
     "d4_ngram_jaccard" -> s"""
 WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),

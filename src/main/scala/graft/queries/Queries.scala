@@ -212,6 +212,12 @@ object Queries {
     Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", "source",
       shingleN = 2, threshold = 0.3)
 
+  /** SimHash near-dup join — the dedup step d3's fingerprints feed:
+    * Hamming-banded candidate generation (pigeonhole-complete for
+    * distance <= 3) + exact Hamming verification. */
+  def d6SimhashDup(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashDup(docs(s, d), "doc_id", "text")
+
   def d5EmbeddingDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label",
       threshold = 0.35)

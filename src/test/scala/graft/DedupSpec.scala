@@ -51,6 +51,22 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) !== r(4L))
   }
 
+  test("simhash dup join: exact dups at distance 0, banding is complete") {
+    val r = Dedup.simhashDup(docs, "doc_id", "text")
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect()
+    val m = r.map(x => (x._1, x._2) -> x._3).toMap
+    assert(m((1L, 2L)) === 0L)                   // identical text
+    // near-dup (1,3) differs by one token; assert parity with the
+    // naive all-pairs ground truth computed from the fingerprints
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val naive = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = fa.zip(fb).count { case (x, y) => x != y } if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(m === naive)
+  }
+
   test("ngram jaccard pairs respect blocking and threshold") {
     val r = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
       shingleN = 2, threshold = 0.3)
