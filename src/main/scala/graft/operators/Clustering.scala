@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph clustering over near-duplicate pair sets — the step a dedup
+  * pipeline runs after pair generation: group pairwise-similar docs into
+  * components and keep one representative per component. (The reference
+  * pipeline stops at pairwise hits; this is the standard production
+  * follow-on, e.g. the MinHash-cluster stage of web-scale dedup.)
+  */
+object Clustering {
+
+  /** Connected components: assign every node the MINIMUM node id
+    * reachable in the undirected pair graph.
+    *
+    * Iterative min-label propagation on DataFrames:
+    * `label(v) <- min(label(v), min over neighbors u of label(u))`
+    * until fixpoint — O(diameter) rounds, each round one hash-shuffle
+    * keyed on node id (join + map-side-combined min aggregate). Dedup
+    * graphs are unions of near-cliques, so 2-3 rounds in practice.
+    *
+    * `localCheckpoint` truncates the growing plan lineage each round
+    * (on a real cluster: `checkpoint()` to reliable storage, same
+    * call shape). Convergence is detected by a changed-label count on
+    * the checkpointed (small, fixed-width) label frame — the only
+    * driver-side values are per-round counters, never data rows.
+    *
+    * Returns (id, cluster_id) for every input node; singletons keep
+    * their own id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          nodes: DataFrame, idCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint() // pair generation runs ONCE, not once per round
+    var labels = nodes
+      .select(col(idCol).cast("long").as("id"),
+        col(idCol).cast("long").as("cluster_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min("cluster_id").as("nb_min"))
+      val next = labels.join(nbMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("cluster_id").as("old_cid")), "id")
+        .filter(col("cluster_id") =!= col("old_cid"))
+        .count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+}

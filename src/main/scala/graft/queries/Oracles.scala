@@ -294,6 +294,26 @@ p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
       FROM f x JOIN f y ON x.doc_id < y.doc_id)
 SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""",
 
+    "d7_dup_clusters" -> s"""
+WITH RECURSIVE $simhashFpCtes,
+p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM f x JOIN f y ON x.doc_id < y.doc_id
+      WHERE CAST(list_sum(list_transform(range(64), i ->
+              CASE WHEN substr(x.simhash, CAST(i AS INT) + 1, 1)
+                        = substr(y.simhash, CAST(i AS INT) + 1, 1)
+                   THEN 0 ELSE 1 END)) AS BIGINT) <= 3),
+ed AS (SELECT a_id AS src, b_id AS dst FROM p
+       UNION ALL SELECT b_id, a_id FROM p),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM f
+  UNION
+  SELECT ed.dst, reach.root FROM reach JOIN ed ON ed.src = reach.id),
+res AS (SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM res""",
+
     "d4_ngram_jaccard" -> s"""
 WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id, source, ${shingleSql("toks", 2)} AS sh FROM d),

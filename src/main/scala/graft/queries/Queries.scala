@@ -218,6 +218,20 @@ object Queries {
   def d6SimhashDup(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDup(docs(s, d), "doc_id", "text")
 
+  /** Near-dup CLUSTERS: connected components over the d6 pair graph,
+    * cluster id = min doc_id in the component, plus member count. The
+    * keep-one-per-cluster dedup decision reads straight off this
+    * (keep doc_id == cluster_id). */
+  def d7DupClusters(s: SparkSession, d: String): DataFrame = {
+    val labels = Clustering.connectedComponents(
+      d6SimhashDup(s, d), "a_id", "b_id",
+      docs(s, d).select(col("doc_id")), "doc_id")
+    labels
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("n_members"))
+  }
+
   def d5EmbeddingDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label",
       threshold = 0.35)
