@@ -61,7 +61,8 @@ object SparkEntry {
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),
     "e3_asof_join" -> (Queries.e3AsofJoin _),
-    "e4_range_join" -> (Queries.e4RangeJoin _))
+    "e4_range_join" -> (Queries.e4RangeJoin _),
+    "e5_funnel" -> (Queries.e5Funnel _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -51,6 +51,43 @@ object TemporalJoins {
         col("q.qt").as("asof_ts"), col("q.qi").as("asof_id"))
   }
 
+  /** Ordered N-step funnel: for each key, the earliest `steps(0)` event,
+    * then the earliest `steps(1)` event at-or-after it, and so on; depth
+    * = number of stages reached. Keys never reaching step 0 are dropped;
+    * later missing stages surface as -1 sentinels.
+    *
+    * Every stage is a min-aggregate + equi-join keyed on `keyCol` — the
+    * SAME partitioning end to end, so a cluster run re-shuffles nothing
+    * after the first stage (and never widens: stage frames shrink
+    * monotonically). Output: (keyCol, t_<step>..., depth). */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = events.select(col(keyCol).as("k"),
+      col(tsCol).cast("long").as("t"), col(typeCol).as("ty"))
+    val stage0 = ev.filter(col("ty") === steps.head)
+      .groupBy("k").agg(min("t").as(s"t_${steps.head}"))
+    // each later stage joins the previous one and keeps only events
+    // at-or-after the previous stage's time
+    val stages = steps.zipWithIndex.tail.scanLeft(stage0) {
+      case (prev, (step, i)) =>
+        ev.filter(col("ty") === step)
+          .join(prev.select(col("k"), col(s"t_${steps(i - 1)}")), Seq("k"))
+          .filter(col("t") >= col(s"t_${steps(i - 1)}"))
+          .groupBy("k").agg(min("t").as(s"t_$step"))
+    }
+    val joined = stages.tail.foldLeft(stage0) { (acc, st) =>
+      acc.join(st.select(st.columns.head, st.columns.last), Seq("k"), "left")
+    }
+    val depth = steps.tail.foldLeft(lit(1L)) { (acc, step) =>
+      acc + when(col(s"t_$step").isNotNull, 1L).otherwise(0L)
+    }
+    joined.select(
+      Seq(col("k").as(keyCol), col(s"t_${steps.head}")) ++
+        steps.tail.map(s => coalesce(col(s"t_$s"), lit(-1L)).as(s"t_$s")) ++
+        Seq(depth.as("depth")): _*)
+  }
+
   /** Per probe row, the count of quote rows in the half-open window
     * [probe.ts - delta, probe.ts), per key. Probes with zero quotes in
     * range are dropped (inner semantics — keeps the output null-free).

@@ -533,6 +533,26 @@ FROM p JOIN v ON v.user_id = p.user_id
   AND v.us >= p.us - 3600000000 AND v.us < p.us
 GROUP BY 1, 2, 3""",
 
+    "e5_funnel" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us,
+                  event_type
+           FROM events),
+v AS (SELECT user_id, min(us) AS t_view FROM x
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT x.user_id AS user_id, min(us) AS t_click
+      FROM x JOIN v ON v.user_id = x.user_id
+      WHERE event_type = 'click' AND us >= t_view GROUP BY 1),
+p AS (SELECT x.user_id AS user_id, min(us) AS t_purchase
+      FROM x JOIN c ON c.user_id = x.user_id
+      WHERE event_type = 'purchase' AND us >= t_click GROUP BY 1)
+SELECT v.user_id, v.t_view,
+       coalesce(c.t_click, -1) AS t_click,
+       coalesce(p.t_purchase, -1) AS t_purchase,
+       CAST(1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id""",
+
     "e2_sessionize" -> """
 WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
 l AS (SELECT user_id, us,

@@ -485,6 +485,17 @@ object Queries {
       "user_id", "us", "event_id", delta = 3600000000L)
   }
 
+  /** Ordered funnel view → click → purchase: per user, the earliest
+    * view, the earliest click AT-OR-AFTER that view, and the earliest
+    * purchase at-or-after that click; depth = stages reached. Every
+    * stage is a min-aggregate + join keyed on user_id — one partitioning
+    * reused across all three stages (co-partitioned joins, no
+    * re-shuffle), which is the 100 TB funnel shape. Missing stages
+    * surface as -1 sentinels (hash-comparable, no NULL ordering). */
+  def e5Funnel(s: SparkSession, d: String): DataFrame =
+    TemporalJoins.funnel(eventsUs(s, d), "user_id", "us", "event_type",
+      Seq("view", "click", "purchase"))
+
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))

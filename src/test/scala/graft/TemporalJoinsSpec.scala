@@ -36,6 +36,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("funnel: ordered steps, partial depths, -1 sentinels") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: click BEFORE first view doesn't count; no click after
+      (2L, 5L, "click"), (2L, 10L, "view"), (2L, 40L, "purchase"),
+      // user 3: view + click, no purchase; earliest valid click at 25
+      (3L, 10L, "view"), (3L, 25L, "click"), (3L, 26L, "click"),
+      // user 4: never views → dropped
+      (4L, 10L, "click"), (4L, 20L, "purchase"),
+      // user 5: purchase BETWEEN view and click doesn't count
+      (5L, 10L, "view"), (5L, 15L, "purchase"), (5L, 20L, "click")
+    ).toDF("u", "t", "ty")
+    val r = TemporalJoins.funnel(ev, "u", "t", "ty",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    assert(r === Map(
+      1L -> ((10L, 20L, 30L, 3L)),
+      2L -> ((10L, -1L, -1L, 1L)),
+      3L -> ((10L, 25L, -1L, 2L)),
+      5L -> ((10L, 20L, -1L, 2L))))
+  }
+
   test("rangeJoinAgg equals the naive inequality join on events data") {
     val ev = graft.sources.Tables.events(spark, sf).select(
       col("user_id").cast("long").as("user_id"),
