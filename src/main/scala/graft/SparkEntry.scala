@@ -30,6 +30,7 @@ object SparkEntry {
     "v11_pq_adc" -> (Queries.v11PqAdc _),
     "v12_knn_category" -> (Queries.v12KnnCategory _),
     "v13_ivfpq_search" -> (Queries.v13IvfPqSearch _),
+    "v14_class_centroid" -> (Queries.v14ClassCentroid _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.quantize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-class centroid (mean-embedding) operators: the
+  * nearest-class-mean classifier — the label-assignment twin of the
+  * reference's KNN majority vote, and the standard cheap baseline over
+  * any labeled embedding table.
+  *
+  * Exactness: the mean is never materialized as a float. With
+  * per-class count n and element-wise SUM vector s,
+  * `||q - s/n||^2 == A / n^2` where `A = sum_i (n*q_i - s_i)^2` is an
+  * exact Long (bound: dim * (2 * n * scale * max|x|)^2 — stays under
+  * 2^53 for the test tables; revisit scale when n*max|q| nears 6e6).
+  * The only floats are `sqrt(A) / (n*scale)` — correctly-rounded IEEE
+  * ops on exact ints, bit-identical across engines.
+  */
+object Centroids {
+
+  /** Per-class (n, element-wise sum) of a quantized vector column —
+    * one explode + two map-side-combined aggregates on (label, dim)
+    * keys; output is nClasses rows. */
+  def classSums(vecs: DataFrame, labCol: String, qvCol: String): DataFrame = {
+    val n = vecs.groupBy(col(labCol).as("lab")).agg(count(lit(1)).as("n"))
+    val s = vecs
+      .select(col(labCol).as("lab"), posexplode(col(qvCol)).as(Seq("i", "x")))
+      .groupBy("lab", "i").agg(sum("x").as("sx"))
+      .groupBy("lab")
+      .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("pairs"))
+      .select(col("lab"),
+        transform(col("pairs"), p => p.getField("sx")).as("svec"))
+    n.join(s, "lab")
+  }
+
+  /** Assign each query vector its nearest class mean.
+    * Class sums are nClasses rows by definition → broadcast; the
+    * gallery streams map-only through the distance compute, and the
+    * only post-scan shuffle is the per-query top-1 window on Q*nClasses
+    * rows. Output: (query_id, label_id, pred_label, dist, correct). */
+  def nearestClassMean(vecs: DataFrame, idCol: String, labCol: String,
+                       vecCol: String, queries: DataFrame,
+                       scale: Int = 10000): DataFrame = {
+    val g = vecs.select(col(labCol).cast("long").as("lab"),
+      quantize(col(vecCol), scale).as("qv"))
+    val cs = classSums(g, "lab", "qv")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labCol).cast("long").as("label_id"),
+      quantize(col(vecCol), scale).as("qv"))
+    val a = aggregate(
+      zip_with(col("qv"), col("svec"),
+        (qi, si) => (col("n") * qi - si) * (col("n") * qi - si)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("lab"))
+    q.crossJoin(broadcast(cs))
+      .withColumn("dist", sqrt(a) / (col("n") * scale).cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label_id"),
+        col("lab").as("pred_label"), col("dist"),
+        when(col("lab") === col("label_id"), 1L).otherwise(0L).as("correct"))
+  }
+}

@@ -248,6 +248,29 @@ SELECT h.query_id, h.rnk, h.neighbor_id,
        'cat_' || CAST(CAST(em.label AS BIGINT) AS VARCHAR) AS category
 FROM hits h JOIN embeddings em ON em.vec_id = h.neighbor_id""",
 
+    "v14_class_centroid" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS lab,
+                  ${qv("embedding")} AS v
+           FROM embeddings),
+cnt AS (SELECT lab, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+csum AS (SELECT lab, i, CAST(sum(v[CAST(i AS INT) + 1]) AS BIGINT) AS s
+         FROM g CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+q AS (SELECT id AS query_id, lab AS true_lab, v AS qvec FROM g
+      WHERE id % 100 = 0),
+d AS (SELECT q.query_id, q.true_lab, c.lab, cnt.n,
+             CAST(sum((cnt.n * q.qvec[CAST(c.i AS INT) + 1] - c.s)
+                    * (cnt.n * q.qvec[CAST(c.i AS INT) + 1] - c.s)) AS BIGINT) AS a
+      FROM q CROSS JOIN csum c JOIN cnt ON cnt.lab = c.lab
+      GROUP BY 1, 2, 3, 4),
+r AS (SELECT query_id, true_lab, lab,
+             sqrt(a) / CAST(n * 10000 AS DOUBLE) AS dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sqrt(a) / CAST(n * 10000 AS DOUBLE), lab) AS rn
+      FROM d)
+SELECT query_id, true_lab AS label_id, lab AS pred_label, dist,
+       CAST(CASE WHEN lab = true_lab THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM r WHERE rn = 1""",
+
     "v9_train_val_split" -> """
 SELECT CAST(label AS BIGINT) AS label_id,
        CASE WHEN (CAST(vec_id AS BIGINT) * 2654435761) % 2147483647 % 5 = 0

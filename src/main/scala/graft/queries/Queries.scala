@@ -192,6 +192,16 @@ object Queries {
     p.toString
   }
 
+  /** Nearest-class-mean classifier: per-label mean embedding (exact —
+    * the mean is carried as (sum vector, count) and distances compare
+    * via the n^2-scaled integer form), each query assigned its nearest
+    * centroid. The label-assignment twin of the reference's KNN vote. */
+  def v14ClassCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Centroids.nearestClassMean(e, "vec_id", "label", "embedding",
+      queryVecs(e))
+  }
+
   def v9TrainValSplit(s: SparkSession, d: String): DataFrame =
     Sampling.hashSplit(emb(s, d), "vec_id")
       .groupBy(col("label").cast("long").as("label_id"), col("split"))
