@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 /** SparkSessionExtensions registration for graft's native expressions —
   * lets SQL users call the fused kernels directly:
@@ -11,6 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * SparkSession.builder().withExtensions(new GraftExtensions)...
   * spark.sql("SELECT graft_l2sq(qa, qb) FROM pairs")
   * }}}
+  *
+  * Registered surface:
+  *  - `graft_l2sq(a, b)` — exact integer squared L2 of two long arrays
+  *  - `graft_dot(a, b)` — exact integer dot product
+  *  - `graft_minhash(shingles, k)` — k-element MinHash signature
+  *    (k a literal int)
+  *  - `graft_topk(id, score, k, ascending)` — bounded top-k aggregate,
+  *    array<struct<id,score>> in rank order (k, ascending literals)
   *
   * For an already-running session use `GraftExtensions.register(spark)`.
   */
@@ -23,13 +32,36 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal INT, got $other")
+  }
+
+  private def litBool(e: Expression, fn: String, arg: String): Boolean =
+    e match {
+      case Literal(v: Boolean, BooleanType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal BOOLEAN, got $other")
+    }
+
   val functions: Seq[FunctionDescription] = Seq(
     (new FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[IntVectorL2Sq].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) => IntVectorL2Sq(exprs(0), exprs(1))),
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[IntVectorDot].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => IntVectorDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => IntVectorDot(exprs(0), exprs(1))),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignatureExpr].getName,
+        "graft_minhash"),
+      (exprs: Seq[Expression]) => MinhashSignatureExpr(exprs(0),
+        litInt(exprs(1), "graft_minhash", "k"))),
+    (new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => TopKAggregate(exprs(0), exprs(1),
+        litInt(exprs(2), "graft_topk", "k"),
+        litBool(exprs(3), "graft_topk", "ascending"))))
 
   /** Register the graft functions into a live session's registry. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.VectorFunctions.quantize
+import graft.operators.KnnJoin
+import graft.plans.GraftExtensions
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The full KNN pipeline expressed in PURE SQL against the registered
+  * graft functions — proves a SQL-only user gets the same plan pieces
+  * (native distance kernel + bounded top-k aggregate) as the Column
+  * API, with identical results. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pure-SQL KNN via graft_topk + graft_l2sq matches KnnJoin") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long").as("id"),
+        quantize($"embedding").as("qv"))
+      .createOrReplaceTempView("emb_q")
+    val sqlRes = spark.sql("""
+      SELECT query_id, posexplode(hits) AS (pos, hit)
+      FROM (SELECT q.id AS query_id,
+                   graft_topk(g.id, CAST(graft_l2sq(g.qv, q.qv) AS DOUBLE),
+                              5, true) AS hits
+            FROM emb_q g CROSS JOIN (SELECT * FROM emb_q
+                                     WHERE id % 100 = 0) q
+            GROUP BY q.id)""")
+      .select($"query_id", ($"pos" + 1).cast("long").as("rnk"),
+        $"hit.id".as("neighbor_id"),
+        (sqrt($"hit.score") / 10000.0).as("dist"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val e = Tables.embeddings(spark, sf)
+    val apiRes = KnnJoin.knnL2(e, e.filter($"vec_id" % 100 === 0),
+        "vec_id", "embedding", "vec_id", k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(sqlRes === apiRes)
+  }
+
+  test("graft_minhash from SQL matches the Column API kernel") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d'), 4) AS sig").collect()
+      .head.getSeq[String](0)
+    val api = Seq(Seq("a b c", "b c d")).toDF("sh")
+      .select(graft.plans.TextExpressions.minhashSignature($"sh", 4))
+      .collect().head.getSeq[String](0)
+    assert(r === api)
+    assert(r.length === 4)
+  }
+
+  test("graft_topk rejects non-literal k with a clear error") {
+    GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_topk(id, CAST(id AS DOUBLE), CAST(id AS INT), true) " +
+        "FROM range(3)").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+}
