@@ -46,6 +46,7 @@ object SparkEntry {
     "t4_fingerprint" -> (Queries.t4Fingerprint _),
     "t5_top_terms" -> (Queries.t5TopTerms _),
     "t6_winnowing" -> (Queries.t6Winnowing _),
+    "t7_length_quantiles" -> (Queries.t7LengthQuantiles _),
     // multimodal
     "m1_binary_meta" -> (Queries.m1BinaryMeta _),
     "m2_decode_features" -> (Queries.m2DecodeFeatures _),
@@ -63,7 +64,8 @@ object SparkEntry {
     "e2_sessionize" -> (Queries.e2Sessionize _),
     "e3_asof_join" -> (Queries.e3AsofJoin _),
     "e4_range_join" -> (Queries.e4RangeJoin _),
-    "e5_funnel" -> (Queries.e5Funnel _))
+    "e5_funnel" -> (Queries.e5Funnel _),
+    "e6_retention" -> (Queries.e6Retention _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -420,6 +420,31 @@ w AS (SELECT doc_id,
       FROM h)
 SELECT doc_id, unnest(fps) AS fp FROM w""",
 
+    "t7_length_quantiles" -> """
+WITH d AS (SELECT source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+rk AS (SELECT source, n_tok,
+              row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+              count(*) OVER (PARTITION BY source) AS n
+       FROM d)
+SELECT source,
+       max(CASE WHEN rn = (n + 1) // 2 THEN n_tok END) AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tok END) AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_tok END) AS p99
+FROM rk GROUP BY 1""",
+
+    "e6_retention" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  epoch_us(ts) // 604800000000 AS wk
+           FROM events),
+c AS (SELECT user_id, min(wk) AS cohort_wk FROM x GROUP BY 1),
+a AS (SELECT DISTINCT x.user_id, c.cohort_wk,
+             x.wk - c.cohort_wk AS week_offset
+      FROM x JOIN c ON c.user_id = x.user_id)
+SELECT cohort_wk, week_offset, count(*) AS n_users
+FROM a GROUP BY 1, 2""",
+
     "q6_forecast_revenue" -> s"""
 SELECT ${moneySum("l_extendedprice * l_discount", 10000)} / 10000.0 AS revenue
 FROM lineitem

@@ -286,6 +286,29 @@ object Queries {
       .filter(col("rnk") <= 5)
   }
 
+  /** Exact per-source token-count quantiles (p50/p90/p99) by positional
+    * selection: value at rank ceil(q*n) in the per-source sort order.
+    * Rank positions are EXACT INTEGER arithmetic — ceil(0.9*n) computed
+    * as (9n+9) div 10, never a float ceil (0.9*10 = 9.0000000000000002
+    * would ceil to 10). Exact order statistics inherently cost one
+    * per-group sort (the window shuffle); the approximate scale path is
+    * a mergeable sketch ([[graft.operators.Sketches]]). Ties on the
+    * value don't matter: the value at a fixed position in the sorted
+    * multiset is unique even when row numbers among ties are not. */
+  def t7LengthQuantiles(s: SparkSession, d: String): DataFrame = {
+    val wSort = Window.partitionBy("source").orderBy("n_tok")
+    val wAll = Window.partitionBy("source")
+    docs(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("rn", row_number().over(wSort).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .groupBy("source")
+      .agg(
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_tok"))).as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_tok"))).as("p90"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_tok"))).as("p99"))
+  }
+
   /** MOSS-style winnowing fingerprints, long format (doc_id, fp): the
     * plagiarism/attribution primitive — any shared >= 6-token run
     * between docs shares a fingerprint row. */
@@ -505,6 +528,24 @@ object Queries {
   def e5Funnel(s: SparkSession, d: String): DataFrame =
     TemporalJoins.funnel(eventsUs(s, d), "user_id", "us", "event_type",
       Seq("view", "click", "purchase"))
+
+  /** Weekly cohort retention: cohort = week of the user's first event;
+    * for each (cohort_week, week_offset) the count of users active
+    * offset weeks later. All week math is integer division on exact
+    * microseconds. Three shuffles, all keyed on user_id (first-event
+    * min, self-join, per-user-week distinct) — co-partitioned end to
+    * end; the final (cohort, offset) aggregate is cohorts×weeks rows. */
+  def e6Retention(s: SparkSession, d: String): DataFrame = {
+    val x = eventsUs(s, d)
+      .select(col("user_id"), expr("us div 604800000000").as("wk"))
+    val cohort = x.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    x.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
