@@ -17,7 +17,11 @@ object Bench {
     // one-shot JVM warmup (C2 needs thousands of invocations to kick in
     // on the wide codegen'd methods).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    for (dir <- Seq(warmDir, sfDir); (_, fn) <- SparkEntry.queries)
+    // Optional subset filter for iteration (same contract as Verify).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    for (dir <- Seq(warmDir, sfDir); (_, fn) <- selected)
       try fn(spark, dir).count() catch { case _: Throwable => () }
     // Median-of-N per query (default 3): a single-shot number is hostage
     // to host noise / GC / JIT recompiles; the median is the recorded
@@ -25,7 +29,7 @@ object Bench {
     // then repeat) so one multi-minute noisy host window cannot poison
     // all of a single query's samples.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = selected.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to rounds; (name, fn) <- ordered) {
