@@ -65,21 +65,31 @@ object TextFunctions {
 
   /** 64-bit SimHash of the distinct-token set, as a 64-char '0'/'1'
     * string (string form keeps it exact + portable; no sign issues).
-    * Bit j votes +1/-1 per token according to bit j of md5(token). */
+    * Bit j votes +1/-1 per token according to bit j of md5(token).
+    *
+    * Shape matters: ONE `aggregate` over the token array whose
+    * accumulator is the 64-long vote vector. The earlier form (64 bit
+    * transforms, each with its own aggregate over the md5 array) made
+    * the per-token md5 transform an input of each of the 64 lambdas —
+    * re-evaluated once per BIT, 64× the md5 work per document, and no
+    * projection barrier survives CollapseProject for a singly-referenced
+    * alias. Here the hex array is an aggregate input, evaluated once per
+    * row by construction. */
   def simhash64(text: Column): Column = {
     val hexes = transform(distinctTokens(text), t => substring(md5(t), 1, 16))
-    val bitCols = transform(sequence(lit(0), lit(63)), j => {
-      // char index: j div 4 (0-based) → substr pos j/4+1; bit-in-digit
-      // weight 8,4,2,1 selected by j mod 4.
-      val p = element_at(array(lit(8), lit(4), lit(2), lit(1)),
-        (j % 4).cast("int") + 1)
-      val votes = aggregate(hexes, lit(0), (acc, h) => {
+    val weights = array(lit(8), lit(4), lit(2), lit(1))
+    // votes[j] += bit_j(md5(token)) ? +1 : -1, for all 64 j per token.
+    // Same char/digit arithmetic as before: char index j div 4, bit
+    // weight 8/4/2/1 by j mod 4; `/` is double division then floor-cast,
+    // identical on both engines.
+    val votes = aggregate(hexes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, j) => {
+        val p = element_at(weights, (j % 4).cast("int") + 1)
         val d = hexVal(h.substr((j / 4).cast("int") + 1, lit(1)))
-        acc + ((d / p).cast("int") % 2) * 2 - 1
-      })
-      when(votes > 0, lit("1")).otherwise(lit("0"))
-    })
-    concat_ws("", bitCols)
+        a + ((d / p).cast("int") % 2) * 2 - 1
+      }))
+    concat_ws("",
+      transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))))
   }
 
   /** English stopword-hit count over whitespace tokens. */

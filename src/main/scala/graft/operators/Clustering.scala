@@ -46,16 +46,18 @@ object Clustering {
     while (iter < maxIter && !converged) {
       val nbMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min("cluster_id").as("nb_min"))
+      // changed-flag computed in the SAME projection as the new label —
+      // convergence detection costs a count over the checkpointed frame,
+      // not a second join against the previous labels.
       val next = labels.join(nbMin, col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nb_min"), col("cluster_id")) < col("cluster_id"))
+            .as("chg"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("cluster_id").as("old_cid")), "id")
-        .filter(col("cluster_id") =!= col("old_cid"))
-        .count()
-      labels = next
+      val changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0L
       iter += 1
     }

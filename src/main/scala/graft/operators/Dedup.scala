@@ -126,19 +126,22 @@ object Dedup {
       .select(col("doc_id"), col("fpv"),
         posexplode(col("fpv")).as(Seq("band_idx", "band_val")))
     val ham = (0 until bands)
-      .map(b => bit_count(element_at(col("fa"), b + 1)
-        .bitwiseXOR(element_at(col("fb"), b + 1))).cast("long"))
+      .map(b => bit_count(element_at(col("x.fpv"), b + 1)
+        .bitwiseXOR(element_at(col("y.fpv"), b + 1))).cast("long"))
       .reduce(_ + _)
+    // Hamming verify BEFORE the pair dedup: the xor/bit_count compare is
+    // a few cycles per candidate (recomputing it for band-duplicate
+    // pairs is free), while dropDuplicates is a shuffle — filtering
+    // first means the exchange moves only verified pairs (3 longs), not
+    // every band collision carrying two fingerprint arrays.
     banded.as("x").join(banded.as("y").hint("merge"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.fpv").as("fa"), col("y.fpv").as("fb"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", ham)
+        ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** n-gram Jaccard similarity pairs via a PREFIX-FILTERED inverted-index
