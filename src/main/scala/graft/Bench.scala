@@ -21,8 +21,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
+    // noop sink, not count(): under a count() aggregate Catalyst prunes
+    // every projection that doesn't affect row count, so map-only
+    // queries would be timed as scan+count without ever evaluating
+    // their expressions. The noop writer materializes every output
+    // column (same work a real sink or collect would force) and
+    // discards it.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     for (dir <- Seq(warmDir, sfDir); (_, fn) <- selected)
-      try fn(spark, dir).count() catch { case _: Throwable => () }
+      try run(fn, dir) catch { case _: Throwable => () }
     // Median-of-N per query (default 3): a single-shot number is hostage
     // to host noise / GC / JIT recompiles; the median is the recorded
     // signal. Rounds are interleaved ACROSS the suite (run all queries,
@@ -34,7 +43,7 @@ object Bench {
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to rounds; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn, sfDir) } catch { case _: Throwable => () }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     val results = ordered.map { case (name, _) =>
