@@ -41,21 +41,30 @@ object Clustering {
       .select(col(idCol).cast("long").as("id"),
         col(idCol).cast("long").as("cluster_id"))
       .localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val nbMin = edges.join(labels, col("src") === col("id"))
+    // One min-propagation step; `cid0` (the label at the start of the
+    // materialized round) rides along so convergence is a flag column,
+    // not a join against the previous labels.
+    def step(l: DataFrame): DataFrame = {
+      val nbMin = edges
+        .join(l.select(col("id"), col("cluster_id")), col("src") === col("id"))
         .groupBy(col("dst")).agg(min("cluster_id").as("nb_min"))
-      // changed-flag computed in the SAME projection as the new label —
-      // convergence detection costs a count over the checkpointed frame,
-      // not a second join against the previous labels.
-      val next = labels.join(nbMin, col("id") === col("dst"), "left")
+      l.join(nbMin, col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"),
-          (coalesce(col("nb_min"), col("cluster_id")) < col("cluster_id"))
-            .as("chg"))
-        .localCheckpoint()
+          col("cid0"))
+    }
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // TWO propagation steps per materialized round, and a LAZY
+      // checkpoint whose materializing action IS the convergence count:
+      // one Spark action per round instead of four. Dedup graphs are
+      // unions of near-cliques (diameter ~2), so one round usually
+      // finishes the labels and the second proves the fixpoint.
+      val next = step(step(labels.withColumn("cid0", col("cluster_id"))))
+        .withColumn("chg", col("cluster_id") < col("cid0"))
+        .localCheckpoint(false)
       val changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0L
