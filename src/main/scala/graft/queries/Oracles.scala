@@ -337,6 +337,53 @@ SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
 FROM res""",
 
+    // End-to-end corpus clean: t1's language filter + t2's score formula
+    // + d1's content-hash dedup + d2's full minhash/band chain (banding
+    // is probabilistic, so the oracle must MIRROR it, not approximate
+    // it) + d7's recursive reachability, then one representative (the
+    // min doc_id) per near-dup cluster.
+    "p1_corpus_clean" -> s"""
+WITH RECURSIVE
+d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+              string_split(text, ' ') AS toks FROM documents),
+c0 AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+              len(list_filter(toks, t -> t IN $stopList)) AS hits
+       FROM d0),
+fl AS (SELECT doc_id, text, toks, n_tokens,
+              (hits / n_tokens) * 0.4 + least(n_tokens / 100.0, 1.0) * 0.6 AS score
+       FROM c0
+       WHERE hits / n_tokens >= 0.1
+         AND (hits / n_tokens) * 0.4 + least(n_tokens / 100.0, 1.0) * 0.6 >= 0.4),
+ek AS (SELECT min(doc_id) AS doc_id FROM fl GROUP BY md5(text)),
+k AS (SELECT fl.* FROM fl JOIN ek USING (doc_id)),
+s AS (SELECT doc_id, ${shingleSql("toks", 3)} AS sh FROM k),
+sg AS (SELECT doc_id, sh,
+              list_transform(range(12), j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
+       FROM s),
+b AS (SELECT doc_id, j AS band_idx,
+             md5(sig[3*j+1] || '|' || sig[3*j+2] || '|' || sig[3*j+3]) AS band_hash
+      FROM sg, (SELECT unnest(range(4)) AS j)),
+cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM b x JOIN b y ON x.band_idx = y.band_idx
+          AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+v AS (SELECT a_id, b_id,
+             CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS inter,
+             CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+               - CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS uni
+      FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id),
+pr AS (SELECT a_id, b_id FROM v WHERE inter / uni >= 0.5),
+ed AS (SELECT a_id AS src, b_id AS dst FROM pr
+       UNION ALL SELECT b_id, a_id FROM pr),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM k
+  UNION
+  SELECT ed.dst, reach.root FROM reach JOIN ed ON ed.src = reach.id),
+res AS (SELECT id, CAST(min(root) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id)
+SELECT res.id AS doc_id, k.n_tokens, k.score
+FROM res JOIN k ON k.doc_id = res.id
+WHERE res.id = res.cluster_id""",
+
     "d4_ngram_jaccard" -> s"""
 WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id, source, ${shingleSql("toks", 2)} AS sh FROM d),

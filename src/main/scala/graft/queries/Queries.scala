@@ -246,6 +246,39 @@ object Queries {
     Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label",
       threshold = 0.35)
 
+  // ---------- pipeline composition ----------
+
+  /** End-to-end corpus cleaning — the composite pass a training-data
+    * pipeline runs before tokenization: language filter (t1) → quality
+    * filter (t2) → exact content-hash dedup (d1) → MinHash-LSH near-dup
+    * pairs (d2) → connected-component clustering (d7) → keep one
+    * representative document per cluster. Every stage is an
+    * independently gated operator; this key gates their COMPOSITION as
+    * one lazy plan (filters reach the scan once, the only shuffles are
+    * the content-hash aggregate, the band self-join, and the label
+    * rounds). Output: surviving docs with their stats. */
+  def p1CorpusClean(s: SparkSession, d: String): DataFrame = {
+    val enriched = docs(s, d).select(
+      col("doc_id").cast("long").as("doc_id"), col("text"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      qualityScore(col("text")).as("score"),
+      langId(col("text")).as("lang"))
+    val filtered = enriched
+      .filter(col("lang") === "en" && col("score") >= 0.4)
+    val keepIds = filtered
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val kept = filtered
+      .join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashLsh(kept, "doc_id", "text")
+    val labels = Clustering.connectedComponents(
+      pairs, "a_id", "b_id", kept.select(col("doc_id")), "doc_id")
+    labels.filter(col("id") === col("cluster_id"))
+      .join(kept.select(col("doc_id").as("id"), col("n_tokens"),
+        col("score")), "id")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("score"))
+  }
+
   // ---------- text analysis ----------
 
   def t1LangId(s: SparkSession, d: String): DataFrame =
