@@ -41,19 +41,28 @@ object Bench {
     val ordered = selected.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // A query that throws records NO sample (its median prints -1 and a
+    // "failed" list names it): swallowing the error and keeping the
+    // time-to-exception would make a broken query look FAST and lower
+    // the recorded total.
+    val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to rounds; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
-      try { run(fn, sfDir) } catch { case _: Throwable => () }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      try {
+        run(fn, sfDir)
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => failed += name }
     }
     val results = ordered.map { case (name, _) =>
       val times = samples(name).sorted
-      name -> times(times.size / 2)
+      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,7 +76,13 @@ object TextFunctions {
     * alias. Here the hex array is an aggregate input, evaluated once per
     * row by construction. */
   def simhash64(text: Column): Column = {
-    val hexes = transform(distinctTokens(text), t => substring(md5(t), 1, 16))
+    // NULL text folds to an empty token set so the aggregate keeps its
+    // all-zero initial votes and the fingerprint stays the documented
+    // 64-char zero string (aggregate over NULL would return NULL and
+    // concat_ws would silently emit "").
+    val hexes = coalesce(
+      transform(distinctTokens(text), t => substring(md5(t), 1, 16)),
+      array().cast("array<string>"))
     val weights = array(lit(8), lit(4), lit(2), lit(1))
     // votes[j] += bit_j(md5(token)) ? +1 : -1, for all 64 j per token.
     // Same char/digit arithmetic as before: char index j div 4, bit

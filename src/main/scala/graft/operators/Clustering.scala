@@ -16,9 +16,11 @@ object Clustering {
     *
     * Iterative min-label propagation on DataFrames:
     * `label(v) <- min(label(v), min over neighbors u of label(u))`
-    * until fixpoint — O(diameter) rounds, each round one hash-shuffle
-    * keyed on node id (join + map-side-combined min aggregate). Dedup
-    * graphs are unions of near-cliques, so 2-3 rounds in practice.
+    * until fixpoint — each materialized round performs TWO propagation
+    * steps (so `maxIter` bounds rounds, admitting up to `2*maxIter`
+    * steps ≈ graph diameter) with one hash-shuffle per step keyed on
+    * node id (join + map-side-combined min aggregate). Dedup graphs are
+    * unions of near-cliques, so 1-2 rounds in practice.
     *
     * `localCheckpoint` truncates the growing plan lineage each round
     * (on a real cluster: `checkpoint()` to reliable storage, same

@@ -106,10 +106,11 @@ object Dedup {
     * The fingerprint rides the band shuffle as `bands` packed Longs
     * (`conv(bits, 2, 10)` per band), so verification needs NO re-join
     * against the corpus — one banded subplan, computed once (`merge`
-    * hint → exchange reuse), one dropDuplicates, then a codegen'd
-    * per-band `bit_count(a XOR b)` sum (the 64×substr HOF form of the
-    * same compare ran interpreted per element and was 10× slower on
-    * millions of candidates). Band join keys are Longs, not strings. */
+    * hint → exchange reuse), then a codegen'd per-band
+    * `bit_count(a XOR b)` sum applied BEFORE the pair dedup, so the
+    * dropDuplicates exchange moves only verified pairs (the 64×substr
+    * HOF form of the same compare ran interpreted per element and was
+    * 10× slower). Band join keys are Longs, not strings. */
   def simhashDup(docs: DataFrame, idCol: String, textCol: String,
                  bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(bands > maxHamming, "need bands > maxHamming for completeness")

@@ -46,6 +46,42 @@ f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
              string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
       FROM votes GROUP BY doc_id)"""
 
+  /** CTE chain from a CTE `src(doc_id, toks, …)` to verified MinHash
+    * near-dup pairs `v(a_id BIGINT, b_id BIGINT, inter, uni)` — the
+    * exact twin of Dedup.minhashLsh's banding (shingle n=3, k=12
+    * hashes, 4 bands of 3). Shared by d2 and p1 so the banding
+    * arithmetic can never diverge between them. */
+  private def minhashPairCtes(src: String): String = s"""
+s AS (SELECT doc_id, ${shingleSql("toks", 3)} AS sh FROM $src),
+sg AS (SELECT doc_id, sh,
+              list_transform(range(12), j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
+       FROM s),
+b AS (SELECT doc_id, j AS band_idx,
+             md5(sig[3*j+1] || '|' || sig[3*j+2] || '|' || sig[3*j+3]) AS band_hash
+      FROM sg, (SELECT unnest(range(4)) AS j)),
+cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM b x JOIN b y ON x.band_idx = y.band_idx
+          AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+v AS (SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+             CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS inter,
+             CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+               - CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS uni
+      FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id)"""
+
+  /** Recursive reachability over an undirected pair set: nodes from
+    * `$nodes(doc_id, …)`, edges from `$pairs(a_id, b_id)` →
+    * `res(id, cluster_id)` with cluster_id = min reachable id — the
+    * twin of Clustering.connectedComponents. Shared by d7 and p1. */
+  private def reachCtes(nodes: String, pairs: String): String = s"""
+ed AS (SELECT a_id AS src, b_id AS dst FROM $pairs
+       UNION ALL SELECT b_id, a_id FROM $pairs),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM $nodes
+  UNION
+  SELECT ed.dst, reach.root FROM reach JOIN ed ON ed.src = reach.id),
+res AS (SELECT id, CAST(min(root) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id)"""
+
   /** LSH sign-bucket expression over a quantized list column: the SAME
     * seed-fixed quantized hyperplanes the Spark side uses
     * (LshIndex.hyperplanes(64, 6, 42) → quantizePlanes — 6 planes,
@@ -285,21 +321,7 @@ FROM documents GROUP BY 1""",
 
     "d2_minhash_pairs" -> s"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-s AS (SELECT doc_id, ${shingleSql("toks", 3)} AS sh FROM d),
-sg AS (SELECT doc_id, sh,
-              list_transform(range(12), j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
-       FROM s),
-b AS (SELECT doc_id, j AS band_idx,
-             md5(sig[3*j+1] || '|' || sig[3*j+2] || '|' || sig[3*j+3]) AS band_hash
-      FROM sg, (SELECT unnest(range(4)) AS j)),
-cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         FROM b x JOIN b y ON x.band_idx = y.band_idx
-          AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-v AS (SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
-             CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS inter,
-             CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
-               - CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS uni
-      FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id)
+${minhashPairCtes("d")}
 SELECT a_id, b_id, inter, uni, inter / uni AS jaccard
 FROM v WHERE inter / uni >= 0.5""",
 
@@ -325,15 +347,8 @@ p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
               CASE WHEN substr(x.simhash, CAST(i AS INT) + 1, 1)
                         = substr(y.simhash, CAST(i AS INT) + 1, 1)
                    THEN 0 ELSE 1 END)) AS BIGINT) <= 3),
-ed AS (SELECT a_id AS src, b_id AS dst FROM p
-       UNION ALL SELECT b_id, a_id FROM p),
-reach(id, root) AS (
-  SELECT doc_id, doc_id FROM f
-  UNION
-  SELECT ed.dst, reach.root FROM reach JOIN ed ON ed.src = reach.id),
-res AS (SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY id)
-SELECT doc_id, cluster_id,
+${reachCtes("f", "p")}
+SELECT id AS doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
 FROM res""",
 
@@ -356,30 +371,9 @@ fl AS (SELECT doc_id, text, toks, n_tokens,
          AND (hits / n_tokens) * 0.4 + least(n_tokens / 100.0, 1.0) * 0.6 >= 0.4),
 ek AS (SELECT min(doc_id) AS doc_id FROM fl GROUP BY md5(text)),
 k AS (SELECT fl.* FROM fl JOIN ek USING (doc_id)),
-s AS (SELECT doc_id, ${shingleSql("toks", 3)} AS sh FROM k),
-sg AS (SELECT doc_id, sh,
-              list_transform(range(12), j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
-       FROM s),
-b AS (SELECT doc_id, j AS band_idx,
-             md5(sig[3*j+1] || '|' || sig[3*j+2] || '|' || sig[3*j+3]) AS band_hash
-      FROM sg, (SELECT unnest(range(4)) AS j)),
-cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         FROM b x JOIN b y ON x.band_idx = y.band_idx
-          AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-v AS (SELECT a_id, b_id,
-             CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS inter,
-             CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
-               - CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS uni
-      FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id),
+${minhashPairCtes("k")},
 pr AS (SELECT a_id, b_id FROM v WHERE inter / uni >= 0.5),
-ed AS (SELECT a_id AS src, b_id AS dst FROM pr
-       UNION ALL SELECT b_id, a_id FROM pr),
-reach(id, root) AS (
-  SELECT doc_id, doc_id FROM k
-  UNION
-  SELECT ed.dst, reach.root FROM reach JOIN ed ON ed.src = reach.id),
-res AS (SELECT id, CAST(min(root) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY id)
+${reachCtes("k", "pr")}
 SELECT res.id AS doc_id, k.n_tokens, k.score
 FROM res JOIN k ON k.doc_id = res.id
 WHERE res.id = res.cluster_id""",

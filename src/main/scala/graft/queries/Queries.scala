@@ -268,8 +268,14 @@ object Queries {
     val keepIds = filtered
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
+    // The cleaned corpus feeds FOUR consumers (minhash banding, pair
+    // verification, the clustering node set, the final stats join);
+    // checkpointing materializes the scan+score+dedup subplan once
+    // instead of once per consumer (same pattern as the edge frame in
+    // connectedComponents; at cluster scale: checkpoint to storage).
     val kept = filtered
       .join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val pairs = Dedup.minhashLsh(kept, "doc_id", "text")
     val labels = Clustering.connectedComponents(
       pairs, "a_id", "b_id", kept.select(col("doc_id")), "doc_id")

@@ -72,13 +72,15 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(oracle_path))
 samples = {name: [] for name in oracle}
-SLOW = 60.0  # a query over this in the warm pass keeps its single sample:
-# at a >60s-vs-seconds gap, median precision is irrelevant, and the slow
-# class (the oracle's deliberately NAIVE quadratic twins of d2/d4/d6/d7)
-# would otherwise dominate wall-clock for no information.
+SLOW = 60.0  # a query over this in the warm-up pass runs ONE timed
+# (warm) round instead of all of them: at a >60s-vs-seconds gap, median
+# precision is irrelevant, and the slow class (the oracle's deliberately
+# NAIVE quadratic twins of d6/d7) would otherwise dominate wall-clock
+# for no information. The recorded value is still a WARM sample — the
+# cold round-0 run is dropped for every query.
 for rnd in range(rounds + 1):  # first interleaved pass = warm-up, dropped
     for name, sql in sorted(oracle.items()):
-        if rnd > 0 and samples[name] and samples[name][0] > SLOW:
+        if rnd > 1 and samples[name] and samples[name][0] > SLOW:
             continue
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
