@@ -48,6 +48,7 @@ object SparkEntry {
     "t5_top_terms" -> (Queries.t5TopTerms _),
     "t6_winnowing" -> (Queries.t6Winnowing _),
     "t7_length_quantiles" -> (Queries.t7LengthQuantiles _),
+    "t8_tfidf" -> (Queries.t8Tfidf _),
     // multimodal
     "m1_binary_meta" -> (Queries.m1BinaryMeta _),
     "m2_decode_features" -> (Queries.m2DecodeFeatures _),

@@ -475,6 +475,26 @@ SELECT source,
        max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_tok END) AS p99
 FROM rk GROUP BY 1""",
 
+    // score = (tf*N)/df: exact BIGINT numerator, one IEEE division —
+    // bit-identical in both engines (a log-idf would not be).
+    "t8_tfidf" -> """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  unnest(string_split(text, ' ')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM d GROUP BY 1, 2),
+wdf AS (SELECT doc_id, term, tf,
+               CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+        FROM tf),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+sc AS (SELECT doc_id, term, tf, df, (tf * n_docs) / df AS score
+       FROM wdf, n),
+rk AS (SELECT doc_id, term, tf, df, score,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term) AS BIGINT) AS rk
+       FROM sc)
+SELECT doc_id, term, tf, df, score, rk FROM rk WHERE rk <= 3""",
+
     "e6_retention" -> """
 WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
                   epoch_us(ts) // 604800000000 AS wk

@@ -246,6 +246,30 @@ object Queries {
     Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label",
       threshold = 0.35)
 
+  /** Top-3 TF-IDF terms per document — the feature-extraction twin of
+    * t5's corpus-level term counts. Exactness: score = (tf·N)/df with
+    * an exact integer numerator and ONE IEEE division (no log-idf —
+    * transcendental libm results are not bit-portable across engines);
+    * rank ties broken by term. Three key-local shuffles: tf groupBy
+    * (doc,term), df window (term), rank window (doc); N rides in as a
+    * broadcast 1-row aggregate, never a driver-side count. */
+  def t8Tfidf(s: SparkSession, d: String): DataFrame = {
+    val terms = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val total = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(total))
+      .withColumn("score", (col("tf") * col("n_docs")) / col("df"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("score"), col("rk"))
+  }
+
   // ---------- pipeline composition ----------
 
   /** End-to-end corpus cleaning — the composite pass a training-data
