@@ -595,6 +595,18 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
 GROUP BY 1""",
 
+    // Correlated scalar-agg join decorrelated; 0.2*avg cross-multiplied
+    // to the exact integer predicate 5*qty*cnt < sum.
+    "q10_small_qty_revenue" -> s"""
+WITH pa AS (SELECT l_partkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS cnt_qty
+            FROM lineitem GROUP BY 1)
+SELECT ${moneySum("l_extendedprice", 100)} / 700.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty""",
+
     "q9_revenue_rollup" -> s"""
 WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
                   l_extendedprice, l_discount

@@ -422,6 +422,26 @@ object Queries {
           .as("avg_price"),
         count(lit(1)).as("n_orders"))
 
+  /** Correlated scalar-aggregate join (TPC-H Q17 shape): revenue from
+    * orders of less than 20% of a part's average quantity. The
+    * correlated `avg` is decorrelated into one per-part aggregate and a
+    * key-local equi-join, and the fractional predicate
+    * `qty < 0.2 * (sum/cnt)` is cross-multiplied into the EXACT integer
+    * comparison `5*qty*cnt < sum` — no float threshold anywhere; the
+    * single IEEE division by 700.0 happens once on the final cents sum. */
+  def q10SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    li.join(perPart, "l_partkey")
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt_qty")
+        < col("sum_qty"))
+      .agg((moneySum(col("l_extendedprice"), 100) / lit(700.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
   def q3TopOrders(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, d)

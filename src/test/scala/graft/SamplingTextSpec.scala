@@ -91,4 +91,13 @@ class SamplingTextSpec extends SparkSpec {
     val f2 = df.select(minShingleFingerprint($"t")).as[String].head()
     assert(f1 === f2 && f1.length === 32)
   }
+
+  test("simhash64 of NULL text is the 64-char zero string, not empty") {
+    val df = Seq((1L, Option.empty[String]), (2L, Option("")))
+      .toDF("id", "t")
+    val fps = df.select($"id", simhash64($"t").as("fp"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(fps(0)._2 === "0" * 64) // NULL text → empty token set → all-zero votes
+    assert(fps(1)._2.length === 64) // empty string still hashes its one "" token
+  }
 }
