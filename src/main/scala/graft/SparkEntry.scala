@@ -50,6 +50,7 @@ object SparkEntry {
     "t7_length_quantiles" -> (Queries.t7LengthQuantiles _),
     "t8_tfidf" -> (Queries.t8Tfidf _),
     "q10_small_qty_revenue" -> (Queries.q10SmallQtyRevenue _),
+    "v15_filtered_knn" -> (Queries.v15FilteredKnn _),
     // multimodal
     "m1_binary_meta" -> (Queries.m1BinaryMeta _),
     "m2_decode_features" -> (Queries.m2DecodeFeatures _),

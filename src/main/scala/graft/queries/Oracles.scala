@@ -123,6 +123,18 @@ r AS (SELECT query_id, gid, d2,
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
 FROM r WHERE rnk <= 5""",
 
+    "v15_filtered_knn" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec
+      FROM embeddings WHERE label % 3 = 0),
+d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM d)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+FROM r WHERE rnk <= 5""",
+
     "v2_knn_cosine" -> s"""
 WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
            FROM embeddings WHERE vec_id % 100 = 0),

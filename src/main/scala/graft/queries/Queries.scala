@@ -38,6 +38,18 @@ object Queries {
     KnnJoin.knnCosine(e, queryVecs(e), "vec_id", "embedding", "vec_id", k = 5)
   }
 
+  /** Filtered ANN — exact KNN restricted by a metadata predicate (the
+    * faiss `IDSelector` twin, and THE canonical vector-DB feature the
+    * flat reference cannot express without post-filtering). In an
+    * engine the filter PUSHES TO THE SCAN: the distance kernel never
+    * sees excluded rows, so a selective predicate makes search
+    * proportionally cheaper, not recall-lossy. */
+  def v15FilteredKnn(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    KnnJoin.knnL2(e.filter(col("label") % 3 === 0), queryVecs(e),
+      "vec_id", "embedding", "vec_id", k = 5)
+  }
+
   def v3VectorNorms(s: SparkSession, d: String): DataFrame =
     emb(s, d).select(
       col("vec_id").cast("long").as("vec_id"),
