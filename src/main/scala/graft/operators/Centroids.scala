@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * Exactness: the mean is never materialized as a float. With
   * per-class count n and element-wise SUM vector s,
-  * `||q - s/n||^2 == A / n^2` where `A = sum_i (n*q_i - s_i)^2` is an
-  * exact Long (bound: dim * (2 * n * scale * max|x|)^2 — stays under
-  * 2^53 for the test tables; revisit scale when n*max|q| nears 6e6).
-  * The only floats are `sqrt(A) / (n*scale)` — correctly-rounded IEEE
-  * ops on exact ints, bit-identical across engines.
+  * `||q - s/n||^2 == A / n^2` where `A = sum_i (n*q_i - s_i)^2` is
+  * accumulated as Decimal(38,0): the per-dim difference fits a Long
+  * (|n·q_i − s_i| ≤ 2·n·scale·max|x|), but its SQUARE overflows Long
+  * wrap-around once a class reaches ~19k members (dim 64, scale 1e4) —
+  * a silent NaN under non-ANSI Long math. Decimal(38,0) holds classes
+  * to n ≈ 2e14 and mirrors DuckDB's native HUGEINT sum. The only
+  * floats are `sqrt(A) / (n*scale)` — correctly-rounded IEEE ops on
+  * the exact integer, bit-identical across engines.
   */
 object Centroids {
 
@@ -49,10 +52,13 @@ object Centroids {
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(labCol).cast("long").as("label_id"),
       quantize(col(vecCol), scale).as("qv"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val a = aggregate(
-      zip_with(col("qv"), col("svec"),
-        (qi, si) => (col("n") * qi - si) * (col("n") * qi - si)),
-      lit(0L), (acc, x) => acc + x)
+      zip_with(col("qv"), col("svec"), (qi, si) => {
+        val diff = (col("n") * qi - si).cast(dec) // widen BEFORE squaring
+        diff * diff
+      }),
+      lit(0L).cast(dec), (acc, x) => acc + x)
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("lab"))
     q.crossJoin(broadcast(cs))
       .withColumn("dist", sqrt(a) / (col("n") * scale).cast("double"))

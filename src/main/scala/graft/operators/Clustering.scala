@@ -72,6 +72,13 @@ object Clustering {
       converged = changed == 0L
       iter += 1
     }
+    // fail loudly: exhausting the budget means the labels are NOT a
+    // fixpoint (a >2*maxIter-diameter component) — returning them would
+    // silently fracture clusters
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        s"(${2 * maxIter} propagation steps); raise maxIter for " +
+        "graphs of larger diameter")
     labels
   }
 }

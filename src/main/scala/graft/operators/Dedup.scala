@@ -115,6 +115,10 @@ object Dedup {
                  bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(bands > maxHamming, "need bands > maxHamming for completeness")
     require(64 % bands == 0, "bands must divide 64")
+    // bands=1 would make the band key the full 64-bit unsigned value:
+    // conv(...).cast(long) returns NULL above 2^63 and the equi-join
+    // silently drops those docs' pairs
+    require(bands >= 2, "bands must be >= 2 (a 64-bit band key overflows signed Long)")
     val width = 64 / bands
     // fingerprint projected as its own column BEFORE the band packing:
     // inlining simhash64 would re-evaluate the whole md5-vote kernel

@@ -44,10 +44,11 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol)))
         .as("approx_distinct"))
 
-  /** Count-min sketch of a column (binary, mergeable): answers
-    * frequency point-queries with one-sided error ≤ eps·N at the given
-    * confidence. */
-  def countMin(df: DataFrame, valueCol: String, eps: Double = 0.001,
+  /** Count-min sketch aggregate for a column (binary, mergeable):
+    * answers frequency point-queries with one-sided error ≤ eps·N at
+    * the given confidence. A Column (not a DataFrame op): sketches
+    * compose inside arbitrary groupBy/agg calls. */
+  def countMin(valueCol: String, eps: Double = 0.001,
                confidence: Double = 0.99, seed: Int = 42): Column =
     count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
 

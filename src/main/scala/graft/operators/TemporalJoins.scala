@@ -63,28 +63,33 @@ object TemporalJoins {
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val ev = events.select(col(keyCol).as("k"),
       col(tsCol).cast("long").as("t"), col(typeCol).as("ty"))
+    // internal stage columns are INDEX-named (t_0..t_n): step names are
+    // user data — a dot in "page.view" would parse as struct access in
+    // col() resolution. Only the final output aliases carry t_<step>.
     val stage0 = ev.filter(col("ty") === steps.head)
-      .groupBy("k").agg(min("t").as(s"t_${steps.head}"))
+      .groupBy("k").agg(min("t").as("t_0"))
     // each later stage joins the previous one and keeps only events
     // at-or-after the previous stage's time
     val stages = steps.zipWithIndex.tail.scanLeft(stage0) {
       case (prev, (step, i)) =>
         ev.filter(col("ty") === step)
-          .join(prev.select(col("k"), col(s"t_${steps(i - 1)}")), Seq("k"))
-          .filter(col("t") >= col(s"t_${steps(i - 1)}"))
-          .groupBy("k").agg(min("t").as(s"t_$step"))
+          .join(prev.select(col("k"), col(s"t_${i - 1}")), Seq("k"))
+          .filter(col("t") >= col(s"t_${i - 1}"))
+          .groupBy("k").agg(min("t").as(s"t_$i"))
     }
     val joined = stages.tail.foldLeft(stage0) { (acc, st) =>
       acc.join(st.select(st.columns.head, st.columns.last), Seq("k"), "left")
     }
-    val depth = steps.tail.foldLeft(lit(1L)) { (acc, step) =>
-      acc + when(col(s"t_$step").isNotNull, 1L).otherwise(0L)
+    val depth = (1 until steps.size).foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col(s"t_$i").isNotNull, 1L).otherwise(0L)
     }
     joined.select(
-      Seq(col("k").as(keyCol), col(s"t_${steps.head}")) ++
-        steps.tail.map(s => coalesce(col(s"t_$s"), lit(-1L)).as(s"t_$s")) ++
+      Seq(col("k").as(keyCol), col("t_0").as(s"t_${steps.head}")) ++
+        steps.tail.zipWithIndex.map { case (s, i) =>
+          coalesce(col(s"t_${i + 1}"), lit(-1L)).as(s"t_$s") } ++
         Seq(depth.as("depth")): _*)
   }
 

@@ -45,23 +45,41 @@ object GraftExtensions {
         s"$fn: $arg must be a literal BOOLEAN, got $other")
     }
 
+  /** Clear arity error instead of an IndexOutOfBoundsException from
+    * exprs(i) when SQL passes the wrong argument count. */
+  private def arity(fn: String, sig: String, exprs: Seq[Expression],
+                    n: Int): Unit =
+    if (exprs.size != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments $sig, got ${exprs.size}")
+
   val functions: Seq[FunctionDescription] = Seq(
     (new FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[IntVectorL2Sq].getName, "graft_l2sq"),
-      (exprs: Seq[Expression]) => IntVectorL2Sq(exprs(0), exprs(1))),
+      (exprs: Seq[Expression]) => {
+        arity("graft_l2sq", "(a, b)", exprs, 2)
+        IntVectorL2Sq(exprs(0), exprs(1))
+      }),
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[IntVectorDot].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => IntVectorDot(exprs(0), exprs(1))),
+      (exprs: Seq[Expression]) => {
+        arity("graft_dot", "(a, b)", exprs, 2)
+        IntVectorDot(exprs(0), exprs(1))
+      }),
     (new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignatureExpr].getName,
         "graft_minhash"),
-      (exprs: Seq[Expression]) => MinhashSignatureExpr(exprs(0),
-        litInt(exprs(1), "graft_minhash", "k"))),
+      (exprs: Seq[Expression]) => {
+        arity("graft_minhash", "(shingles, k)", exprs, 2)
+        MinhashSignatureExpr(exprs(0), litInt(exprs(1), "graft_minhash", "k"))
+      }),
     (new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
-      (exprs: Seq[Expression]) => TopKAggregate(exprs(0), exprs(1),
-        litInt(exprs(2), "graft_topk", "k"),
-        litBool(exprs(3), "graft_topk", "ascending"))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_topk", "(id, score, k, ascending)", exprs, 4)
+        TopKAggregate(exprs(0), exprs(1),
+          litInt(exprs(2), "graft_topk", "k"),
+          litBool(exprs(3), "graft_topk", "ascending"))
+      }))
 
   /** Register the graft functions into a live session's registry. */
   def register(spark: SparkSession): Unit =

@@ -42,9 +42,15 @@ bits AS (SELECT doc_id, j,
 votes AS (SELECT doc_id, j,
                  sum((((CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 ELSE ascii(c) - 48 END) // p) % 2) * 2 - 1) AS v
           FROM bits GROUP BY doc_id, j),
-f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-      FROM votes GROUP BY doc_id)"""
+fp AS (SELECT doc_id,
+              string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+       FROM votes GROUP BY doc_id),
+-- NULL text unnests to zero token rows, so fp has no row for it; the
+-- left join restores those docs with the all-zero fingerprint the
+-- Spark side emits (empty token set -> zero votes -> 64 '0' bits)
+f AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             coalesce(fp.simhash, repeat('0', 64)) AS simhash
+      FROM d LEFT JOIN fp ON fp.doc_id = d.doc_id)"""
 
   /** CTE chain from a CTE `src(doc_id, toks, …)` to verified MinHash
     * near-dup pairs `v(a_id BIGINT, b_id BIGINT, inter, uni)` — the
@@ -306,8 +312,11 @@ csum AS (SELECT lab, i, CAST(sum(v[CAST(i AS INT) + 1]) AS BIGINT) AS s
 q AS (SELECT id AS query_id, lab AS true_lab, v AS qvec FROM g
       WHERE id % 100 = 0),
 d AS (SELECT q.query_id, q.true_lab, c.lab, cnt.n,
-             CAST(sum((cnt.n * q.qvec[CAST(c.i AS INT) + 1] - c.s)
-                    * (cnt.n * q.qvec[CAST(c.i AS INT) + 1] - c.s)) AS BIGINT) AS a
+             -- HUGEINT sum kept wide (no BIGINT cast): the squared terms
+             -- overflow BIGINT once a class has ~19k members, matching
+             -- the Spark side's Decimal(38,0) accumulator
+             sum((cnt.n * q.qvec[CAST(c.i AS INT) + 1] - c.s)
+                    * (cnt.n * q.qvec[CAST(c.i AS INT) + 1] - c.s)) AS a
       FROM q CROSS JOIN csum c JOIN cnt ON cnt.lab = c.lab
       GROUP BY 1, 2, 3, 4),
 r AS (SELECT query_id, true_lab, lab,

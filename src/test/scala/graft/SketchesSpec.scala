@@ -51,7 +51,7 @@ class SketchesSpec extends SparkSpec {
     val n = tokens.count()
     val eps = 0.01
     val cmsBytes = tokens.agg(
-      Sketches.countMin(tokens, "t", eps = eps).as("s"))
+      Sketches.countMin("t", eps = eps).as("s"))
       .head().getAs[Array[Byte]]("s")
     val cms = CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(cmsBytes))
