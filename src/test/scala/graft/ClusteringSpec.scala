@@ -31,6 +31,16 @@ class ClusteringSpec extends SparkSpec {
     assert(r === Map(2L -> 2L, 4L -> 2L, 7L -> 2L, 9L -> 2L))
   }
 
+  test("throws instead of returning unconverged labels") {
+    // a 6-node chain needs 3 two-step rounds (+1 to prove the
+    // fixpoint); maxIter=1 must fail loudly, never fracture clusters
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val e = intercept[IllegalStateException] {
+      cc(chain, 1L to 6L, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("empty pair set leaves every node a singleton") {
     val r = cc(Seq.empty, 1L to 3L)
     assert(r === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))

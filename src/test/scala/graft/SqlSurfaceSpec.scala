@@ -50,6 +50,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.length === 4)
   }
 
+  test("wrong SQL argument count yields a clear arity error") {
+    GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_topk(id, CAST(id AS DOUBLE), 5) FROM range(3)")
+        .collect()
+    }
+    assert(err.getMessage.contains("expects 4 arguments"))
+  }
+
   test("graft_topk rejects non-literal k with a clear error") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {

@@ -60,6 +60,19 @@ class TemporalJoinsSpec extends SparkSpec {
       5L -> ((10L, 20L, -1L, 2L))))
   }
 
+  test("funnel: step names with dots resolve (index-named stages)") {
+    val ev = Seq((1L, 10L, "page.view"), (1L, 20L, "add.to.cart"))
+      .toDF("u", "t", "ty")
+    val r = TemporalJoins.funnel(ev, "u", "t", "ty",
+      Seq("page.view", "add.to.cart"))
+    assert(r.columns.toSeq ===
+      Seq("u", "t_page.view", "t_add.to.cart", "depth"))
+    assert(r.as[(Long, Long, Long, Long)].head() === ((1L, 10L, 20L, 2L)))
+    intercept[IllegalArgumentException] {
+      TemporalJoins.funnel(ev, "u", "t", "ty", Seq("view", "view"))
+    }
+  }
+
   test("rangeJoinAgg equals the naive inequality join on events data") {
     val ev = graft.sources.Tables.events(spark, sf).select(
       col("user_id").cast("long").as("user_id"),
