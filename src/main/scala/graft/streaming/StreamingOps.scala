@@ -35,6 +35,32 @@ object StreamingOps {
              key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-static KNN: score a stream of query vectors against a
+    * static gallery and keep each query's top-k — the continuous twin
+    * of batch retrieval (`KnnJoin.knnL2`), e.g. scoring fresh documents
+    * against a reference embedding set at ingest. The static gallery
+    * broadcasts once; the codegen'd integer distance kernel and the
+    * bounded native top-k aggregate ([[graft.plans.TopKAggregate]]) are
+    * the SAME operators the batch path runs, so streaming results match
+    * batch bit-for-bit. State per query is the k-element heap (update/
+    * complete output modes). */
+  def knnStream(queries: DataFrame, gallery: DataFrame, qidCol: String,
+                vecCol: String, gidCol: String, k: Int,
+                scale: Int = 10000): DataFrame = {
+    import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
+    val g = gallery.select(col(gidCol).cast("long").as("neighbor_id"),
+      quantize(col(vecCol), scale).as("gv"))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      quantize(col(vecCol), scale).as("qv"))
+    val scored = q.crossJoin(broadcast(g))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    graft.operators.TopK.perGroup(scored, "query_id", "neighbor_id",
+        "d2", k, ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
+  }
+
   /** Streaming exact dedup (twin of d1, the training-data ingest gate):
     * emit only first-seen content hashes. State is bounded by the
     * watermark horizon via `dropDuplicatesWithinWatermark` — at 100 TB/

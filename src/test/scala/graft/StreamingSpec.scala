@@ -32,6 +32,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("knnStream matches the batch KNN bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val gallery = Seq(
+      (10L, Seq(0.0, 0.0)), (11L, Seq(1.0, 0.0)), (12L, Seq(0.0, 1.0)),
+      (13L, Seq(2.0, 2.0)), (14L, Seq(0.5, 0.5))
+    ).toDF("vec_id", "embedding")
+    val qs = Seq((1L, Seq(0.1, 0.1)), (2L, Seq(1.9, 2.1)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(qs: _*)
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.knnStream(stream, gallery,
+        "vec_id", "embedding", "vec_id", k = 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("knn_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("knn_stream")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      val batch = graft.operators.KnnJoin.knnL2(gallery,
+          qs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          "vec_id", k = 3)
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(got === batch && got.size === 6)
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs events within the time bound, per key") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Event]
