@@ -40,6 +40,7 @@ object SparkEntry {
     "d6_simhash_dup" -> (Queries.d6SimhashDup _),
     "d7_dup_clusters" -> (Queries.d7DupClusters _),
     "p1_corpus_clean" -> (Queries.p1CorpusClean _),
+    "d8_contamination" -> (Queries.d8Contamination _),
     // text analysis
     "t1_lang_id" -> (Queries.t1LangId _),
     "t2_quality_score" -> (Queries.t2QualityScore _),

@@ -373,6 +373,19 @@ SELECT id AS doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
 FROM res""",
 
+    // Cross-source 5-gram overlap vs the 'src0' benchmark set; distinct
+    // shingles per doc make the join count the exact intersection size.
+    "d8_contamination" -> s"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, source, ${shingleSql("toks", 5)} AS sh FROM d),
+ev AS (SELECT CAST(doc_id AS BIGINT) AS eval_id, unnest(sh) AS sg
+       FROM s WHERE source = 'src0'),
+tr AS (SELECT CAST(doc_id AS BIGINT) AS train_id, unnest(sh) AS sg
+       FROM s WHERE source <> 'src0')
+SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev USING (sg)
+GROUP BY 1, 2 HAVING count(*) >= 3""",
+
     // End-to-end corpus clean: t1's language filter + t2's score formula
     // + d1's content-hash dedup + d2's full minhash/band chain (banding
     // is probabilistic, so the oracle must MIRROR it, not approximate

@@ -282,6 +282,28 @@ object Queries {
         col("df").cast("long").as("df"), col("score"), col("rk"))
   }
 
+  /** Benchmark-contamination detection — the decontamination pass every
+    * training-data pipeline runs: train-side documents sharing >= 3
+    * distinct 5-gram shingles with any benchmark ("src0") document.
+    * The benchmark side is SMALL by nature (MBs of eval sets vs TBs of
+    * train data), so its exploded shingle index BROADCASTS and the 100
+    * TB train side streams map-only through the hash join; the only
+    * shuffle is the per-pair count aggregate on O(contaminated) rows.
+    * Shingles are distinct per doc, so the join count IS the exact
+    * intersection size. */
+  def d8Contamination(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
+      col("source"), shingles(col("text"), 5).as("sh"))
+    val ev = base.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("sg"))
+    val tr = base.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("sg"))
+    tr.join(broadcast(ev), "sg")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
   // ---------- pipeline composition ----------
 
   /** End-to-end corpus cleaning — the composite pass a training-data
