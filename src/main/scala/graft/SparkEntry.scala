@@ -31,6 +31,8 @@ object SparkEntry {
     "v12_knn_category" -> (Queries.v12KnnCategory _),
     "v13_ivfpq_search" -> (Queries.v13IvfPqSearch _),
     "v14_class_centroid" -> (Queries.v14ClassCentroid _),
+    "v16_rerank" -> (Queries.v16Rerank _),
+    "v17_sq8_knn" -> (Queries.v17Sq8Knn _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
@@ -41,6 +43,7 @@ object SparkEntry {
     "d7_dup_clusters" -> (Queries.d7DupClusters _),
     "p1_corpus_clean" -> (Queries.p1CorpusClean _),
     "d8_contamination" -> (Queries.d8Contamination _),
+    "d9_incremental_dedup" -> (Queries.d9IncrementalDedup _),
     // text analysis
     "t1_lang_id" -> (Queries.t1LangId _),
     "t2_quality_score" -> (Queries.t2QualityScore _),
@@ -50,6 +53,7 @@ object SparkEntry {
     "t6_winnowing" -> (Queries.t6Winnowing _),
     "t7_length_quantiles" -> (Queries.t7LengthQuantiles _),
     "t8_tfidf" -> (Queries.t8Tfidf _),
+    "t9_repetition" -> (Queries.t9Repetition _),
     "q10_small_qty_revenue" -> (Queries.q10SmallQtyRevenue _),
     "v15_filtered_knn" -> (Queries.v15FilteredKnn _),
     // multimodal
@@ -64,13 +68,15 @@ object SparkEntry {
     "q7_top_customers" -> (Queries.q7TopCustomers _),
     "q8_inactive_customers" -> (Queries.q8InactiveCustomers _),
     "q9_revenue_rollup" -> (Queries.q9RevenueRollup _),
+    "q11_moving_avg" -> (Queries.q11MovingAvg _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),
     "e3_asof_join" -> (Queries.e3AsofJoin _),
     "e4_range_join" -> (Queries.e4RangeJoin _),
     "e5_funnel" -> (Queries.e5Funnel _),
-    "e6_retention" -> (Queries.e6Retention _))
+    "e6_retention" -> (Queries.e6Retention _),
+    "e7_json_props" -> (Queries.e7JsonProps _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -110,6 +110,27 @@ res AS (SELECT id, CAST(min(root) AS BIGINT) AS cluster_id
     s"CAST(list_sum(list_transform(range($sub), i -> $d * $d)) AS BIGINT)"
   }
 
+  /** The v11 seeded-PQ ADC chain (gallery → seeded codebooks → encode →
+    * per-query ADC sums → ranked `r`), shared by v11 and v16 so the
+    * index arithmetic can never diverge between them. */
+  private val pqAdcCtes: String = s"""
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+cb AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 16),
+jj AS (SELECT unnest(range(8)) AS j),
+enc AS (SELECT gid, j, cid AS code FROM (
+          SELECT g.gid, jj.j, cb.cid,
+                 row_number() OVER (PARTITION BY g.gid, jj.j
+                   ORDER BY ${subL2("g.v", "cb.cv", "jj.j", 8)}, cb.cid) AS rn
+          FROM g CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+adc AS (SELECT q.query_id, e.gid,
+               CAST(sum(${subL2("q.qvec", "cb.cv", "e.j", 8)}) AS BIGINT) AS adc
+        FROM enc e JOIN cb ON cb.cid = e.code CROSS JOIN q
+        GROUP BY 1, 2),
+r AS (SELECT query_id, gid, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+      FROM adc)"""
+
   /** Cents-exact money sum: CAST(round(expr*scale)) summed as BIGINT. */
   private def moneySum(e: String, scale: Int): String =
     s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT)"
@@ -233,23 +254,44 @@ SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
 FROM r WHERE rnk <= 5""",
 
     "v11_pq_adc" -> s"""
-WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
-cb AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 16),
-jj AS (SELECT unnest(range(8)) AS j),
-enc AS (SELECT gid, j, cid AS code FROM (
-          SELECT g.gid, jj.j, cb.cid,
-                 row_number() OVER (PARTITION BY g.gid, jj.j
-                   ORDER BY ${subL2("g.v", "cb.cv", "jj.j", 8)}, cb.cid) AS rn
-          FROM g CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
-q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
-adc AS (SELECT q.query_id, e.gid,
-               CAST(sum(${subL2("q.qvec", "cb.cv", "e.j", 8)}) AS BIGINT) AS adc
-        FROM enc e JOIN cb ON cb.cid = e.code CROSS JOIN q
-        GROUP BY 1, 2),
-r AS (SELECT query_id, gid, adc,
-             row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
-      FROM adc)
+WITH $pqAdcCtes
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
+FROM r WHERE rnk <= 5""",
+
+    // Two-stage retrieval: v11's ADC chain proposes rnk <= 20, then the
+    // TRUE fixed-point L2 re-ranks the shortlist to top-5.
+    "v16_rerank" -> s"""
+WITH $pqAdcCtes,
+short AS (SELECT query_id, gid FROM r WHERE rnk <= 20),
+ex AS (SELECT s.query_id, s.gid, ${l2sq("g.v", "q.qvec")} AS d2
+       FROM short s JOIN g ON g.gid = s.gid
+       JOIN q ON q.query_id = s.query_id),
+rr AS (SELECT query_id, gid, d2,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+       FROM ex)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+FROM rr WHERE rnk <= 5""",
+
+    // SQ8: per-dim (min,max) over the gallery, 8-bit codes by exact
+    // floor division (operands non-negative, so // matches Spark's
+    // truncating div), exact integer code-space L2.
+    "v17_sq8_knn" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+mm AS (SELECT i, CAST(min(v[CAST(i AS INT)+1]) AS BIGINT) AS mn,
+               CAST(max(v[CAST(i AS INT)+1]) AS BIGINT) AS mx
+       FROM g CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1),
+mma AS (SELECT list(mn ORDER BY i) AS mns,
+               list(greatest(mx - mn, 1) ORDER BY i) AS rgs FROM mm),
+enc AS (SELECT gid, list_transform(range(64),
+              i -> ((v[i+1] - mns[i+1]) * 255) // rgs[i+1]) AS cv
+        FROM g CROSS JOIN mma),
+q AS (SELECT gid AS query_id, cv AS qcv FROM enc WHERE gid % 100 = 0),
+d AS (SELECT query_id, gid, ${l2sq("cv", "qcv")} AS d2c
+      FROM enc CROSS JOIN q),
+r AS (SELECT query_id, gid, d2c,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2c, gid) AS rnk
+      FROM d)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2c) AS dist
 FROM r WHERE rnk <= 5""",
 
     "v13_ivfpq_search" -> s"""
@@ -477,6 +519,36 @@ r AS (SELECT source, token, n,
       FROM c)
 SELECT source, token, n, rnk FROM r WHERE rnk <= 5""",
 
+    // Repetition signals: the oracle computes modal counts the naive way
+    // (explode + per-doc groupBy); the Spark side is a map-only linear
+    // aggregate over the sorted token array — same numbers.
+    "t9_repetition" -> """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS t FROM d),
+uc AS (SELECT doc_id, t, count(*) AS c FROM u GROUP BY 1, 2),
+topu AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token_n
+         FROM uc GROUP BY 1),
+b AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(len(toks) - 1),
+                         i -> toks[i+1] || ' ' || toks[i+2])
+                  ELSE CAST([] AS VARCHAR[]) END AS bgs
+      FROM d),
+ub AS (SELECT doc_id, unnest(bgs) AS g FROM b),
+bc AS (SELECT doc_id, g, count(*) AS c FROM ub GROUP BY 1, 2),
+topb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+         FROM bc GROUP BY 1)
+SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       topu.top_token_n,
+       coalesce(topb.top_bigram_n, 0) AS top_bigram_n,
+       topu.top_token_n / len(toks) AS top_token_frac,
+       len(list_distinct(toks)) / len(toks) AS distinct_frac,
+       CASE WHEN len(toks) >= 2 THEN topb.top_bigram_n / (len(toks) - 1)
+            ELSE 0.0 END AS top_bigram_frac
+FROM d LEFT JOIN topu USING (doc_id) LEFT JOIN topb USING (doc_id)""",
+
     "t6_winnowing" -> """
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                   string_split(text, ' ') AS toks
@@ -528,6 +600,39 @@ rk AS (SELECT doc_id, term, tf, df, score,
                 ORDER BY score DESC, term) AS BIGINT) AS rk
        FROM sc)
 SELECT doc_id, term, tf, df, score, rk FROM rk WHERE rk <= 3""",
+
+    // Seen-index anti-join dedup over the content hash; NOT EXISTS (not
+    // NOT IN) so a NULL hash can never poison the predicate — matching
+    // left_anti's null-never-matches semantics.
+    "d9_incremental_dedup" -> """
+WITH nw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS text_hash
+            FROM documents WHERE doc_id % 4 = 0)
+SELECT text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n
+FROM nw
+WHERE NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id % 4 <> 0 AND md5(s.text) = nw.text_hash)
+GROUP BY 1""",
+
+    // k is 0..99 and non-null, so // (floor) and Spark's div (trunc)
+    // agree; sum cast from HUGEINT to match Spark's LongType.
+    "e7_json_props" -> """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2""",
+
+    // RANGE frame over the day domain; ma7 = (sum/100.0)/n with the
+    // identical division order on both sides.
+    "q11_moving_avg" -> """
+WITH daily AS (SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+               FROM orders GROUP BY 1)
+SELECT day, rev_c / 100.0 AS revenue,
+       (CAST(sum(rev_c) OVER w AS BIGINT) / 100.0)
+         / CAST(count(*) OVER w AS BIGINT) AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
 
     "e6_retention" -> """
 WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -124,18 +124,88 @@ object Queries {
     * (integers carried in doubles, < 2^53), so encode argmins and ADC
     * sums are exact in both engines. */
   def v11PqAdc(s: SparkSession, d: String): DataFrame = {
-    val m = 8; val dim = 64; val ksub = 16
+    val (codes, queries, book) = seededPqIndex(s, d)
+    PqIndex.searchAdc(codes, queries, "id", "qemb", PqDim, PqM, book, k = 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
+  private val PqM = 8; private val PqDim = 64; private val PqKsub = 16
+
+  /** The seeded-PQ index shared by v11 (direct ADC) and v16 (ADC
+    * shortlist + exact re-rank): fixed-point gallery, seeded codebooks,
+    * map-only encode. Returns (codes, queries, codebooks). */
+  private def seededPqIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[PqIndex.Codebook]) = {
     val e = emb(s, d)
     // integer-valued doubles: round(x*10000) — exact in IEEE math
     val g = e.select(col("vec_id").cast("long").as("id"),
       transform(quantize(col("embedding")), x => x.cast("double"))
         .as("qemb"))
-    val book = PqIndex.seededBook(g, "id", "qemb", dim, m, ksub)
-    val codes = PqIndex.encode(g, "id", "qemb", dim, m, book)
-    val queries = g.filter(col("id") % 100 === 0)
-    PqIndex.searchAdc(codes, queries, "id", "qemb", dim, m, book, k = 5)
+    val book = PqIndex.seededBook(g, "id", "qemb", PqDim, PqM, PqKsub)
+    val codes = PqIndex.encode(g, "id", "qemb", PqDim, PqM, book)
+    (codes, g.filter(col("id") % 100 === 0), book)
+  }
+
+  /** Two-stage retrieval — the canonical production ANN serving shape:
+    * a cheap quantized index (v11's seeded PQ-ADC) proposes a top-20
+    * shortlist per query, then the TRUE distance re-ranks the shortlist
+    * to top-5. At 100 TB the first stage reads 8-byte codes instead of
+    * raw vectors and the second touches only Q·20 full vectors — the
+    * re-rank join broadcasts the shortlist (Q·20 rows by construction)
+    * while the gallery streams through a pruned scan. */
+  def v16Rerank(s: SparkSession, d: String): DataFrame = {
+    val (codes, queries, book) = seededPqIndex(s, d)
+    val short = PqIndex
+      .searchAdc(codes, queries, "id", "qemb", PqDim, PqM, book, k = 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = emb(s, d)
+    val g = e.select(col("vec_id").cast("long").as("neighbor_id"),
+      quantize(col("embedding")).as("gv"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("long").as("query_id"),
+        quantize(col("embedding")).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("neighbor_id"))
+    g.join(broadcast(short), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("d2", intL2Sq(col("gv"), col("qv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        (col("dist") / lit(10000.0)).as("dist"))
+        distFromIntSq(col("d2")).as("dist"))
+  }
+
+  /** Scalar-quantized (SQ8) search — the faiss IndexScalarQuantizer
+    * twin: per-dimension (min, max) over the gallery (a 64-row aggregate
+    * with map-side combine — each partition ships at most one partial
+    * row per dimension), every vector encoded to 8-bit codes by exact
+    * integer arithmetic, search runs on the 1-byte/dim codes through the
+    * same broadcast × partial-top-k kernel as v1. 4× smaller scan than
+    * raw fixed-point vectors at 100 TB, no index build beyond the stats
+    * pass. */
+  def v17Sq8Knn(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val g = e.select(col("vec_id").cast("long").as("gid"),
+      quantize(col("embedding")).as("v"))
+    // 64 (min,max) rows — broadcast-sized by construction, like centroids
+    val stats = g.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    val mns = stats.map(_.getLong(1))
+    val rngs = stats.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    val mnLit = array(mns.map(lit(_)).toIndexedSeq: _*)
+    val rgLit = array(rngs.map(lit(_)).toIndexedSeq: _*)
+    // code_i = ((x_i - mn_i) * 255) div rng_i. num - (num mod rng) is an
+    // exact multiple of rng, so the double division is exact before the
+    // long cast (num <= ~5.1e6 << 2^53); matches DuckDB's `//` on the
+    // same non-negative operands.
+    def encode(vc: Column): Column = zip_with(
+      zip_with(vc, mnLit, (x, mn) => (x - mn) * lit(255L)), rgLit,
+      (num, rg) => ((num - pmod(num, rg)) / rg).cast("long"))
+    val coded = g.select(col("gid"), encode(col("v")).as("cv"))
+    KnnJoin.knnL2(coded, coded.filter(col("gid") % 100 === 0),
+      "gid", "cv", "gid", k = 5, scale = 1)
   }
 
   /** IVFPQ search under the hard gate: seed centroids (first 10 full
@@ -252,6 +322,20 @@ object Queries {
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
       .select(col("id").as("doc_id"), col("cluster_id"), col("n_members"))
+  }
+
+  /** Incremental (seen-index) dedup — the ingest-time shape: a new
+    * batch of documents anti-joined against the accumulated content-hash
+    * index, so only never-seen content survives. The batch here is the
+    * doc_id % 4 == 0 quarter of the corpus; the other three quarters
+    * play the seen index. At 100 TB the index side is a bucketed store
+    * keyed by hash ([[graft.sources.BucketedStore]]) so each ingest is
+    * one co-partitioned anti-join, no re-shuffle of the index. */
+  def d9IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.incremental(all.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+      all.filter(col("doc_id") % 4 =!= 0)
+        .select(md5(col("text")).as("text_hash")))
   }
 
   def d5EmbeddingDup(s: SparkSession, d: String): DataFrame =
@@ -404,6 +488,53 @@ object Queries {
         max(when(col("rn") === expr("(n + 1) div 2"), col("n_tok"))).as("p50"),
         max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_tok"))).as("p90"),
         max(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_tok"))).as("p99"))
+  }
+
+  /** Max run length in the sorted array = the count of the modal value.
+    * ONE linear codegen'd aggregate per row, map-only — the oracle's
+    * naive twin pays an explode + (doc, value) groupBy shuffle for the
+    * same number. The accumulator rides (prev, current-run, best-run). */
+  private def maxRunLen(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals per document — the quality gates a
+    * training corpus filters on: top-unigram fraction (fraction of
+    * tokens that are the single most frequent token), top-bigram
+    * fraction, and type-token ratio. Entirely map-only: the modal counts
+    * come from a linear aggregate over the sorted token array, never an
+    * explode + per-doc shuffle, so the pass streams at scan speed at
+    * 100 TB. */
+  def t9Repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    // two-step select: the maxRunLen aliases are referenced twice below,
+    // so CollapseProject keeps this projection (single evaluation)
+    val base = docs(s, d).select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      maxRunLen(toks).as("top_token_n"),
+      maxRunLen(bigrams).as("top_bigram_n"))
+    base.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      col("top_token_n"), col("top_bigram_n"),
+      (col("top_token_n") / col("n_tokens")).as("top_token_frac"),
+      (col("n_distinct") / col("n_tokens")).as("distinct_frac"),
+      when(col("n_tokens") >= 2,
+        col("top_bigram_n") / (col("n_tokens") - 1))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
   /** MOSS-style winnowing fingerprints, long format (doc_id, fp): the
@@ -588,6 +719,26 @@ object Queries {
         (moneySum(col("c_acctbal"), 100) / lit(100.0)).as("sum_acctbal"))
   }
 
+  /** 7-day moving average of daily order revenue — the RANGE-frame
+    * window shape (frames over an ordered value domain, not row
+    * offsets). The heavy step is the per-day cents aggregate, which
+    * shuffles with map-side combine down to O(days) rows; the global
+    * window then runs over that tiny frame (days are bounded by the
+    * calendar — a few thousand rows however big the fact table), so the
+    * single-partition window is not a scale hazard. */
+  def q11MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      // NTZ → UTC epoch seconds (session tz is UTC) → integer day
+      .groupBy(expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP)) div 86400")
+        .as("day"))
+      .agg(moneySum(col("o_totalprice"), 100).as("rev_c"))
+    val w = Window.orderBy("day").rangeBetween(-6, 0)
+    daily.select(col("day"),
+      (col("rev_c") / lit(100.0)).as("revenue"),
+      ((sum("rev_c").over(w) / lit(100.0)) / count(lit(1)).over(w))
+        .as("ma7"))
+  }
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
@@ -663,6 +814,19 @@ object Queries {
       .groupBy("cohort_wk", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Semi-structured extraction: parse the events' JSON `props` payload
+    * and aggregate by (event_type, k-decile). JSON stays opaque until
+    * this query, then `get_json_object` (codegen'd path evaluation, no
+    * UDF) projects the one needed field — the schema-on-read shape every
+    * log pipeline needs. Map-side combine keeps the shuffle at
+    * O(groups). */
+  def e7JsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

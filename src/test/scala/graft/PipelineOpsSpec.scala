@@ -1,0 +1,100 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-3 operator additions: repetition
+  * signals (t9), JSON props extraction (e7), moving-average window
+  * (q11), incremental dedup (d9), two-stage re-rank (v16), SQ8 search
+  * (v17). Exact value parity is covered by the DuckDB oracle gate;
+  * these assert the semantic properties the oracle can't name.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t9: fractions bounded, modal count matches a hand count") {
+    val r = Queries.t9Repetition(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val n = row.getAs[Long]("n_tokens")
+      assert(row.getAs[Long]("n_distinct") <= n)
+      assert(row.getAs[Long]("top_token_n") >= 1L)
+      assert(row.getAs[Double]("top_token_frac") <= 1.0)
+      assert(row.getAs[Double]("distinct_frac") <= 1.0)
+      assert(row.getAs[Double]("top_bigram_frac") <= 1.0)
+    }
+    // hand-count the modal token of doc 0 and compare
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" === 0).select("text").as[String].head()
+    val expected = text.split(" ").groupBy(identity).values.map(_.length).max
+    val got = r.filter($"doc_id" === 0).select("top_token_n").as[Long].head()
+    assert(got === expected.toLong)
+  }
+
+  test("e7: bucket counts total the events table") {
+    val r = Queries.e7JsonProps(spark, sf)
+    val total = r.agg(sum("n")).as[Long].head()
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total === events)
+    // every bucket's sum_k sits inside the bucket's value range
+    r.collect().foreach { row =>
+      val b = row.getAs[Long]("k_bucket"); val n = row.getAs[Long]("n")
+      val s = row.getAs[Long]("sum_k")
+      assert(s >= b * 10 * n && s <= (b * 10 + 9) * n)
+    }
+  }
+
+  test("q11: ma7 equals revenue on day one and stays within daily range") {
+    val r = Queries.q11MovingAvg(spark, sf).orderBy("day").collect()
+    assert(r.nonEmpty)
+    assert(math.abs(r.head.getAs[Double]("ma7") -
+      r.head.getAs[Double]("revenue")) < 1e-9)
+    val revs = r.map(_.getAs[Double]("revenue"))
+    r.foreach { row =>
+      assert(row.getAs[Double]("ma7") >= revs.min - 1e-9)
+      assert(row.getAs[Double]("ma7") <= revs.max + 1e-9)
+    }
+  }
+
+  test("d9: survivors are batch docs whose hash is unseen") {
+    val r = Queries.d9IncrementalDedup(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val seenHashes = docs.filter($"doc_id" % 4 =!= 0)
+      .select(md5($"text")).as[String].collect().toSet
+    val out = r.collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      assert(row.getAs[Long]("keep_id") % 4 === 0L)
+      assert(!seenHashes.contains(row.getAs[String]("text_hash")))
+    }
+  }
+
+  test("v16: re-ranked dists are ascending and lower-bounded by exact knn") {
+    val exact = Queries.v1KnnL2(spark, sf)
+      .select($"query_id", $"rnk", $"dist".as("exact_dist"))
+    val rr = Queries.v16Rerank(spark, sf)
+    // ANN property: at each rank the re-ranked candidate can't beat the
+    // exact kth neighbor; equality iff the shortlist contained it
+    val joined = rr.join(exact, Seq("query_id", "rnk")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { row =>
+      assert(row.getAs[Double]("dist") >= row.getAs[Double]("exact_dist") - 1e-9)
+    }
+    // per-query dists ascend with rank
+    rr.collect().groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("dist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("v17: sq8 self-match at rank 1 with zero code distance") {
+    val r = Queries.v17Sq8Knn(spark, sf)
+    val top1 = r.filter($"rnk" === 1).collect()
+    assert(top1.nonEmpty)
+    top1.foreach { row =>
+      assert(row.getAs[Long]("query_id") === row.getAs[Long]("neighbor_id"))
+      assert(row.getAs[Double]("dist") === 0.0)
+    }
+  }
+}
