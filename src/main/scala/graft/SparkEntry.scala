@@ -33,6 +33,7 @@ object SparkEntry {
     "v14_class_centroid" -> (Queries.v14ClassCentroid _),
     "v16_rerank" -> (Queries.v16Rerank _),
     "v17_sq8_knn" -> (Queries.v17Sq8Knn _),
+    "v18_lloyd_round" -> (Queries.v18LloydRound _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
@@ -59,6 +60,7 @@ object SparkEntry {
     // multimodal
     "m1_binary_meta" -> (Queries.m1BinaryMeta _),
     "m2_decode_features" -> (Queries.m2DecodeFeatures _),
+    "m3_shard_assign" -> (Queries.m3ShardAssign _),
     // relational analytics
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
@@ -69,6 +71,7 @@ object SparkEntry {
     "q8_inactive_customers" -> (Queries.q8InactiveCustomers _),
     "q9_revenue_rollup" -> (Queries.q9RevenueRollup _),
     "q11_moving_avg" -> (Queries.q11MovingAvg _),
+    "q12_market_share" -> (Queries.q12MarketShare _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),

@@ -370,6 +370,35 @@ SELECT query_id, true_lab AS label_id, lab AS pred_label, dist,
        CAST(CASE WHEN lab = true_lab THEN 1 ELSE 0 END AS BIGINT) AS correct
 FROM r WHERE rn = 1""",
 
+    // One exact Lloyd round: v6's argmin assignment, per-cluster
+    // (n, sum) in native HUGEINT, reassignment via the v14 scaled-
+    // distance trick (sqrt(A)/(n*10000) — no float centroid ever).
+    "v18_lloyd_round" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
+asn AS (SELECT gid, cid AS c0 FROM (
+          SELECT g.gid, c.cid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+cnt AS (SELECT c0, CAST(count(*) AS BIGINT) AS n FROM asn GROUP BY 1),
+cm AS (SELECT a.c0, i, sum(g.v[CAST(i AS INT)+1]) AS s
+       FROM asn a JOIN g ON g.gid = a.gid
+       CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+d AS (SELECT g.gid, a.c0 AS c0, m.c0 AS lab, cnt.n,
+             sum((cnt.n * g.v[CAST(m.i AS INT)+1] - m.s)
+                   * (cnt.n * g.v[CAST(m.i AS INT)+1] - m.s)) AS a2
+      FROM g JOIN asn a ON a.gid = g.gid
+      CROSS JOIN cm m JOIN cnt ON cnt.c0 = m.c0
+      GROUP BY 1, 2, 3, 4),
+r AS (SELECT gid, c0, lab,
+             row_number() OVER (PARTITION BY gid
+               ORDER BY sqrt(a2) / CAST(n * 10000 AS DOUBLE), lab) AS rn
+      FROM d)
+SELECT lab AS centroid_id, count(*) AS n_after,
+       CAST(sum(CASE WHEN c0 = lab THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed
+FROM r WHERE rn = 1 GROUP BY 1""",
+
     "v9_train_val_split" -> """
 SELECT CAST(label AS BIGINT) AS label_id,
        CASE WHEN (CAST(vec_id AS BIGINT) * 2654435761) % 2147483647 % 5 = 0
@@ -670,6 +699,38 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256
 FROM documents""",
+
+    // Shard packing manifest: HUGEINT window sum cast back before the
+    // floor division; operands non-negative so // matches Spark's div.
+    "m3_shard_assign" -> """
+WITH a AS (SELECT CAST(doc_id AS BIGINT) AS asset_id, source,
+                  CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+c AS (SELECT asset_id, source, n_bytes,
+             CAST(coalesce(sum(n_bytes) OVER (PARTITION BY source
+               ORDER BY asset_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bytes_before
+      FROM a)
+SELECT source, bytes_before // 8192 AS shard_id, count(*) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       CAST(min(asset_id) AS BIGINT) AS first_asset,
+       CAST(max(asset_id) AS BIGINT) AS last_asset
+FROM c GROUP BY 1, 2""",
+
+    // Ratio of exact-cents aggregates: one conditional sum over one
+    // scan of the star join, a single IEEE division for the share.
+    "q12_market_share" -> """
+WITH j AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev,
+                  c_mktsegment AS seg
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey)
+SELECT yr,
+       CAST(sum(CASE WHEN seg = 'BUILDING' THEN rev ELSE 0 END) AS BIGINT)
+         / CAST(sum(rev) AS BIGINT) AS share,
+       CAST(sum(rev) AS BIGINT) / 10000.0 AS total_revenue
+FROM j GROUP BY 1""",
 
     "q1_pricing_summary" -> s"""
 SELECT l_returnflag, l_linestatus,

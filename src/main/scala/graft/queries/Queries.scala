@@ -284,6 +284,49 @@ object Queries {
       queryVecs(e))
   }
 
+  /** One EXACT Lloyd training round under the hard gate — the k-means
+    * step the IVF coarse quantizer trains with (test-only until now
+    * because float centroid means aren't bit-portable). Exactness trick
+    * (same as v14): the updated centroid is carried as (n, sum-vector),
+    * never divided — `||q − s/n||² = A/n²` with `A = Σ(n·q_i − s_i)²`
+    * accumulated in Decimal(38,0), so reassignment compares
+    * `sqrt(A)/(n·scale)` — identical IEEE ops both engines. Plan shape:
+    * map-only literal-argmin assign → one (cluster, dim)-keyed sum
+    * aggregate (map-side combined, nlist·dim output rows) → collect the
+    * broadcast-sized sums → map-only literal-argmin REassign → O(nlist)
+    * count aggregate. Zero data-sized shuffles. Output per cluster:
+    * size after the round and how many members stayed. */
+  def v18LloydRound(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val a0 = IvfIndex.assign(e, seedCentroids(e), "vec_id", "embedding",
+      "cid")
+      .select(col("id"), quantize(col("vec")).as("qv"),
+        col("centroid_id").as("c0"))
+    val cs: Array[(Long, Long, Array[Long])] =
+      Centroids.classSums(a0, "c0", "qv")
+        .select(col("lab"), col("n"), col("svec")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+        .sortBy(_._1)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cands = cs.map { case (lab, n, svec) =>
+      val sLit = array(svec.map(lit(_)).toIndexedSeq: _*)
+      val a2 = aggregate(
+        zip_with(col("qv"), sLit, (qi, si) => {
+          val diff = (lit(n) * qi - si).cast(dec)
+          diff * diff
+        }),
+        lit(0L).cast(dec), (acc, x) => acc + x)
+      struct((sqrt(a2) / lit(n * 10000L).cast("double")).as("dist"),
+        lit(lab).as("lab"))
+    }
+    a0.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
+      .select(col("c0"), col("best.lab").as("centroid_id"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("c0") === col("centroid_id"), 1L).otherwise(0L))
+          .as("n_stayed"))
+  }
+
   def v9TrainValSplit(s: SparkSession, d: String): DataFrame =
     Sampling.hashSplit(emb(s, d), "vec_id")
       .groupBy(col("label").cast("long").as("label_id"), col("split"))
@@ -565,6 +608,26 @@ object Queries {
         col("feature"))
   }
 
+  /** WebDataset-style shard packing — the multimodal EXPORT shape: per
+    * source, assets in id order pack greedily into ~8 KiB shards
+    * (shard = bytes-before div shardBytes); output is the per-shard
+    * manifest a tar-writer would consume. The running sum is a
+    * source-partitioned window — one key-local shuffle; shard manifests
+    * aggregate with map-side combine. All integer arithmetic. */
+  def m3ShardAssign(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("asset_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("asset_id"), col("source"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("bytes_before", coalesce(sum("n_bytes").over(w), lit(0L)))
+      .groupBy(col("source"), expr("bytes_before div 8192").as("shard_id"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum("n_bytes").as("shard_bytes"),
+        min("asset_id").as("first_asset"),
+        max("asset_id").as("last_asset"))
+  }
+
   // ---------- relational analytics ----------
 
   /** Cents-exact money aggregate: round(expr * scale) summed as Long. */
@@ -718,6 +781,25 @@ object Queries {
       .agg(count(lit(1)).as("n_inactive"),
         (moneySum(col("c_acctbal"), 100) / lit(100.0)).as("sum_acctbal"))
   }
+
+  /** Ratio-of-aggregates (TPC-H Q8 "market share" shape): per order
+    * year, the BUILDING segment's share of total revenue. Both sums are
+    * exact cents over the same star join (ONE scan, conditional
+    * aggregation — never two scans diffed); share is one IEEE division
+    * of exact integers. */
+  def q12MarketShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * lit(10000)).cast("long").as("rev"),
+        col("c_mktsegment").as("seg"))
+      .groupBy("yr")
+      .agg(
+        (sum(when(col("seg") === "BUILDING", col("rev")).otherwise(0L))
+          / sum(col("rev"))).as("share"),
+        (sum(col("rev")) / lit(10000.0)).as("total_revenue"))
 
   /** 7-day moving average of daily order revenue — the RANGE-frame
     * window shape (frames over an ordered value domain, not row

@@ -88,6 +88,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("m3: shard manifests conserve bytes and assets per source") {
+    val r = Queries.m3ShardAssign(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.select(sum(octet_length($"text"))).as[Long].head()
+    assert(r.agg(sum("shard_bytes")).as[Long].head() === total)
+    assert(r.agg(sum("n_assets")).as[Long].head() === docs.count())
+    r.collect().foreach { row =>
+      assert(row.getAs[Long]("first_asset") <= row.getAs[Long]("last_asset"))
+      assert(row.getAs[Long]("n_assets") >= 1L)
+    }
+  }
+
+  test("q12: shares are probabilities and revenue is positive") {
+    val r = Queries.q12MarketShare(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val sh = row.getAs[Double]("share")
+      assert(sh >= 0.0 && sh <= 1.0)
+      assert(row.getAs[Double]("total_revenue") > 0.0)
+    }
+  }
+
+  test("v18: lloyd round conserves mass and reduces or keeps distortion") {
+    val r = Queries.v18LloydRound(spark, sf).collect()
+    val gallery = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(r.map(_.getAs[Long]("n_after")).sum === gallery)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_stayed") <= row.getAs[Long]("n_after"))
+    }
+    // a Lloyd step against exact means keeps most members in place
+    assert(r.map(_.getAs[Long]("n_stayed")).sum * 2 > gallery)
+  }
+
   test("v17: sq8 self-match at rank 1 with zero code distance") {
     val r = Queries.v17Sq8Knn(spark, sf)
     val top1 = r.filter($"rnk" === 1).collect()
