@@ -55,6 +55,7 @@ object SparkEntry {
     "t7_length_quantiles" -> (Queries.t7LengthQuantiles _),
     "t8_tfidf" -> (Queries.t8Tfidf _),
     "t9_repetition" -> (Queries.t9Repetition _),
+    "t10_lang_confusion" -> (Queries.t10LangConfusion _),
     "q10_small_qty_revenue" -> (Queries.q10SmallQtyRevenue _),
     "v15_filtered_knn" -> (Queries.v15FilteredKnn _),
     // multimodal
@@ -72,6 +73,7 @@ object SparkEntry {
     "q9_revenue_rollup" -> (Queries.q9RevenueRollup _),
     "q11_moving_avg" -> (Queries.q11MovingAvg _),
     "q12_market_share" -> (Queries.q12MarketShare _),
+    "q13_balance_quartiles" -> (Queries.q13BalanceQuartiles _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),
@@ -79,7 +81,8 @@ object SparkEntry {
     "e4_range_join" -> (Queries.e4RangeJoin _),
     "e5_funnel" -> (Queries.e5Funnel _),
     "e6_retention" -> (Queries.e6Retention _),
-    "e7_json_props" -> (Queries.e7JsonProps _))
+    "e7_json_props" -> (Queries.e7JsonProps _),
+    "e8_event_pivot" -> (Queries.e8EventPivot _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -663,6 +663,38 @@ SELECT day, rev_c / 100.0 AS revenue,
 FROM daily
 WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
 
+    // Pivot twin: one pass of FILTERed counts (0, not NULL, for missing
+    // combinations — the Spark side coalesces to match).
+    "e8_event_pivot" -> """
+SELECT epoch_ns(ts) // 3600000000000 AS hr,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY 1""",
+
+    "q13_balance_quartiles" -> s"""
+WITH t AS (SELECT n_name, c_acctbal,
+                  ntile(4) OVER (PARTITION BY n_name
+                    ORDER BY c_acctbal DESC, c_custkey) AS quartile
+           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
+       ${moneySum("c_acctbal", 100)} / 100.0 AS sum_acctbal,
+       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+FROM t GROUP BY 1, 2""",
+
+    // Confusion matrix of gold lang vs t1's stopword-heuristic
+    // prediction (same formula as t1_lang_id).
+    "t10_lang_confusion" -> s"""
+WITH d AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT lang,
+             CASE WHEN len(list_filter(toks, t -> t IN $stopList))
+                       / len(toks) >= 0.1
+                  THEN 'en' ELSE 'other' END AS lang_pred
+      FROM d)
+SELECT lang, lang_pred, count(*) AS n FROM c GROUP BY 1, 2""",
+
     "e6_retention" -> """
 WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
                   epoch_us(ts) // 604800000000 AS wk

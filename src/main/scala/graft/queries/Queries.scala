@@ -580,6 +580,14 @@ object Queries {
         .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Classifier-evaluation confusion matrix: gold `lang` label × t1's
+    * heuristic prediction. The eval shape every pipeline model (lang-ID,
+    * quality filter, dedup verdicts) is scored with — one map-only
+    * prediction pass + an O(labels²) aggregate. */
+  def t10LangConfusion(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("lang"), langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+
   /** MOSS-style winnowing fingerprints, long format (doc_id, fp): the
     * plagiarism/attribution primitive — any shared >= 6-token run
     * between docs shares a fingerprint row. */
@@ -782,6 +790,24 @@ object Queries {
         (moneySum(col("c_acctbal"), 100) / lit(100.0)).as("sum_acctbal"))
   }
 
+  /** Per-nation account-balance quartiles via NTILE — the bucketed-rank
+    * window family (ntile ≠ row_number: near-equal bucket SIZES, larger
+    * buckets first per the SQL standard, identical in both engines with
+    * a unique order key). Nation-partitioned, so the window is key-local
+    * — never a global sort at 100 TB. */
+  def q13BalanceQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("n_name", "quartile")
+      .agg(count(lit(1)).as("n"),
+        (moneySum(col("c_acctbal"), 100) / lit(100.0)).as("sum_acctbal"),
+        min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
+  }
+
   /** Ratio-of-aggregates (TPC-H Q8 "market share" shape): per order
     * year, the BUILDING segment's share of total revenue. Both sums are
     * exact cents over the same star join (ONE scan, conditional
@@ -909,6 +935,25 @@ object Queries {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+
+  /** Hourly event counts PIVOTED to one column per event type — the
+    * wide-report shape (`RelationalGroupedDataset.pivot` with explicit
+    * values, so the plan is a single pass with no distinct-values
+    * pre-query). Missing combinations coalesce to 0 to match the
+    * oracle's FILTER counts. */
+  def e8EventPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr("ts div 3600000000000").as("hr"), col("event_type"))
+      .groupBy("hr")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup",
+        "error"))
+      .agg(count(lit(1)))
+      .select(col("hr"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error"))
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -121,6 +121,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_stayed")).sum * 2 > gallery)
   }
 
+  test("e8: pivot columns total the events table") {
+    val r = Queries.e8EventPivot(spark, sf)
+    val total = r.select(
+      (sum("n_view") + sum("n_click") + sum("n_purchase") +
+        sum("n_signup") + sum("n_error")).cast("long")).as[Long].head()
+    assert(total === spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("q13: quartiles partition each nation with near-equal sizes") {
+    val r = Queries.q13BalanceQuartiles(spark, sf).collect()
+    r.groupBy(_.getAs[String]("n_name")).values.foreach { g =>
+      // ntile fills buckets 1..min(4, rows-in-nation)
+      val total = g.map(_.getAs[Long]("n")).sum
+      val expected = (1L to math.min(4L, total)).toSet
+      assert(g.map(_.getAs[Long]("quartile")).toSet === expected)
+      val sizes = g.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1)
+      // quartile 1 holds the top balances: mins never increase
+      val byQ = g.sortBy(_.getAs[Long]("quartile"))
+      byQ.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi.getAs[Double]("min_bal") >= lo.getAs[Double]("max_bal"))
+      }
+    }
+  }
+
+  test("t10: confusion matrix row sums match per-lang doc counts") {
+    val r = Queries.t10LangConfusion(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(r.agg(sum("n")).as[Long].head() === docs.count())
+    val rowSums = r.groupBy("lang").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val gold = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(rowSums === gold)
+    assert(r.select("lang_pred").distinct().as[String].collect().toSet
+      .subsetOf(Set("en", "other")))
+  }
+
   test("v17: sq8 self-match at rank 1 with zero code distance") {
     val r = Queries.v17Sq8Knn(spark, sf)
     val top1 = r.filter($"rnk" === 1).collect()
