@@ -34,6 +34,8 @@ object SparkEntry {
     "v16_rerank" -> (Queries.v16Rerank _),
     "v17_sq8_knn" -> (Queries.v17Sq8Knn _),
     "v18_lloyd_round" -> (Queries.v18LloydRound _),
+    "v19_class_compactness" -> (Queries.v19ClassCompactness _),
+    "v20_recall_eval" -> (Queries.v20RecallEval _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
@@ -45,6 +47,7 @@ object SparkEntry {
     "p1_corpus_clean" -> (Queries.p1CorpusClean _),
     "d8_contamination" -> (Queries.d8Contamination _),
     "d9_incremental_dedup" -> (Queries.d9IncrementalDedup _),
+    "d10_minhash_estimate" -> (Queries.d10MinhashEstimate _),
     // text analysis
     "t1_lang_id" -> (Queries.t1LangId _),
     "t2_quality_score" -> (Queries.t2QualityScore _),

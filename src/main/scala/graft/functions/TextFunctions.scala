@@ -98,6 +98,23 @@ object TextFunctions {
       transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))))
   }
 
+  /** Count of the modal (most frequent) value in a string array = max
+    * run length after sorting. ONE linear codegen'd aggregate per row,
+    * map-only — never an explode + per-row groupBy shuffle. The
+    * accumulator rides (prev, current-run, best-run); 0 for an empty
+    * array, NULL for a NULL array. */
+  def modalCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** English stopword-hit count over whitespace tokens. */
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on")

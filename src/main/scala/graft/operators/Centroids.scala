@@ -38,6 +38,36 @@ object Centroids {
     n.join(s, "lab")
   }
 
+  /** Per-class embedding compactness: mean intra-class squared L2
+    * distance via the centroid identity
+    * `Σ_{i<j}||xi−xj||² = n·Σ||xi||² − ||Σxi||²` — two O(N) map-side-
+    * combined aggregates, never a pairwise join. Sums ride
+    * Decimal(38,0) (the DuckDB-HUGEINT twin) so the identity stays
+    * exact at any class size; RandomizedEquivalenceSpec proves it
+    * against the naive all-pairs mean. Output: (label_id, n,
+    * mean_sq_dist) in real (descaled) units. */
+  def classCompactness(vecs: DataFrame, labCol: String, vecCol: String,
+                       scale: Int = 10000): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = vecs.select(col(labCol).cast("long").as("label_id"),
+      quantize(col(vecCol), scale).as("qv"))
+    val snorm = g
+      .select(col("label_id"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("label_id", "i").agg(sum(col("x").cast(dec)).as("sx"))
+      .groupBy("label_id").agg(sum(col("sx") * col("sx")).as("snorm"))
+    g.groupBy("label_id")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.VectorFunctions.intNormSq(col("qv")).cast(dec))
+          .as("s2"))
+      .join(snorm, "label_id")
+      .select(col("label_id"), col("n"),
+        when(col("n") >= 2,
+          ((col("n").cast(dec) * col("s2") - col("snorm")).cast("double")
+            / expr("n * (n - 1) div 2").cast("double"))
+            / lit(scale.toDouble * scale))
+          .otherwise(lit(0.0)).as("mean_sq_dist"))
+  }
+
   /** Assign each query vector its nearest class mean.
     * Class sums are nClasses rows by definition → broadcast; the
     * gallery streams map-only through the distance compute, and the

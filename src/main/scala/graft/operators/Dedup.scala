@@ -86,6 +86,50 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
+  /** MinHash-ESTIMATED Jaccard next to the exact value for every LSH
+    * candidate pair. At 100 TB the estimator is what the pipeline
+    * trusts INSTEAD of exact verification — signature agreement is O(k)
+    * per pair over fixed-width rows, while exact verify re-joins full
+    * shingle sets; this operator exposes both so the estimator's error
+    * is measurable on real data. Same banding as [[minhashLsh]]. */
+  def minhashEstimate(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 12,
+                      bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val sigs = base.select(col("doc_id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(bandHashes(col("sig"), bands, rows))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = banded.as("x").join(banded.as("y").hint("merge"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")),
+        "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")),
+        "b_id")
+      .withColumn("n_agree",
+        size(filter(zip_with(col("siga"), col("sigb"), (a, b) => a === b),
+          x => x)).cast("long"))
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")),
+        "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")),
+        "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+      .select(col("a_id"), col("b_id"), col("n_agree"),
+        (col("n_agree") / lit(numHashes.toDouble)).as("est_jaccard"),
+        (col("inter") / col("uni")).as("jaccard"))
+  }
+
   /** SimHash fingerprints (64-bit, as bit-string). Near-dup candidates
     * are docs at small Hamming distance; the fingerprint itself is the
     * shuffle-free map-only part. */

@@ -399,6 +399,51 @@ SELECT lab AS centroid_id, count(*) AS n_after,
        CAST(sum(CASE WHEN c0 = lab THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed
 FROM r WHERE rn = 1 GROUP BY 1""",
 
+    // Compactness oracle uses the SAME centroid identity (not a naive
+    // pairwise join — the identity itself is what's being gated; the
+    // naive-join equivalence is proven in RandomizedEquivalenceSpec).
+    // HUGEINT sums mirror the Spark side's Decimal(38,0).
+    "v19_class_compactness" -> s"""
+WITH g AS (SELECT CAST(label AS BIGINT) AS label_id, ${qv("embedding")} AS v
+           FROM embeddings),
+per AS (SELECT label_id, i, sum(v[CAST(i AS INT)+1]) AS sx
+        FROM g CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+sn AS (SELECT label_id, sum(sx * sx) AS snorm FROM per GROUP BY 1),
+ag AS (SELECT label_id, CAST(count(*) AS BIGINT) AS n,
+              sum(${idot("v", "v")}) AS s2
+       FROM g GROUP BY 1)
+SELECT ag.label_id, ag.n,
+       CASE WHEN ag.n >= 2
+            THEN (CAST(ag.n * ag.s2 - sn.snorm AS DOUBLE)
+                    / CAST((ag.n * (ag.n - 1)) // 2 AS DOUBLE)) / 100000000.0
+            ELSE 0.0 END AS mean_sq_dist
+FROM ag JOIN sn USING (label_id)""",
+
+    // Recall@5 of the LSH bucket search vs the exact scan — the v1 and
+    // v10 chains under distinct CTE names, left-joined per hit.
+    "v20_recall_eval" -> s"""
+WITH ge AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+qe AS (SELECT gid AS query_id, v AS qvec FROM ge WHERE gid % 100 = 0),
+de AS (SELECT query_id, gid, ${l2sq("v", "qvec")} AS d2 FROM ge CROSS JOIN qe),
+re AS (SELECT query_id, gid,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+       FROM de),
+hx AS (SELECT query_id, gid FROM re WHERE rnk <= 5),
+bl AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM ge),
+qb AS (SELECT gid AS query_id, v AS qvec, bucket FROM bl WHERE gid % 100 = 0),
+cl AS (SELECT qb.query_id, bl.gid, ${l2sq("bl.v", "qb.qvec")} AS d2
+       FROM bl JOIN qb ON bl.bucket = qb.bucket),
+rl AS (SELECT query_id, gid,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+       FROM cl),
+ha AS (SELECT query_id, gid FROM rl WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+
     "v9_train_val_split" -> """
 SELECT CAST(label AS BIGINT) AS label_id,
        CASE WHEN (CAST(vec_id AS BIGINT) * 2654435761) % 2147483647 % 5 = 0
@@ -416,6 +461,21 @@ WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 ${minhashPairCtes("d")}
 SELECT a_id, b_id, inter, uni, inter / uni AS jaccard
 FROM v WHERE inter / uni >= 0.5""",
+
+    // Estimated (signature-agreement) next to exact Jaccard on the d2
+    // candidate set — reuses the shared minhash CTE chain.
+    "d10_minhash_estimate" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+${minhashPairCtes("d")},
+est AS (SELECT cand.a_id, cand.b_id,
+               CAST(len(list_filter(range(12),
+                 j -> sa.sig[CAST(j AS INT)+1] = sb.sig[CAST(j AS INT)+1]))
+                 AS BIGINT) AS n_agree
+        FROM cand JOIN sg sa ON sa.doc_id = cand.a_id
+        JOIN sg sb ON sb.doc_id = cand.b_id)
+SELECT e.a_id, e.b_id, e.n_agree, e.n_agree / 12.0 AS est_jaccard,
+       v.inter / v.uni AS jaccard
+FROM est e JOIN v ON v.a_id = e.a_id AND v.b_id = e.b_id""",
 
     "d3_simhash" -> s"""
 WITH $simhashFpCtes

@@ -327,6 +327,35 @@ object Queries {
           .as("n_stayed"))
   }
 
+  /** Per-class embedding compactness — mean intra-class squared L2 —
+    * WITHOUT any pairwise join: the centroid identity
+    * `Σ_{i<j}||xi−xj||² = n·Σ||xi||² − ||Σxi||²` turns an O(N²/labels)
+    * self-join into two O(N) aggregates on (label) / (label, dim) keys,
+    * both map-side combined. Sums ride Decimal(38,0) (mirrors DuckDB's
+    * HUGEINT) so the identity is exact at any class size; the one IEEE
+    * division sequence is identical on both engines. The embedding-
+    * quality diagnostic every gallery build should ship with. */
+  def v19ClassCompactness(s: SparkSession, d: String): DataFrame =
+    Centroids.classCompactness(emb(s, d), "label", "embedding")
+
+  /** Recall@5 of the LSH path (v10) against the exact scan (v1), per
+    * query — ANN quality evaluation as a first-class gated operator,
+    * not just a probe script. Both sides are tiny (Q·k rows); the join
+    * broadcasts. */
+  def v20RecallEval(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v10LshSearch(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   def v9TrainValSplit(s: SparkSession, d: String): DataFrame =
     Sampling.hashSplit(emb(s, d), "vec_id")
       .groupBy(col("label").cast("long").as("label_id"), col("split"))
@@ -380,6 +409,12 @@ object Queries {
       all.filter(col("doc_id") % 4 =!= 0)
         .select(md5(col("text")).as("text_hash")))
   }
+
+  /** MinHash-estimated vs exact Jaccard on the d2 candidate pairs —
+    * gates the ESTIMATOR the scale path trusts when exact verification
+    * is too expensive (see Dedup.minhashEstimate). */
+  def d10MinhashEstimate(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashEstimate(docs(s, d), "doc_id", "text")
 
   def d5EmbeddingDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label",
@@ -533,22 +568,6 @@ object Queries {
         max(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_tok"))).as("p99"))
   }
 
-  /** Max run length in the sorted array = the count of the modal value.
-    * ONE linear codegen'd aggregate per row, map-only — the oracle's
-    * naive twin pays an explode + (doc, value) groupBy shuffle for the
-    * same number. The accumulator rides (prev, current-run, best-run). */
-  private def maxRunLen(arr: Column): Column =
-    aggregate(array_sort(arr),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-
   /** Gopher-style repetition signals per document — the quality gates a
     * training corpus filters on: top-unigram fraction (fraction of
     * tokens that are the single most frequent token), top-bigram
@@ -563,14 +582,14 @@ object Queries {
         i => concat(element_at(toks, i + 1), lit(" "),
           element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
-    // two-step select: the maxRunLen aliases are referenced twice below,
+    // two-step select: the modalCount aliases are referenced twice below,
     // so CollapseProject keeps this projection (single evaluation)
     val base = docs(s, d).select(
       col("doc_id").cast("long").as("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
-      maxRunLen(toks).as("top_token_n"),
-      maxRunLen(bigrams).as("top_bigram_n"))
+      modalCount(toks).as("top_token_n"),
+      modalCount(bigrams).as("top_bigram_n"))
     base.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
       col("top_token_n"), col("top_bigram_n"),
       (col("top_token_n") / col("n_tokens")).as("top_token_frac"),

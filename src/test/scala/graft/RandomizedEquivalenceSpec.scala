@@ -97,6 +97,55 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("classCompactness identity == naive all-pairs mean on random vectors") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val dim = 6
+      val rows = (1 to 50).map { i =>
+        (i.toLong, rnd.nextInt(4),
+          Seq.fill(dim)((rnd.nextInt(20001) - 10000) / 10000.0f))
+      }
+      val got = graft.operators.Centroids.classCompactness(
+          rows.toDF("vec_id", "label", "embedding"), "label", "embedding")
+        .select("label_id", "mean_sq_dist").as[(Long, Double)]
+        .collect().toMap
+      // naive: exact BigInt pairwise mean over the same quantization
+      def q(x: Float): BigInt = BigInt(math.round(x.toDouble * 10000))
+      val expected = rows.groupBy(_._2).map { case (lab, vs) =>
+        val qs = vs.map(_._3.map(q))
+        val pairs = for (a <- qs.indices; b <- a + 1 until qs.size) yield
+          qs(a).zip(qs(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+        val nP = qs.size.toLong * (qs.size - 1) / 2
+        lab.toLong ->
+          (if (nP == 0) 0.0
+           else (pairs.sum.toDouble / nP.toDouble) / 1e8)
+      }
+      assert(got.keySet === expected.keySet, s"trial=$trial")
+      expected.foreach { case (lab, m) =>
+        // both sides are one IEEE division chain over the same exact
+        // integer numerator — tolerance only for the double-vs-BigInt
+        // conversion path difference in the naive sum
+        assert(math.abs(got(lab) - m) <= math.ulp(m) * 8, s"trial=$trial lab=$lab")
+      }
+    }
+  }
+
+  test("modalCount == naive frequency max on random token arrays") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("x", "y", "z", "w")
+    val rows = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    } :+ (41L, Seq.empty[String])
+    val got = rows.toDF("id", "toks")
+      .select($"id", graft.functions.TextFunctions.modalCount($"toks").as("m"))
+      .as[(Long, Long)].collect().toMap
+    val expected = rows.map { case (id, toks) =>
+      id -> (if (toks.isEmpty) 0L
+             else toks.groupBy(identity).values.map(_.size).max.toLong)
+    }.toMap
+    assert(got === expected)
+  }
+
   test("rangeJoinAgg == naive window count on random event streams") {
     val rnd = new scala.util.Random(17)
     val quotes = (1 to 150).map(i =>
