@@ -48,6 +48,7 @@ object SparkEntry {
     "d8_contamination" -> (Queries.d8Contamination _),
     "d9_incremental_dedup" -> (Queries.d9IncrementalDedup _),
     "d10_minhash_estimate" -> (Queries.d10MinhashEstimate _),
+    "d11_overlap_pairs" -> (Queries.d11OverlapPairs _),
     // text analysis
     "t1_lang_id" -> (Queries.t1LangId _),
     "t2_quality_score" -> (Queries.t2QualityScore _),

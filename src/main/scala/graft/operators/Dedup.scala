@@ -130,6 +130,35 @@ object Dedup {
         (col("inter") / col("uni")).as("jaccard"))
   }
 
+  /** Document-overlap pairs via shared MOSS-winnowing fingerprints —
+    * catches CONTAINED/copied passages that whole-document Jaccard
+    * misses (any shared run of >= w+n-1 tokens shares a fingerprint).
+    * Inverted-index self-join with an explicit document-frequency cap:
+    * a fingerprint present in more than `maxDf` docs is boilerplate and
+    * would form a quadratic bucket at scale — the cap is part of the
+    * operator's SEMANTICS (mirrored by the oracle), not an
+    * approximation bolted on. One fp-keyed window for the cap, one
+    * fp-keyed self-join, one pair-keyed count. */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, window: Int = 4, maxDf: Long = 50,
+                   minShared: Long = 2): DataFrame = {
+    val fps = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        positionalShingleHashes(col(textCol), shingleN).as("hs"))
+      .select(col("doc_id"), explode(windowMins(col("hs"), window)).as("fp"))
+    val capped = fps
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "fp")
+    capped.as("x").join(capped.as("y").hint("merge"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash fingerprints (64-bit, as bit-string). Near-dup candidates
     * are docs at small Hamming distance; the fingerprint itself is the
     * shuffle-free map-only part. */

@@ -638,6 +638,31 @@ SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
             ELSE 0.0 END AS top_bigram_frac
 FROM d LEFT JOIN topu USING (doc_id) LEFT JOIN topb USING (doc_id)""",
 
+    // Overlap pairs on t6's winnowing fingerprints; the df <= 50 cap is
+    // operator semantics (boilerplate fingerprints excluded) mirrored
+    // exactly here.
+    "d11_overlap_pairs" -> """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS toks FROM documents),
+h AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(len(toks) - 2),
+                         i -> md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                  ELSE CAST([] AS VARCHAR[]) END AS hs
+      FROM d),
+w AS (SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_distinct(list_transform(range(len(hs) - 3),
+                         i -> list_min(hs[i+1:i+4])))
+                  ELSE CAST([] AS VARCHAR[]) END AS fps
+      FROM h),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+df AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM f),
+c AS (SELECT doc_id, fp FROM df WHERE df <= 50)
+SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM c x JOIN c y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+
     "t6_winnowing" -> """
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                   string_split(text, ' ') AS toks

@@ -416,6 +416,12 @@ object Queries {
   def d10MinhashEstimate(s: SparkSession, d: String): DataFrame =
     Dedup.minhashEstimate(docs(s, d), "doc_id", "text")
 
+  /** Passage-overlap pairs by shared winnowing fingerprints (see
+    * Dedup.overlapPairs) — the partial-copy detector whole-doc Jaccard
+    * misses. */
+  def d11OverlapPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.overlapPairs(docs(s, d), "doc_id", "text")
+
   def d5EmbeddingDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label",
       threshold = 0.35)

@@ -159,6 +159,24 @@ class PipelineOpsSpec extends SparkSpec {
       .subsetOf(Set("en", "other")))
   }
 
+  test("d11: a copied passage links its documents; unrelated docs don't") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base),
+      (2L, "one two three " + base + " four five six"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    // minShared=1: any shared run of >= w+n-1 = 6 tokens is GUARANTEED
+    // to share a winnowing fingerprint (the local-min property)
+    val pairs = graft.operators.Dedup
+      .overlapPairs(docs, "doc_id", "text", minShared = 1).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a_id") == 1L &&
+      r.getAs[Long]("b_id") == 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("a_id") == 3L ||
+      r.getAs[Long]("b_id") == 3L))
+  }
+
   test("v17: sq8 self-match at rank 1 with zero code distance") {
     val r = Queries.v17Sq8Knn(spark, sf)
     val top1 = r.filter($"rnk" === 1).collect()
