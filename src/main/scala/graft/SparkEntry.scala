@@ -78,6 +78,7 @@ object SparkEntry {
     "q11_moving_avg" -> (Queries.q11MovingAvg _),
     "q12_market_share" -> (Queries.q12MarketShare _),
     "q13_balance_quartiles" -> (Queries.q13BalanceQuartiles _),
+    "q14_balance_rank" -> (Queries.q14BalanceRank _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),

@@ -759,6 +759,15 @@ SELECT epoch_ns(ts) // 3600000000000 AS hr,
        count(*) FILTER (WHERE event_type = 'error') AS n_error
 FROM events GROUP BY 1""",
 
+    "q14_balance_rank" -> """
+WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
+                  rank() OVER w AS rnk,
+                  percent_rank() OVER w AS pct_rank
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC))
+SELECT n_name, c_custkey, c_acctbal, CAST(rnk AS BIGINT) AS rnk, pct_rank
+FROM r WHERE rnk <= 5""",
+
     "q13_balance_quartiles" -> s"""
 WITH t AS (SELECT n_name, c_acctbal,
                   ntile(4) OVER (PARTITION BY n_name

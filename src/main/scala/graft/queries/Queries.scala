@@ -833,6 +833,23 @@ object Queries {
         min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
   }
 
+  /** Top account balances per nation with RANK + PERCENT_RANK — the
+    * tie-aware window family (rank repeats on equal balances,
+    * percent_rank = (rank−1)/(n−1) is an exact-integer division, so
+    * tie semantics themselves are under the hash gate). Key-local
+    * window, no global sort. */
+  def q14BalanceRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc)
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey").cast("long").as("c_custkey"),
+        col("c_acctbal"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
   /** Ratio-of-aggregates (TPC-H Q8 "market share" shape): per order
     * year, the BUILDING segment's share of total revenue. Both sums are
     * exact cents over the same star join (ONE scan, conditional

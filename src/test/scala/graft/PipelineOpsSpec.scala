@@ -177,6 +177,40 @@ class PipelineOpsSpec extends SparkSpec {
       r.getAs[Long]("b_id") == 3L))
   }
 
+  test("compactness edge cases: singleton class 0.0, identical vectors 0.0") {
+    val df = Seq(
+      (1L, 0, Seq(0.5f, -0.25f, 1.0f)),
+      (2L, 0, Seq(0.5f, -0.25f, 1.0f)),  // identical pair → dist 0
+      (3L, 1, Seq(0.9f, 0.1f, -0.3f)))   // singleton class
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.operators.Centroids
+      .classCompactness(df, "label", "embedding")
+      .collect().map(x => x.getAs[Long]("label_id") ->
+        (x.getAs[Long]("n"), x.getAs[Double]("mean_sq_dist"))).toMap
+    assert(got(0L) === ((2L, 0.0)))
+    assert(got(1L) === ((1L, 0.0)))
+  }
+
+  test("sq8 encode survives a constant dimension (range guard)") {
+    // dim 2 constant across the gallery → range 0 → guarded to 1,
+    // all codes 0, distance contribution 0; no division error
+    val df = Seq(
+      (0L, Seq(1.0f, 0.7f)), (100L, Seq(0.2f, 0.7f)), (2L, Seq(0.4f, 0.7f)))
+      .toDF("gid", "v")
+    import graft.functions.VectorFunctions.quantize
+    val g = df.select($"gid", quantize($"v").as("qv"))
+    val stats = g.select(posexplode($"qv").as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    assert(stats(1).getLong(1) === stats(1).getLong(2)) // constant dim
+    // the gated query's encode path on the real table is oracle-checked;
+    // here just prove the whole query runs on a degenerate gallery shape
+    // via the public surface (self-match still holds)
+    val out = graft.operators.KnnJoin.knnL2(g, g.filter($"gid" === 0L),
+      "gid", "qv", "gid", k = 1, scale = 1).collect()
+    assert(out.head.getAs[Long]("neighbor_id") === 0L)
+  }
+
   test("v17: sq8 self-match at rank 1 with zero code distance") {
     val r = Queries.v17Sq8Knn(spark, sf)
     val top1 = r.filter($"rnk" === 1).collect()
