@@ -49,6 +49,7 @@ object SparkEntry {
     "d9_incremental_dedup" -> (Queries.d9IncrementalDedup _),
     "d10_minhash_estimate" -> (Queries.d10MinhashEstimate _),
     "d11_overlap_pairs" -> (Queries.d11OverlapPairs _),
+    "d12_edit_distance" -> (Queries.d12EditDistance _),
     // text analysis
     "t1_lang_id" -> (Queries.t1LangId _),
     "t2_quality_score" -> (Queries.t2QualityScore _),
@@ -79,6 +80,8 @@ object SparkEntry {
     "q12_market_share" -> (Queries.q12MarketShare _),
     "q13_balance_quartiles" -> (Queries.q13BalanceQuartiles _),
     "q14_balance_rank" -> (Queries.q14BalanceRank _),
+    "q15_revenue_cube" -> (Queries.q15RevenueCube _),
+    "q16_segment_setops" -> (Queries.q16SegmentSetOps _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),

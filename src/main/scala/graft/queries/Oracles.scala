@@ -477,6 +477,19 @@ SELECT e.a_id, e.b_id, e.n_agree, e.n_agree / 12.0 AS est_jaccard,
        v.inter / v.uni AS jaccard
 FROM est e JOIN v ON v.a_id = e.a_id AND v.b_id = e.b_id""",
 
+    // Levenshtein verify of the d2 candidate set (jaccard >= 0.5 pairs,
+    // same minhash chain); division before subtraction on both sides.
+    "d12_edit_distance" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+${minhashPairCtes("d")},
+p AS (SELECT a_id, b_id FROM v WHERE inter / uni >= 0.5),
+t AS (SELECT CAST(doc_id AS BIGINT) AS did, text FROM documents)
+SELECT p.a_id, p.b_id,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+       1.0 - CAST(levenshtein(ta.text, tb.text) AS BIGINT)
+               / CAST(greatest(strlen(ta.text), strlen(tb.text)) AS BIGINT) AS sim
+FROM p JOIN t ta ON ta.did = p.a_id JOIN t tb ON tb.did = p.b_id""",
+
     "d3_simhash" -> s"""
 WITH $simhashFpCtes
 SELECT doc_id, simhash FROM f""",
@@ -944,6 +957,27 @@ SELECT coalesce(n_name, 'ALL') AS nation, coalesce(yr, -1) AS yr,
        ${moneySum(discPrice, 10000)} / 10000.0 AS revenue,
        count(*) AS n
 FROM j GROUP BY ROLLUP(n_name, yr)""",
+
+    "q15_revenue_cube" -> s"""
+WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  l_extendedprice, l_discount
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+SELECT coalesce(n_name, 'ALL') AS nation, coalesce(yr, -1) AS yr,
+       ${moneySum(discPrice, 10000)} / 10000.0 AS revenue,
+       count(*) AS n
+FROM j GROUP BY CUBE(n_name, yr)""",
+
+    "q16_segment_setops" -> """
+WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+r AS (SELECT CAST(o_custkey AS BIGINT) AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+SELECT c_custkey, 'active' AS op FROM (SELECT * FROM b INTERSECT SELECT * FROM r)
+UNION ALL
+SELECT c_custkey, 'inactive' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM r)""",
 
     "q8_inactive_customers" -> s"""
 SELECT n_name, count(*) AS n_inactive,

@@ -422,6 +422,29 @@ object Queries {
   def d11OverlapPairs(s: SparkSession, d: String): DataFrame =
     Dedup.overlapPairs(docs(s, d), "doc_id", "text")
 
+  /** Edit-distance verification of the MinHash candidate pairs — the
+    * character-level second opinion on d2's token-level verdicts
+    * (catches e.g. reorderings that keep shingle sets close). Native
+    * `levenshtein` on BOTH engines; O(|a|·|b|) per pair is affordable
+    * precisely because it only runs on the O(candidates) pair set,
+    * never the corpus — the candidate-then-verify composition is the
+    * point at 100 TB. */
+  def d12EditDistance(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2MinhashPairs(s, d).select("a_id", "b_id")
+    val t = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
+      col("text"))
+    t.select(col("doc_id").as("a_id"), col("text").as("ta"))
+      .join(broadcast(pairs), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")),
+        "b_id")
+      .withColumn("edit_dist",
+        levenshtein(col("ta"), col("tb")).cast("long"))
+      .select(col("a_id"), col("b_id"), col("edit_dist"),
+        (lit(1.0) - col("edit_dist")
+          / greatest(length(col("ta")), length(col("tb"))).cast("long"))
+          .as("sim"))
+  }
+
   def d5EmbeddingDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label",
       threshold = 0.35)
@@ -887,6 +910,40 @@ object Queries {
       (col("rev_c") / lit(100.0)).as("revenue"),
       ((sum("rev_c").over(w) / lit(100.0)) / count(lit(1)).over(w))
         .as("ma7"))
+  }
+
+  /** CUBE aggregate: revenue by (nation, year) with BOTH marginal
+    * planes and the grand total — q9's ROLLUP plus the year-only
+    * marginals. Same sentinel coalescing keeps NULL markers
+    * hash-comparable. */
+  def q15RevenueCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .cube(col("n_name"), col("yr"))
+      .agg((moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("yr"), lit(-1L)).as("yr"),
+        col("revenue"), col("n"))
+
+  /** Set-operation family (INTERSECT / EXCEPT, distinct-set semantics
+    * in both engines): BUILDING-segment customers split by whether they
+    * ordered in 1998+. Each set op compiles to a distinct + key-local
+    * join — no new shuffle shape, but the API family is gated. */
+  def q16SegmentSetOps(s: SparkSession, d: String): DataFrame = {
+    val building = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("long").as("c_custkey"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00")))
+      .select(col("o_custkey").cast("long").as("c_custkey"))
+    building.intersect(recent).withColumn("op", lit("active"))
+      .union(building.except(recent).withColumn("op", lit("inactive")))
   }
 
   // ---------- events (batch twins of the streaming ops) ----------

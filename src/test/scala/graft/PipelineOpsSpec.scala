@@ -211,6 +211,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("neighbor_id") === 0L)
   }
 
+  test("d12: one verdict per d2 pair, sim bounded, zero dist iff equal text") {
+    val d2 = Queries.d2MinhashPairs(spark, sf).count()
+    val r = Queries.d12EditDistance(spark, sf).collect()
+    assert(r.length.toLong === d2)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().toMap
+    r.foreach { row =>
+      val sim = row.getAs[Double]("sim")
+      assert(sim >= 0.0 && sim <= 1.0)
+      val same = texts(row.getAs[Long]("a_id")) == texts(row.getAs[Long]("b_id"))
+      assert((row.getAs[Long]("edit_dist") == 0L) === same)
+    }
+  }
+
+  test("q15/q16: cube covers rollup rows; set ops partition the segment") {
+    val cube = Queries.q15RevenueCube(spark, sf).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("yr"))).toSet
+    val rollup = Queries.q9RevenueRollup(spark, sf).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("yr"))).toSet
+    assert(rollup.subsetOf(cube)) // CUBE ⊇ ROLLUP grouping sets
+    assert(cube.exists { case (n, y) => n == "ALL" && y != -1L }) // year marginals
+    val ops = Queries.q16SegmentSetOps(spark, sf)
+    val total = ops.count()
+    val building = spark.read.parquet(s"$sf/customer.parquet")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey").distinct().count()
+    assert(total === building) // active + inactive partition the segment
+    assert(ops.select("c_custkey").distinct().count() === total)
+  }
+
   test("v17: sq8 self-match at rank 1 with zero code distance") {
     val r = Queries.v17Sq8Knn(spark, sf)
     val top1 = r.filter($"rnk" === 1).collect()
