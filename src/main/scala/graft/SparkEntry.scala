@@ -61,6 +61,7 @@ object SparkEntry {
     "t8_tfidf" -> (Queries.t8Tfidf _),
     "t9_repetition" -> (Queries.t9Repetition _),
     "t10_lang_confusion" -> (Queries.t10LangConfusion _),
+    "t11_normalize" -> (Queries.t11Normalize _),
     "q10_small_qty_revenue" -> (Queries.q10SmallQtyRevenue _),
     "v15_filtered_knn" -> (Queries.v15FilteredKnn _),
     // multimodal

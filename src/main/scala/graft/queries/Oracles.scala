@@ -676,6 +676,19 @@ SELECT x.doc_id AS a_id, y.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM c x JOIN c y ON x.fp = y.fp AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2""",
 
+    // Normalization chain kept to ASCII classes so RE2 (DuckDB) and
+    // Java regex (Spark) agree; 'g' flag matches Spark's default
+    // global replace.
+    "t11_normalize" -> """
+WITH n AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents)
+SELECT doc_id, md5(norm) AS norm_hash,
+       CAST(strlen(norm) AS BIGINT) AS n_chars_norm,
+       CAST(CASE WHEN norm = text THEN 1 ELSE 0 END AS BIGINT) AS unchanged
+FROM n""",
+
     "t6_winnowing" -> """
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                   string_split(text, ' ') AS toks

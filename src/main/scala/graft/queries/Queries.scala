@@ -636,6 +636,24 @@ object Queries {
     docs(s, d).select(col("lang"), langId(col("text")).as("lang_pred"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
 
+  /** CCNet-style text normalization BEFORE hashing — lowercase, strip
+    * non-alphanumerics, collapse whitespace — the step web-scale dedup
+    * runs so that trivial formatting differences don't defeat exact
+    * dedup. Map-only `regexp_replace` chain (patterns restricted to
+    * ASCII classes, identical under Java regex and RE2); emits the
+    * normalized content hash d1-style dedup would key on. */
+  def t11Normalize(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        norm.as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_hash"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        when(col("norm") === col("text"), 1L).otherwise(0L)
+          .as("unchanged"))
+  }
+
   /** MOSS-style winnowing fingerprints, long format (doc_id, fp): the
     * plagiarism/attribution primitive — any shared >= 6-token run
     * between docs shares a fingerprint row. */

@@ -242,6 +242,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ops.select("c_custkey").distinct().count() === total)
   }
 
+  test("t11: normalization is idempotent and length never grows") {
+    val r = Queries.t11Normalize(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("long"), length($"text").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    r.collect().foreach { row =>
+      assert(row.getAs[Long]("n_chars_norm") <=
+        docs(row.getAs[Long]("doc_id")))
+      assert(row.getAs[String]("norm_hash").length === 32)
+    }
+    // already-normal text (lowercase words + single spaces) is unchanged
+    assert(r.filter($"unchanged" === 1L).count() > 0)
+  }
+
   test("v17: sq8 self-match at rank 1 with zero code distance") {
     val r = Queries.v17Sq8Knn(spark, sf)
     val top1 = r.filter($"rnk" === 1).collect()
