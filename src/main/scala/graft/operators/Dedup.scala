@@ -49,31 +49,8 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"))
-    // only (doc_id, band) rides through the bucket self-join — the full
-    // shingle sets are re-joined by id AFTER candidate dedup, so the
-    // band shuffle and the dropDuplicates shuffle move fixed-width rows,
-    // not whole shingle arrays.
-    // Materialize the signature as its own projection: inlining it into
-    // bandHashes would re-evaluate the minhash kernel once per
-    // element_at (k times per row) inside the Generate.
-    val banded = base
-      .select(col("doc_id"),
-        minhashSignature(col("sh"), numHashes).as("sig"))
-      .select(col("doc_id"),
-        posexplode(bandHashes(col("sig"), bands, rows))
-          .as(Seq("band_idx", "band_hash")))
-    // `merge` hint: keep the self-join a shuffle join so the two
-    // identical banded subplans (shingle + minhash compute, the
-    // expensive part) collapse into ONE reused exchange.
-    val cand = banded.as("x").join(banded.as("y").hint("merge"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val (base, _, cand) =
+      lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
     cand
       .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
@@ -86,15 +63,25 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
-  /** MinHash-ESTIMATED Jaccard next to the exact value for every LSH
-    * candidate pair. At 100 TB the estimator is what the pipeline
-    * trusts INSTEAD of exact verification — signature agreement is O(k)
-    * per pair over fixed-width rows, while exact verify re-joins full
-    * shingle sets; this operator exposes both so the estimator's error
-    * is measurable on real data. Same banding as [[minhashLsh]]. */
-  def minhashEstimate(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 3, numHashes: Int = 12,
-                      bands: Int = 4): DataFrame = {
+  /** The shared MinHash-LSH front end of [[minhashLsh]] and
+    * [[minhashEstimate]] — shingle → signature → banded bucket
+    * self-join → deduped candidate pairs — factored out so the banding
+    * arithmetic exists ONCE on the Spark side (mirroring the single
+    * shared oracle CTE chain). Returns (base(doc_id, sh),
+    * sigs(doc_id, sig), cand(a_id, b_id)).
+    *
+    * Plan notes: only (doc_id, band) rides through the bucket
+    * self-join — full shingle sets are re-joined by id AFTER candidate
+    * dedup, so the band and dropDuplicates shuffles move fixed-width
+    * rows. The signature is materialized as its own projection
+    * (inlining it into bandHashes would re-evaluate the minhash kernel
+    * once per element_at inside the Generate), and the `merge` hint
+    * keeps the self-join a shuffle join so the two identical banded
+    * subplans collapse into ONE reused exchange. */
+  private def lshCandidates(docs: DataFrame, idCol: String,
+                            textCol: String, shingleN: Int,
+                            numHashes: Int, bands: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       shingles(col(textCol), shingleN).as("sh"))
@@ -109,6 +96,20 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    (base, sigs, cand)
+  }
+
+  /** MinHash-ESTIMATED Jaccard next to the exact value for every LSH
+    * candidate pair. At 100 TB the estimator is what the pipeline
+    * trusts INSTEAD of exact verification — signature agreement is O(k)
+    * per pair over fixed-width rows, while exact verify re-joins full
+    * shingle sets; this operator exposes both so the estimator's error
+    * is measurable on real data. Same banding as [[minhashLsh]]. */
+  def minhashEstimate(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 12,
+                      bands: Int = 4): DataFrame = {
+    val (base, sigs, cand) =
+      lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
     cand
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")),
         "a_id")

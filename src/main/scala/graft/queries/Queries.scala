@@ -159,12 +159,13 @@ object Queries {
     val short = PqIndex
       .searchAdc(codes, queries, "id", "qemb", PqDim, PqM, book, k = 20)
       .select(col("query_id"), col("neighbor_id"))
-    val e = emb(s, d)
-    val g = e.select(col("vec_id").cast("long").as("neighbor_id"),
+    val g = emb(s, d).select(col("vec_id").cast("long").as("neighbor_id"),
       quantize(col("embedding")).as("gv"))
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").cast("long").as("query_id"),
-        quantize(col("embedding")).as("qv"))
+    // re-rank queries derive from the SAME frame the shortlist used
+    // (qemb already holds the scale-10000 fixed-point values, so
+    // quantize(_, 1) is the exact long cast) — one query-set definition
+    val q = queries.select(col("id").as("query_id"),
+      quantize(col("qemb"), 1).as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("d2"), col("neighbor_id"))
     g.join(broadcast(short), "neighbor_id")
@@ -428,7 +429,10 @@ object Queries {
     * `levenshtein` on BOTH engines; O(|a|·|b|) per pair is affordable
     * precisely because it only runs on the O(candidates) pair set,
     * never the corpus — the candidate-then-verify composition is the
-    * point at 100 TB. */
+    * point at 100 TB. Declared domain is ASCII text: DuckDB's
+    * levenshtein counts byte edits while Spark's counts char edits
+    * (identical for ASCII); the similarity denominator is CHARACTER
+    * length on both sides. */
   def d12EditDistance(s: SparkSession, d: String): DataFrame = {
     val pairs = d2MinhashPairs(s, d).select("a_id", "b_id")
     val t = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),

@@ -27,7 +27,9 @@ class PipelineOpsSpec extends SparkSpec {
     // hand-count the modal token of doc 0 and compare
     val text = spark.read.parquet(s"$sf/documents.parquet")
       .filter($"doc_id" === 0).select("text").as[String].head()
-    val expected = text.split(" ").groupBy(identity).values.map(_.length).max
+    // split with limit -1: keep trailing empty tokens, matching Spark's
+    // split() semantics the query uses
+    val expected = text.split(" ", -1).groupBy(identity).values.map(_.length).max
     val got = r.filter($"doc_id" === 0).select("top_token_n").as[Long].head()
     assert(got === expected.toLong)
   }
@@ -140,8 +142,10 @@ class PipelineOpsSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1)
       // quartile 1 holds the top balances: mins never increase
       val byQ = g.sortBy(_.getAs[Long]("quartile"))
-      byQ.sliding(2).foreach { case Array(hi, lo) =>
-        assert(hi.getAs[Double]("min_bal") >= lo.getAs[Double]("max_bal"))
+      byQ.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("min_bal") >= lo.getAs[Double]("max_bal"))
+        case _ => () // single-quartile nation: nothing to compare
       }
     }
   }
