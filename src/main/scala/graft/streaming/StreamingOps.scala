@@ -20,6 +20,8 @@ object StreamingOps {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
+  case class PropsEvent(ts: java.sql.Timestamp, event_type: String,
+                        props: String)
   case class SessionState(startTs: Long, lastTs: Long, events: Long)
   /** `session_id` is the session's START epoch-millis — globally unique
     * per user WITHOUT cross-session state, so a timeout can drop the
@@ -34,6 +36,23 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame,
              key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming JSON extraction + windowed aggregation — the continuous
+    * twin of the batch e7 op: parse the opaque `props` payload with
+    * `get_json_object` (same codegen'd path evaluation as batch, no
+    * UDF) and aggregate per (tumbling window, event_type, k-decile)
+    * under a watermark. Schema-on-read at ingest; state bounded by the
+    * watermark horizon. */
+  def extractProps(events: DataFrame, watermark: String = "30 minutes",
+                   windowLen: String = "1 hour"): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"),
+        expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("k_bucket"), col("n"), col("sum_k"))
 
   /** Stream-static KNN: score a stream of query vectors against a
     * static gallery and keep each query's top-k — the continuous twin

@@ -160,6 +160,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("extractProps parses JSON and aggregates per window/type/decile") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.PropsEvent]
+    mem.addData(
+      StreamingOps.PropsEvent(ts(0), "click", """{"k": 7}"""),
+      StreamingOps.PropsEvent(ts(10), "click", """{"k": 9}"""),
+      StreamingOps.PropsEvent(ts(20), "click", """{"k": 25}"""),
+      StreamingOps.PropsEvent(ts(30), "view", """{"k": 3}"""))
+    val q = StreamingOps.extractProps(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("props").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("props")
+        .select(col("event_type"), col("k_bucket"), col("n"), col("sum_k"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(rows === Set(("click", 0L, 2L, 16L), ("click", 2L, 1L, 25L),
+        ("view", 0L, 1L, 3L)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions by gap and by event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
