@@ -42,6 +42,30 @@ object KnnJoin {
         distFromIntSq(col("d2"), scale).as("dist"))
   }
 
+  /** [[knnL2]] over PRE-QUANTIZED integer vectors (array<long>): skips
+    * the per-row toDoubleArray→round→cast quantize pass, so the hot
+    * gallery scan is a straight integer-L2 kernel over the stored
+    * arrays — the right entry point for code/SQ8 spaces where vectors
+    * are already integers (re-quantizing with scale=1 is numerically
+    * exact but wastes an array transform per row on both join sides).
+    *
+    * @param scale the fixed-point scale the integers ALREADY carry
+    *              (dist is reported on the original scale) */
+  def knnL2Pre(gallery: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, qidCol: String, k: Int,
+               scale: Int = 1): DataFrame = {
+    val g = gallery.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("gv"))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    val scored = g.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "d2", k, ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
+  }
+
   /** Exact top-k by cosine similarity on quantized vectors. */
   def knnCosine(gallery: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, qidCol: String, k: Int,

@@ -479,14 +479,16 @@ FROM est e JOIN v ON v.a_id = e.a_id AND v.b_id = e.b_id""",
 
     // Levenshtein verify of the d2 candidate set (jaccard >= 0.5 pairs,
     // same minhash chain); division before subtraction on both sides.
-    // length() = CHARACTER length (matches Spark's length); note DuckDB
-    // levenshtein counts byte edits vs Spark's char edits — identical on
-    // the ASCII domain this operator declares, divergent beyond it.
+    // length() = CHARACTER length (matches Spark's length). DuckDB
+    // levenshtein counts byte edits vs Spark's char edits — identical
+    // only on ASCII, so both sides ENFORCE the ASCII domain with the
+    // same anchored regex (valid under RE2 and Java regex alike).
     "d12_edit_distance" -> s"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 ${minhashPairCtes("d")},
 p AS (SELECT a_id, b_id FROM v WHERE inter / uni >= 0.5),
-t AS (SELECT CAST(doc_id AS BIGINT) AS did, text FROM documents),
+t AS (SELECT CAST(doc_id AS BIGINT) AS did, text FROM documents
+      WHERE regexp_matches(text, '^[\\x00-\\x7F]*$$')),
 ed AS (SELECT p.a_id, p.b_id,
               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
               CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS mx

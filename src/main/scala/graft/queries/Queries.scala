@@ -205,7 +205,9 @@ object Queries {
       zip_with(vc, mnLit, (x, mn) => (x - mn) * lit(255L)), rgLit,
       (num, rg) => ((num - pmod(num, rg)) / rg).cast("long"))
     val coded = g.select(col("gid"), encode(col("v")).as("cv"))
-    KnnJoin.knnL2(coded, coded.filter(col("gid") % 100 === 0),
+    // codes are already integers — knnL2Pre scans them directly instead
+    // of re-running the (exact but wasted) scale-1 quantize per row
+    KnnJoin.knnL2Pre(coded, coded.filter(col("gid") % 100 === 0),
       "gid", "cv", "gid", k = 5, scale = 1)
   }
 
@@ -247,7 +249,9 @@ object Queries {
     val e = emb(s, d)
     val maxLabel = e.agg(max(col("label").cast("long"))).collect()(0)
       .getLong(0)
-    val jsonPath = writeCategoryJson(maxLabel)
+    // fixture generation lives in the fixture layer (idempotent +
+    // memoized) — the query itself is a pure plan over the JSON input
+    val jsonPath = graft.sources.CategoryFixture.ensure(maxLabel)
     val cats = graft.sources.GalleryMetadata.readCategories(s, jsonPath)
     val meta = e.select(col("vec_id").cast("long").as("id"),
       col("label").cast("long").as("lab"))
@@ -258,21 +262,6 @@ object Queries {
         concat(lit("img_"), col("neighbor_id").cast("string"),
           lit(".png")).as("path"),
         col("lab").as("label_id"), col("category"))
-  }
-
-  /** Write the reference-shaped {"train": ..., "categories": [...]}
-    * JSON for labels 0..maxLabel (category name = "cat_<label>"), under
-    * the build dir. Deterministic, oracle-replicable by construction. */
-  private def writeCategoryJson(maxLabel: Long): String = {
-    val cats = (0L to maxLabel).map(l => s""""cat_$l"""").mkString(",")
-    val items = (0L to maxLabel)
-      .map(l => s"""[$l, "img_seed_$l.png"]""").mkString(",")
-    val dir = java.nio.file.Paths.get("target", "graft-tmp")
-    java.nio.file.Files.createDirectories(dir)
-    val p = dir.resolve("train_val.json")
-    java.nio.file.Files.writeString(p,
-      s"""{"train": [$items], "categories": [$cats]}""")
-    p.toString
   }
 
   /** Nearest-class-mean classifier: per-label mean embedding (exact —
@@ -313,7 +302,11 @@ object Queries {
       val sLit = array(svec.map(lit(_)).toIndexedSeq: _*)
       val a2 = aggregate(
         zip_with(col("qv"), sLit, (qi, si) => {
-          val diff = (lit(n) * qi - si).cast(dec)
+          // operands cast to Decimal(38,0) BEFORE the multiply/subtract
+          // (matching the doc-comment's exactness claim) — in LongType
+          // an overflow would wrap silently under non-ANSI Spark while
+          // the DuckDB twin's HUGEINT keeps going
+          val diff = lit(n).cast(dec) * qi.cast(dec) - si.cast(dec)
           diff * diff
         }),
         lit(0L).cast(dec), (acc, x) => acc + x)
@@ -429,16 +422,22 @@ object Queries {
     * `levenshtein` on BOTH engines; O(|a|·|b|) per pair is affordable
     * precisely because it only runs on the O(candidates) pair set,
     * never the corpus — the candidate-then-verify composition is the
-    * point at 100 TB. Declared domain is ASCII text: DuckDB's
-    * levenshtein counts byte edits while Spark's counts char edits
-    * (identical for ASCII); the similarity denominator is CHARACTER
-    * length on both sides. */
+    * point at 100 TB. DuckDB's levenshtein counts byte edits while
+    * Spark's counts char edits (identical for ASCII), so the ASCII
+    * domain is ENFORCED, not just declared: both engines restrict the
+    * pair set to pairs whose texts are pure ASCII (the same anchored
+    * character-class regex is valid under Java regex and RE2). No
+    * broadcast hint on the candidate side — candidates scale with the
+    * corpus's similarity structure, not a constant, so AQE decides at
+    * runtime (it still broadcasts whenever the set is actually small). */
   def d12EditDistance(s: SparkSession, d: String): DataFrame = {
     val pairs = d2MinhashPairs(s, d).select("a_id", "b_id")
+    val ascii = "^[\\x00-\\x7F]*$"
     val t = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
       col("text"))
+      .filter(col("text").rlike(ascii))
     t.select(col("doc_id").as("a_id"), col("text").as("ta"))
-      .join(broadcast(pairs), "a_id")
+      .join(pairs, "a_id")
       .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")),
         "b_id")
       .withColumn("edit_dist",
@@ -457,16 +456,23 @@ object Queries {
     * t5's corpus-level term counts. Exactness: score = (tf·N)/df with
     * an exact integer numerator and ONE IEEE division (no log-idf —
     * transcendental libm results are not bit-portable across engines);
-    * rank ties broken by term. Three key-local shuffles: tf groupBy
-    * (doc,term), df window (term), rank window (doc); N rides in as a
-    * broadcast 1-row aggregate, never a driver-side count. */
+    * rank ties broken by term. Document frequency comes from a
+    * groupBy("term") aggregate joined back on term — NOT a
+    * term-partitioned window: a window would shuffle every (doc, term)
+    * tf row of a stop-term like "the" (present in ~every document) to
+    * ONE task, the classic hot-key sort; the aggregate's map-side
+    * combine ships at most one partial count per (term, partition)
+    * instead, and the equi-join back stays key-local on the same term
+    * partitioning (the tf exchange is reused across both branches).
+    * N rides in as a broadcast 1-row aggregate, never a driver count. */
   def t8Tfidf(s: SparkSession, d: String): DataFrame = {
     val terms = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
       explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val total = docs(s, d).agg(count(lit(1)).as("n_docs"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
       .crossJoin(broadcast(total))
       .withColumn("score", (col("tf") * col("n_docs")) / col("df"))
       .withColumn("rk", row_number()
@@ -699,7 +705,7 @@ object Queries {
       .select(col("doc_id").cast("long").as("asset_id"), col("source"),
         octet_length(col("text")).cast("long").as("n_bytes"))
       .withColumn("bytes_before", coalesce(sum("n_bytes").over(w), lit(0L)))
-      .groupBy(col("source"), expr("bytes_before div 8192").as("shard_id"))
+      .groupBy(col("source"), floorDiv("bytes_before", 8192L).as("shard_id"))
       .agg(count(lit(1)).as("n_assets"),
         sum("n_bytes").as("shard_bytes"),
         min("asset_id").as("first_asset"),
@@ -924,8 +930,9 @@ object Queries {
   def q11MovingAvg(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       // NTZ → UTC epoch seconds (session tz is UTC) → integer day
-      .groupBy(expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP)) div 86400")
-        .as("day"))
+      // (floor division: a pre-1970 date must bucket like DuckDB's `//`)
+      .groupBy(floorDiv("unix_seconds(CAST(o_orderdate AS TIMESTAMP))",
+        86400L).as("day"))
       .agg(moneySum(col("o_totalprice"), 100).as("rev_c"))
     val w = Window.orderBy("day").rangeBetween(-6, 0)
     daily.select(col("day"),
@@ -972,24 +979,35 @@ object Queries {
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
   // nanosecond timestamp type). All time math stays in exact integer
-  // space: `div` (integer division), never a double round-trip — 1.7e18
-  // ns exceeds double's 2^53 exact-integer range.
+  // space, never a double round-trip — 1.7e18 ns exceeds double's 2^53
+  // exact-integer range. Integer division is FLOOR division (below):
+  // Spark's `div` truncates toward zero while DuckDB's `//` floors, and
+  // they agree only on non-negative operands — a pre-1970 timestamp or
+  // a negative JSON field would bucket differently across engines.
+
+  /** Floor division of an integer expression by a positive constant —
+    * engine-portable for NEGATIVE operands too: x − pmod(x, d) is the
+    * exact floor multiple of d (pmod is non-negative), so the `div`
+    * truncation is exact and equals floor(x/d). */
+  private def floorDiv(x: String, d: Long): Column =
+    expr(s"(($x) - pmod(($x), ${d}L)) div ${d}L")
 
   def e1EventWindowAgg(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(
-        (expr("ts div 3600000000000") * 3600).as("hour_epoch"),
+        (floorDiv("ts", 3600000000000L) * 3600).as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         (moneySum(col("value"), 10000) / lit(10000.0)).as("sum_value"))
 
-  /** Events projected to exact integer microseconds (nanos div 1000 —
-    * identical to DuckDB's epoch_us on its µs timestamps). */
+  /** Events projected to exact integer microseconds (floor(ns/1000) —
+    * identical to DuckDB's epoch_us on its µs timestamps, which floors
+    * for pre-1970 instants too). */
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("user_id").cast("long").as("user_id"),
       col("event_id").cast("long").as("event_id"),
-      expr("ts div 1000").as("us"), col("event_type"))
+      floorDiv("ts", 1000L).as("us"), col("event_type"))
 
   /** As-of join: each purchase matched to the user's latest click
     * at-or-before it (TemporalJoins.asofJoin — union + carry-forward,
@@ -1034,7 +1052,7 @@ object Queries {
     * end; the final (cohort, offset) aggregate is cohorts×weeks rows. */
   def e6Retention(s: SparkSession, d: String): DataFrame = {
     val x = eventsUs(s, d)
-      .select(col("user_id"), expr("us div 604800000000").as("wk"))
+      .select(col("user_id"), floorDiv("us", 604800000000L).as("wk"))
     val cohort = x.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     x.join(cohort, "user_id")
       .select(col("user_id"), col("cohort_wk"),
@@ -1054,7 +1072,7 @@ object Queries {
     Tables.events(s, d)
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+      .groupBy(col("event_type"), floorDiv("k", 10L).as("k_bucket"))
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
 
   /** Hourly event counts PIVOTED to one column per event type — the
@@ -1064,7 +1082,7 @@ object Queries {
     * oracle's FILTER counts. */
   def e8EventPivot(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(expr("ts div 3600000000000").as("hr"), col("event_type"))
+      .select(floorDiv("ts", 3600000000000L).as("hr"), col("event_type"))
       .groupBy("hr")
       .pivot("event_type", Seq("view", "click", "purchase", "signup",
         "error"))
@@ -1080,7 +1098,7 @@ object Queries {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
     Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .select(col("user_id"), col("event_id"), floorDiv("ts", 1000L).as("us"))
       .withColumn("prev", lag(col("us"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
