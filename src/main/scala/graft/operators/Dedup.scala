@@ -42,15 +42,24 @@ object Dedup {
     * key (the only shuffle that matters, keyed by band hash) → verify
     * candidates with exact Jaccard → filter ≥ threshold.
     *
-    * At scale the band-bucket join is the standard sub-quadratic LSH
-    * plan; mega-buckets (skew) would be capped/salted — the band width
-    * already bounds collision probability for non-near-dup docs.
+    * The band-bucket join is the standard sub-quadratic LSH plan, and
+    * `maxBucket` is its skew guard: a band bucket holding more than
+    * `maxBucket` documents (boilerplate — thousands of near-identical
+    * pages hashing every band identically) would contribute O(bucket²)
+    * candidate pairs to ONE task; such buckets are excluded from
+    * candidate generation entirely. Like d11's maxDf, the cap is part
+    * of the operator's SEMANTICS, mirrored by the oracle — near-dup
+    * families larger than maxBucket are dedup'd by the exact-hash pass
+    * (d1) or surface through the capped estimator at a different band,
+    * they don't silently eat the cluster.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val (base, _, cand) =
-      lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
+      lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands,
+        maxBucket)
     cand
       .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
@@ -62,6 +71,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
+
+  /** Operational default for the band-bucket cap: far above anything a
+    * genuine near-dup family produces at test SFs (max observed bucket
+    * is 3 at sf0.01) yet small enough that one bucket's pair blow-up
+    * (64² = 4096 candidates) is noise for a task. */
+  val DefaultMaxBucket = 64L
 
   /** The shared MinHash-LSH front end of [[minhashLsh]] and
     * [[minhashEstimate]] — shingle → signature → banded bucket
@@ -77,10 +92,23 @@ object Dedup {
     * (inlining it into bandHashes would re-evaluate the minhash kernel
     * once per element_at inside the Generate), and the `merge` hint
     * keeps the self-join a shuffle join so the two identical banded
-    * subplans collapse into ONE reused exchange. */
+    * subplans collapse into ONE reused exchange.
+    *
+    * The mega-bucket guard runs BEFORE the join exchange: bucket sizes
+    * come from a groupBy (map-side combine ships at most one partial
+    * count per (bucket, partition) — a 10⁹-row boilerplate bucket
+    * arrives at its count task as ~#partitions rows, never the rows
+    * themselves), the over-full bucket list is tiny by construction
+    * (≤ rows/maxBucket entries), and the anti-join against it filters
+    * map-side (AQE broadcasts it), so the join task for a mega bucket
+    * receives NOTHING — not even the linear row set. Cost: the banded
+    * projection is computed once more for the count branch; at scale
+    * that linear map pass is the price of never forming a quadratic
+    * task. */
   private def lshCandidates(docs: DataFrame, idCol: String,
                             textCol: String, shingleN: Int,
-                            numHashes: Int, bands: Int)
+                            numHashes: Int, bands: Int,
+                            maxBucket: Long)
       : (DataFrame, DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -90,7 +118,13 @@ object Dedup {
     val banded = sigs.select(col("doc_id"),
       posexplode(bandHashes(col("sig"), bands, rows))
         .as(Seq("band_idx", "band_hash")))
-    val cand = banded.as("x").join(banded.as("y").hint("merge"),
+    val overFull = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .select("band_idx", "band_hash")
+    val kept = banded.join(overFull, Seq("band_idx", "band_hash"),
+      "left_anti")
+    val cand = kept.as("x").join(kept.as("y").hint("merge"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -107,9 +141,11 @@ object Dedup {
     * is measurable on real data. Same banding as [[minhashLsh]]. */
   def minhashEstimate(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 12,
-                      bands: Int = 4): DataFrame = {
+                      bands: Int = 4,
+                      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val (base, sigs, cand) =
-      lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
+      lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands,
+        maxBucket)
     cand
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")),
         "a_id")

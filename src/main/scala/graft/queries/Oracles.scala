@@ -55,9 +55,14 @@ f AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
   /** CTE chain from a CTE `src(doc_id, toks, …)` to verified MinHash
     * near-dup pairs `v(a_id BIGINT, b_id BIGINT, inter, uni)` — the
     * exact twin of Dedup.minhashLsh's banding (shingle n=3, k=12
-    * hashes, 4 bands of 3). Shared by d2 and p1 so the banding
-    * arithmetic can never diverge between them. */
-  private def minhashPairCtes(src: String): String = s"""
+    * hashes, 4 bands of 3) INCLUDING the mega-bucket guard: band
+    * buckets holding more than `maxBucket` docs generate no candidates
+    * (Dedup.lshCandidates). Shared by d2/d10/d12/p1 (operational cap)
+    * and d13 (binding cap) so the banding arithmetic can never diverge
+    * between them. */
+  private def minhashPairCtes(
+      src: String,
+      maxBucket: Long = graft.operators.Dedup.DefaultMaxBucket): String = s"""
 s AS (SELECT doc_id, ${shingleSql("toks", 3)} AS sh FROM $src),
 sg AS (SELECT doc_id, sh,
               list_transform(range(12), j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
@@ -65,8 +70,12 @@ sg AS (SELECT doc_id, sh,
 b AS (SELECT doc_id, j AS band_idx,
              md5(sig[3*j+1] || '|' || sig[3*j+2] || '|' || sig[3*j+3]) AS band_hash
       FROM sg, (SELECT unnest(range(4)) AS j)),
+bk AS (SELECT b.* FROM b
+       JOIN (SELECT band_idx, band_hash FROM b GROUP BY 1, 2
+             HAVING count(*) <= $maxBucket) ok
+       USING (band_idx, band_hash)),
 cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         FROM b x JOIN b y ON x.band_idx = y.band_idx
+         FROM bk x JOIN bk y ON x.band_idx = y.band_idx
           AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
 v AS (SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
              CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS inter,
@@ -459,6 +468,15 @@ FROM documents GROUP BY 1""",
     "d2_minhash_pairs" -> s"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 ${minhashPairCtes("d")}
+SELECT a_id, b_id, inter, uni, inter / uni AS jaccard
+FROM v WHERE inter / uni >= 0.5""",
+
+    // d2's chain with a BINDING bucket cap (2 < the max bucket size of 3
+    // at sf0.01): the guard's drop-the-bucket semantics are themselves
+    // hash-gated, not just mirrored in the slack case.
+    "d13_band_cap" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+${minhashPairCtes("d", maxBucket = 2L)}
 SELECT a_id, b_id, inter, uni, inter / uni AS jaccard
 FROM v WHERE inter / uni >= 0.5""",
 

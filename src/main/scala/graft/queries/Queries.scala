@@ -363,6 +363,16 @@ object Queries {
   def d2MinhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(docs(s, d), "doc_id", "text")
 
+  /** d2's MinHash-LSH pipeline with a BINDING mega-bucket cap
+    * (maxBucket = 2 — sf0.01 has band buckets of size 3, so the guard
+    * actually fires here): gates the skew-guard semantics themselves
+    * under the hash oracle, not just the happy path where the cap is
+    * slack. Pairs whose only collisions happen inside over-full buckets
+    * are excluded BY DEFINITION (boilerplate exclusion, the d11 maxDf
+    * precedent), and the oracle mirrors that exactly. */
+  def d13BandCap(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(docs(s, d), "doc_id", "text", maxBucket = 2L)
+
   def d3Simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d), "doc_id", "text")
 

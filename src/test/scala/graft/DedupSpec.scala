@@ -43,6 +43,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("minhash LSH mega-bucket guard drops over-full buckets only") {
+    // a boilerplate family: 5 identical docs — every band bucket they
+    // occupy has size 5
+    val boiler = (10L to 14L)
+      .map(i => (i, "boilerplate footer repeated verbatim on every single page", "s1"))
+      .toDF("doc_id", "text", "source")
+    val all = docs.union(boiler)
+    val guarded = Dedup.minhashLsh(all, "doc_id", "text", maxBucket = 4L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // the over-full family generates NO pairs; genuine near-dups in
+    // small buckets are untouched
+    assert(!guarded.exists(p => p._1 >= 10L || p._2 >= 10L))
+    assert(guarded.contains((1L, 2L)) && guarded.contains((1L, 3L)))
+    // with the slack operational cap the family's pairs come back
+    val slack = Dedup.minhashLsh(all, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(slack.contains((10L, 11L)) && slack.contains((13L, 14L)))
+    assert(guarded.subsetOf(slack))
+  }
+
   test("simhash: identical docs agree, fingerprint is 64 bits") {
     val r = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap
