@@ -348,13 +348,17 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs inside blocking groups.
-    * Exact within a block; at 100 TB the block key is an LSH bucket
-    * (random-hyperplane sign hash) instead of a label. */
+    * Exact within a block. The block key is whatever bounds the
+    * quadratic: at 100 TB that is an LSH bucket (random-hyperplane
+    * sign hash, [[LshIndex.bucketKey]] — bit width caps expected bucket
+    * size corpus-independently), not a data column like a label whose
+    * hottest value grows with the corpus. Any block column type works
+    * (string bucket keys included). */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, threshold: Double,
                        scale: Int = 10000): DataFrame = {
     val v = vecs.select(col(idCol).cast("long").as("id"),
-      col(blockCol).cast("long").as("blk"),
+      col(blockCol).as("blk"),
       quantize(col(vecCol), scale).as("qv"))
       .withColumn("nsq", intNormSq(col("qv")))
     v.as("x").join(v.as("y"),

@@ -594,13 +594,16 @@ SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id, inter,
 FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
 WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.3""",
 
+    // LSH-bucket blocking (the scale path): the same 6 quantized
+    // seed-42 hyperplanes as v10, folded in as literals — sign bits,
+    // and therefore blocks, agree bit-for-bit with the Spark side.
     "d5_embedding_dup" -> s"""
-WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS blk,
-                  ${qv("embedding")} AS v
-           FROM embeddings)
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, ${qv("embedding")} AS v
+           FROM embeddings),
+b AS (SELECT id, v, ${lshBucket("v")} AS blk FROM e)
 SELECT x.id AS a_id, y.id AS b_id, x.blk AS block_id,
        ${idot("x.v", "y.v")} / sqrt(CAST(${idot("x.v", "x.v")} AS DOUBLE) * ${idot("y.v", "y.v")}) AS cos_sim
-FROM e x JOIN e y ON x.blk = y.blk AND x.id < y.id
+FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
 WHERE ${idot("x.v", "y.v")} / sqrt(CAST(${idot("x.v", "x.v")} AS DOUBLE) * ${idot("y.v", "y.v")}) >= 0.35""",
 
     "t1_lang_id" -> s"""

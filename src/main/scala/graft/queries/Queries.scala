@@ -458,9 +458,20 @@ object Queries {
           .as("sim"))
   }
 
-  def d5EmbeddingDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDup(emb(s, d), "vec_id", "embedding", "label",
+  /** Embedding near-dup with the SCALE-SAFE blocker under the gate: the
+    * block key is a 6-plane random-hyperplane LSH bucket (the same
+    * seed-fixed quantized planes v10's search gates, so the DuckDB twin
+    * folds identical plane literals) — bucket population is controlled
+    * by the BIT WIDTH, corpus-independently, where a label blocker goes
+    * quadratic on its hottest label as the corpus grows. Within-bucket
+    * pairs are verified by exact fixed-point cosine. */
+  def d5EmbeddingDup(s: SparkSession, d: String): DataFrame = {
+    val planes = LshIndex.hyperplanes(dim = 64, nPlanes = 6, seed = 42L)
+    val bucketed = emb(s, d).select(col("vec_id"), col("embedding"),
+      LshIndex.bucketKey(col("embedding"), planes).as("bucket"))
+    Dedup.embeddingNearDup(bucketed, "vec_id", "embedding", "bucket",
       threshold = 0.35)
+  }
 
   /** Top-3 TF-IDF terms per document — the feature-extraction twin of
     * t5's corpus-level term counts. Exactness: score = (tf·N)/df with
