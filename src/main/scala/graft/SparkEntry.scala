@@ -36,6 +36,7 @@ object SparkEntry {
     "v18_lloyd_round" -> (Queries.v18LloydRound _),
     "v19_class_compactness" -> (Queries.v19ClassCompactness _),
     "v20_recall_eval" -> (Queries.v20RecallEval _),
+    "v21_ivfpq_residual" -> (Queries.v21IvfPqResidual _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),

@@ -338,6 +338,51 @@ r AS (SELECT query_id, gid, adc,
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
 FROM r WHERE rnk <= 5""",
 
+    // Residual IVFPQ (by_residual=true, the IndexIVFPQ default): same
+    // seeded construction as v13 but codes quantize v − centroid(v) —
+    // cb holds the RESIDUALS of the first 16 vectors, encode argmins
+    // run in residual space, and ADC compares the query's residual
+    // AGAINST ITS PROBED CENTROID to the codeword (per-(query,centroid)
+    // tables, mirrored by joining qr on the candidate's centroid).
+    "v21_ivfpq_residual" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS ccid, v AS cv FROM g WHERE gid < 10),
+asn AS (SELECT gid, ccid AS acid FROM (
+          SELECT g.gid, c.ccid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.ccid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+r AS (SELECT g.gid, asn.acid,
+             list_transform(range(64), i -> g.v[i+1] - c.cv[i+1]) AS rv
+      FROM g JOIN asn USING (gid) JOIN c ON c.ccid = asn.acid),
+cb AS (SELECT gid AS cid, rv AS cbv FROM r WHERE gid < 16),
+jj AS (SELECT unnest(range(8)) AS j),
+enc AS (SELECT gid, acid, j, cid AS code FROM (
+          SELECT r.gid, r.acid, jj.j, cb.cid,
+                 row_number() OVER (PARTITION BY r.gid, jj.j
+                   ORDER BY ${subL2("r.rv", "cb.cbv", "jj.j", 8)}, cb.cid) AS rn
+          FROM r CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+probe AS (SELECT query_id, ccid AS pcid FROM (
+            SELECT q.query_id, c.ccid,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${l2sq("q.qvec", "c.cv")}, c.ccid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 2),
+qr AS (SELECT p.query_id, p.pcid,
+              list_transform(range(64), i -> q.qvec[i+1] - c.cv[i+1]) AS qres
+       FROM probe p JOIN q USING (query_id) JOIN c ON c.ccid = p.pcid),
+adc AS (SELECT qr.query_id, e.gid,
+               CAST(sum(${subL2("qr.qres", "cb.cbv", "e.j", 8)}) AS BIGINT) AS adc
+        FROM qr
+        JOIN enc e ON e.acid = qr.pcid
+        JOIN cb ON cb.cid = e.code
+        GROUP BY 1, 2),
+rk AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+       FROM adc)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
+FROM rk WHERE rnk <= 5""",
+
     "v12_knn_category" -> s"""
 WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
            FROM embeddings WHERE vec_id % 100 = 0),

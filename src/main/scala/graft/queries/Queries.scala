@@ -238,6 +238,36 @@ object Queries {
         (col("dist") / lit(10000.0)).as("dist"))
   }
 
+  /** RESIDUAL IVFPQ search under the hard gate — faiss IndexIVFPQ's
+    * DEFAULT semantics (by_residual=true): PQ codes quantize
+    * v − centroid(v) rather than v, so codebook resolution concentrates
+    * on the within-partition delta (the reason it is the production
+    * default). Construction mirrors v13's oracle-reconstructible
+    * recipe: seed centroids are the first 10 vectors, residual
+    * codebooks are the RESIDUALS of the first 16 vectors, all
+    * arithmetic fixed-point-exact. Plan shape: map-only residual
+    * encode; probe routing on the driver (queries and centroids are
+    * broadcast-sized); per-(query, probed-centroid) lookup tables
+    * folded in as literals; no exchange before the O(Q·k) top-k. */
+  def v21IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64; val ksub = 16
+    val e = emb(s, d)
+    val g = e.select(col("vec_id").cast("long").as("id"),
+      transform(quantize(col("embedding")), x => x.cast("double"))
+        .as("qemb"))
+    val cents = g.filter(col("id") < 10)
+      .select(col("id").as("cid"), col("qemb"))
+    val res = IvfPq.residuals(g, cents, "id", "qemb", "cid", scale = 1)
+    val book = PqIndex.seededBook(res, "id", "rvec", dim, m, ksub)
+    val codes = IvfPq.encodeResidual(g, cents, "id", "qemb", "cid",
+      dim, m, book, scale = 1)
+    val queries = g.filter(col("id") % 100 === 0)
+    IvfPq.searchResidual(codes, cents, queries, "cid", "id", "qemb",
+      dim, m, book, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
   /** KNN hits joined to the full (path, label, category) metadata triple
     * of the reference (precompute_features.py:192-213, app.py:171-174).
     * The category dim arrives through the REAL JSON ingest path: a
