@@ -434,14 +434,23 @@ object Queries {
     * batch of documents anti-joined against the accumulated content-hash
     * index, so only never-seen content survives. The batch here is the
     * doc_id % 4 == 0 quarter of the corpus; the other three quarters
-    * play the seen index. At 100 TB the index side is a bucketed store
-    * keyed by hash ([[graft.sources.BucketedStore]]) so each ingest is
-    * one co-partitioned anti-join, no re-shuffle of the index. */
+    * play the seen index — and the index side runs THROUGH the bucketed
+    * store it would be at 100 TB: persisted once bucketed by text_hash
+    * ([[graft.sources.BucketedStore.ensure]], write-once/join-many), so
+    * the anti-join probes co-located buckets with NO exchange on the
+    * index side (the merge hint pins the sort-merge path; the history
+    * table is never broadcast-sized in production). The batch side's
+    * single exchange is then reused by the downstream groupBy on the
+    * same text_hash key. */
   def d9IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
-    Dedup.incremental(all.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+    val table = "graft_seen_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val seen = graft.sources.BucketedStore.ensure(s, table,
       all.filter(col("doc_id") % 4 =!= 0)
-        .select(md5(col("text")).as("text_hash")))
+        .select(md5(col("text")).as("text_hash")),
+      "text_hash", numBuckets = 32)
+    Dedup.incremental(all.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+      seen.hint("merge"))
   }
 
   /** MinHash-estimated vs exact Jaccard on the d2 candidate pairs —

@@ -30,4 +30,27 @@ object BucketedStore {
     * exchange (verify: no `Exchange` below the join in `.explain`). */
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Build-once accessor: saves `build` bucketed by `bucketCol` unless
+    * the table already exists in this session's catalog, then loads it.
+    * This is the write-once/join-many contract made explicit — callers
+    * (e.g. the incremental-dedup seen index) treat the bucketed layout
+    * as a PERSISTED STORE, so repeated query builds in one session are
+    * read-only. A warehouse directory orphaned by a previous JVM (the
+    * in-memory catalog dies with the session, the files do not) is
+    * cleared before the save. */
+  def ensure(spark: SparkSession, table: String, build: => DataFrame,
+             bucketCol: String, numBuckets: Int): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val dir = java.nio.file.Paths.get("spark-warehouse", table)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      save(build, table, bucketCol, numBuckets)
+    }
+    load(spark, table)
+  }
 }

@@ -8,14 +8,36 @@ import org.apache.spark.sql.SparkSession
   * PushedFilters reaching the parquet scan, pruned ReadSchema,
   * broadcast joins on small sides, whole-stage codegen coverage.
   *
+  * The audit is a GATE, not a report: it exits nonzero when
+  *  - any plan contains a CartesianProduct;
+  *  - a BroadcastNestedLoopJoin appears outside the allowlisted batch
+  *    KNN crossjoins (gallery × broadcast(queries) is the intended
+  *    O(N·Q) scoring shape — anything else is a regression);
+  *  - d9's bucketed seen-index scan is missing or re-shuffled (the
+  *    BucketedStore contract: no Exchange above the bucketed side);
+  *  - any query fails to build.
+  * Run it per round and commit the output as PLAN_AUDIT_r{N}.txt so
+  * plan regressions cannot land silently.
+  *
   * Caveat: under AQE the pre-execution formatted plan (isFinalPlan=
   * false) does not print `[codegen id: N]` annotations, so
   * codegenSpans reads 0 for adaptive plans — not a codegen failure
   * (RDD-based plans like m2 show their spans).
   */
 object ExplainAudit {
+
+  /** Queries whose BroadcastNestedLoopJoins are the INTENTIONAL
+    * broadcast(queries)/broadcast(centroid-or-total) crossjoins of
+    * batch KNN scoring and 1-row scalar joins. */
+  private val bnljAllowed: Set[String] = Set(
+    "v1_knn_l2", "v2_knn_cosine", "v7_ivf_search", "v8_knn_join_meta",
+    "v12_knn_category", "v13_ivfpq_search", "v14_class_centroid",
+    "v15_filtered_knn", "v16_rerank", "v17_sq8_knn", "v20_recall_eval",
+    "t8_tfidf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -24,7 +46,10 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    var violations = List.empty[String]
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       println(s"\n########## $name ##########")
       try {
         val df = fn(spark, sfDir)
@@ -43,10 +68,40 @@ object ExplainAudit {
         println(s"[audit] $name scans=$scans pushedFilterScans=$pushed " +
           s"bhj=$bhj smj=$smj bnlj=$bnlj cartesian=$cart " +
           s"exchanges=$exch reusedExchanges=$reuse codegenSpans=$wsc")
+        if (cart > 0)
+          violations ::= s"$name: $cart CartesianProduct(s)"
+        if (bnlj > 0 && !bnljAllowed.contains(name))
+          violations ::= s"$name: $bnlj BroadcastNestedLoopJoin(s) " +
+            "outside the KNN-crossjoin allowlist"
+        if (name == "d9_incremental_dedup") {
+          // the BucketedStore contract: the seen-index side scans
+          // selected buckets and feeds the sort-merge anti-join with no
+          // Exchange of its own — exactly ONE hash exchange in the
+          // whole plan (the batch side; its partitioning is then reused
+          // by the downstream text_hash aggregate). ensureParallelism's
+          // RoundRobin repartition of the single-row-group testdata
+          // scan is not a key shuffle and is excluded.
+          val hashExch = "Arguments: hashpartitioning".r
+            .findAllIn(plan).size
+          if (!plan.contains("Bucketed: true"))
+            violations ::= s"$name: seen-index scan is not bucketed"
+          if (hashExch != 1)
+            violations ::= s"$name: $hashExch hash exchanges (want 1: " +
+              "batch side only — the bucketed index must not re-shuffle)"
+        }
       } catch {
-        case e: Throwable => println(s"[audit] $name ERROR: ${e.getMessage}")
+        case e: Throwable =>
+          println(s"[audit] $name ERROR: ${e.getMessage}")
+          violations ::= s"$name: failed to build (${e.getMessage})"
       }
     }
     spark.stop()
+    if (violations.nonEmpty) {
+      println("\n[audit] FAIL:")
+      violations.reverse.foreach(v => println(s"[audit]   $v"))
+      sys.exit(1)
+    }
+    println("\n[audit] PASS: no cartesians, no unexpected BNLJ, " +
+      "bucketed d9 verified")
   }
 }
