@@ -93,7 +93,8 @@ object SparkEntry {
     "e5_funnel" -> (Queries.e5Funnel _),
     "e6_retention" -> (Queries.e6Retention _),
     "e7_json_props" -> (Queries.e7JsonProps _),
-    "e8_event_pivot" -> (Queries.e8EventPivot _))
+    "e8_event_pivot" -> (Queries.e8EventPivot _),
+    "e9_skew_enrich" -> (Queries.e9SkewEnrich _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

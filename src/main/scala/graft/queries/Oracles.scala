@@ -856,6 +856,15 @@ SELECT epoch_ns(ts) // 3600000000000 AS hr,
        count(*) FILTER (WHERE event_type = 'error') AS n_error
 FROM events GROUP BY 1""",
 
+    // Salted-join twin: salting is row-identical to the plain join, so
+    // the oracle is the plain join + aggregate.
+    "e9_skew_enrich" -> s"""
+WITH d AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
+SELECT e.event_type, d.type_n, count(*) AS n_joined,
+       ${moneySum("e.value", 10000)} / 10000.0 AS sum_value
+FROM events e JOIN d USING (event_type)
+GROUP BY 1, 2""",
+
     "q14_balance_rank" -> """
 WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
                   rank() OVER w AS rnk,

@@ -1154,6 +1154,27 @@ object Queries {
         coalesce(col("signup"), lit(0L)).as("n_signup"),
         coalesce(col("error"), lit(0L)).as("n_error"))
 
+  /** Hot-key enrichment join through the SALTED fallback — the skew
+    * path measured under the gate, not just spec-asserted. event_type
+    * has 5 values (~20% of the fact table EACH — every key is hot), so
+    * a plain shuffled equi-join lands each type on one task;
+    * Skew.saltedJoin spreads every key over 8 salt buckets (40 shuffle
+    * keys) while staying row-identical to the plain join. The merge
+    * hint pins the shuffle path (the dim is broadcast-sized here, which
+    * would silently skip the machinery being measured; at 100 TB a
+    * skewed build side isn't). Output aggregates per type, so the gate
+    * catches any row drop/duplication the salting could introduce. */
+  def e9SkewEnrich(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("type_n"))
+    Skew.saltedJoin(ev, dim.hint("merge"), Seq("event_type"), buckets = 8)
+      .groupBy("event_type", "type_n")
+      .agg(count(lit(1)).as("n_joined"),
+        (moneySum(col("value"), 10000) / lit(10000.0)).as("sum_value"))
+  }
+
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
