@@ -37,6 +37,8 @@ object SparkEntry {
     "v19_class_compactness" -> (Queries.v19ClassCompactness _),
     "v20_recall_eval" -> (Queries.v20RecallEval _),
     "v21_ivfpq_residual" -> (Queries.v21IvfPqResidual _),
+    "v22_hamming_knn" -> (Queries.v22HammingKnn _),
+    "v23_mips" -> (Queries.v23Mips _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),

@@ -66,6 +66,27 @@ object KnnJoin {
         distFromIntSq(col("d2"), scale).as("dist"))
   }
 
+  /** Exact top-k by INNER PRODUCT (MIPS — the faiss IndexFlatIP
+    * metric): largest dot product wins, ties to lowest id. Same
+    * broadcast(queries) × streaming-gallery harness as [[knnL2]]; the
+    * integer dot is exact and the single division back to the original
+    * scale is one IEEE op. */
+  def knnDot(gallery: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, qidCol: String, k: Int,
+             scale: Int = 10000): DataFrame = {
+    val g = gallery.select(col(idCol).cast("long").as("neighbor_id"),
+      quantize(col(vecCol), scale).as("gv"))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      quantize(col(vecCol), scale).as("qv"))
+    val scored = g.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        intDot(col("gv"), col("qv")).cast("double").as("dp"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "dp", k,
+      ascending = false)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dp") / lit(scale.toDouble * scale)).as("dot"))
+  }
+
   /** Exact top-k by cosine similarity on quantized vectors. */
   def knnCosine(gallery: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, qidCol: String, k: Int,

@@ -383,6 +383,36 @@ rk AS (SELECT query_id, gid, adc,
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
 FROM rk WHERE rnk <= 5""",
 
+    // MIPS (IndexFlatIP twin): rank on the exact integer dot product,
+    // DESC, ties to lowest gid; one IEEE division back to scale.
+    "v23_mips" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+d AS (SELECT query_id, gid, ${idot("qvec", "gvec")} AS dp FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid, dp,
+             row_number() OVER (PARTITION BY query_id ORDER BY dp DESC, gid) AS rnk
+      FROM d)
+SELECT query_id, rnk, gid AS neighbor_id, dp / 100000000.0 AS dot
+FROM r WHERE rnk <= 5""",
+
+    // Binary-code ANN over the d3 SimHash fingerprints: exact Hamming
+    // top-5, ties to lowest doc id (the IndexBinaryFlat twin).
+    "v22_hamming_knn" -> s"""
+WITH $simhashFpCtes,
+qq AS (SELECT doc_id AS query_id, simhash AS qs FROM f WHERE doc_id % 100 = 0),
+p AS (SELECT qq.query_id, f.doc_id AS gid,
+             CAST(list_sum(list_transform(range(64), i ->
+               CASE WHEN substr(f.simhash, CAST(i AS INT) + 1, 1)
+                         = substr(qq.qs, CAST(i AS INT) + 1, 1)
+                    THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+      FROM f CROSS JOIN qq),
+r AS (SELECT query_id, gid, hamming,
+             row_number() OVER (PARTITION BY query_id ORDER BY hamming, gid) AS rnk
+      FROM p)
+SELECT query_id, rnk, gid AS neighbor_id, hamming
+FROM r WHERE rnk <= 5""",
+
     "v12_knn_category" -> s"""
 WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
            FROM embeddings WHERE vec_id % 100 = 0),

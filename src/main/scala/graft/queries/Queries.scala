@@ -380,6 +380,44 @@ object Queries {
         (col("n_hit") / col("k")).as("recall_at_5"))
   }
 
+  /** Maximum-inner-product search (MIPS) — the faiss IndexFlatIP
+    * metric, the retrieval mode recommendation/embedding-score systems
+    * use where L2 is wrong (un-normalized vectors). Same harness as
+    * v1; ranking on the exact integer dot, descending. */
+  def v23Mips(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    KnnJoin.knnDot(e, queryVecs(e), "vec_id", "embedding", "vec_id", k = 5)
+  }
+
+  /** Binary-code ANN: top-k nearest by HAMMING distance over the
+    * 64-bit SimHash fingerprints (t-side twin: d3/d6) — the
+    * binary-embedding retrieval modality (faiss IndexBinaryFlat).
+    * Fingerprints pack to 4 longs; the scan is codegen'd
+    * bit_count(XOR) against broadcast queries, top-k through the same
+    * partial-merge aggregate as v1, so the shuffle is O(Q·k) while the
+    * 100 TB gallery streams 32 bytes/row. */
+  def v22HammingKnn(s: SparkSession, d: String): DataFrame = {
+    val width = 16
+    val packed = Dedup.simhash(docs(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        array((0 until 4).map(b =>
+          conv(substring(col("simhash"), b * width + 1, width), 2, 10)
+            .cast("long")): _*).as("fpv"))
+    val q = packed.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("fpv").as("qfpv"))
+    val ham = (0 until 4)
+      .map(b => bit_count(element_at(col("fpv"), b + 1)
+        .bitwiseXOR(element_at(col("qfpv"), b + 1))).cast("long"))
+      .reduce(_ + _)
+    val scored = packed.join(broadcast(q))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        ham.cast("double").as("hamming"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "hamming", k = 5,
+      ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   def v9TrainValSplit(s: SparkSession, d: String): DataFrame =
     Sampling.hashSplit(emb(s, d), "vec_id")
       .groupBy(col("label").cast("long").as("label_id"), col("split"))
