@@ -39,6 +39,8 @@ object SparkEntry {
     "v21_ivfpq_residual" -> (Queries.v21IvfPqResidual _),
     "v22_hamming_knn" -> (Queries.v22HammingKnn _),
     "v23_mips" -> (Queries.v23Mips _),
+    "v24_range_search" -> (Queries.v24RangeSearch _),
+    "v25_knn_classify" -> (Queries.v25KnnClassify _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),

@@ -174,8 +174,14 @@ object Dedup {
     * a fingerprint present in more than `maxDf` docs is boilerplate and
     * would form a quadratic bucket at scale — the cap is part of the
     * operator's SEMANTICS (mirrored by the oracle), not an
-    * approximation bolted on. One fp-keyed window for the cap, one
-    * fp-keyed self-join, one pair-keyed count. */
+    * approximation bolted on.
+    *
+    * The cap itself must not be the skew: an fp-partitioned window
+    * would sort a boilerplate fingerprint's O(corpus) rows on ONE task
+    * (the t8 hot-key pattern). Document frequency instead comes from a
+    * map-side-combined groupBy, and the tiny over-df fingerprint list
+    * is anti-joined out map-side (AQE broadcasts it) — same shape as
+    * the MinHash mega-bucket guard, identical output. */
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, window: Int = 4, maxDf: Long = 50,
                    minShared: Long = 2): DataFrame = {
@@ -183,10 +189,11 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc_id"),
         positionalShingleHashes(col(textCol), shingleN).as("hs"))
       .select(col("doc_id"), explode(windowMins(col("hs"), window)).as("fp"))
-    val capped = fps
-      .withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("df") <= maxDf)
+    val overDf = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("fp")
+    val capped = fps.join(overDf, Seq("fp"), "left_anti")
       .select("doc_id", "fp")
     capped.as("x").join(capped.as("y").hint("merge"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))

@@ -383,6 +383,35 @@ rk AS (SELECT query_id, gid, adc,
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
 FROM rk WHERE rnk <= 5""",
 
+    // Radius search (faiss range_search twin): exact integer threshold
+    // d2 <= (1.2*10000)^2, no ranking — the result SET is the output.
+    "v24_range_search" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q)
+SELECT query_id, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+FROM d WHERE d2 <= 144000000""",
+
+    // KNN-vote classifier (the app's label semantics): modal label of
+    // the 5 nearest neighbors, ties to lowest label id.
+    "v25_knn_classify" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, CAST(label AS BIGINT) AS lab,
+             ${qv("embedding")} AS gvec FROM embeddings),
+d AS (SELECT query_id, gid, lab, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q),
+h AS (SELECT query_id, gid, lab,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM d),
+v AS (SELECT query_id, lab, count(*) AS n_votes
+      FROM h WHERE rnk <= 5 GROUP BY 1, 2),
+r AS (SELECT query_id, lab, n_votes,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, lab) AS rk
+      FROM v)
+SELECT query_id, lab AS pred_label, n_votes FROM r WHERE rk = 1""",
+
     // MIPS (IndexFlatIP twin): rank on the exact integer dot product,
     // DESC, ties to lowest gid; one IEEE division back to scale.
     "v23_mips" -> s"""

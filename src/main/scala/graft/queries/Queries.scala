@@ -418,6 +418,48 @@ object Queries {
         col("hamming").cast("long").as("hamming"))
   }
 
+  /** Radius (range) search — faiss `range_search`: ALL neighbors
+    * within distance r of each query, not a fixed k. The predicate is
+    * the EXACT integer comparison d2 ≤ (r·scale)² — no float threshold
+    * — applied map-side on the broadcast(queries) × gallery scan, so
+    * output size is the only data-dependent cost (r = 1.2 admits ~1%
+    * of pairs on this corpus; the 0.1% quantile is 1.085). */
+  def v24RangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val g = e.select(col("vec_id").cast("long").as("neighbor_id"),
+      quantize(col("embedding")).as("gv"))
+    val q = queryVecs(e).select(col("vec_id").cast("long").as("query_id"),
+      quantize(col("embedding")).as("qv"))
+    g.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).as("d2"))
+      .filter(col("d2") <= lit(144000000L)) // (1.2 * 10000)^2
+      .select(col("query_id"), col("neighbor_id"),
+        distFromIntSq(col("d2").cast("double")).as("dist"))
+  }
+
+  /** KNN-vote classification — the reference app's ACTUAL label
+    * semantics (app.py:171-174 displays the labels of the top-k hits;
+    * the majority vote is the canonical classifier built on that):
+    * per query, the modal label among its 5 nearest neighbors, ties to
+    * the lowest label id. Hits and votes are O(Q·k) — both joins
+    * broadcast, the vote aggregate is tiny. */
+  def v25KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val meta = e.select(col("vec_id").cast("long").as("id"),
+      col("label").cast("long").as("lab"))
+    val hits = v1KnnL2(s, d).select("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("lab"))
+    meta.join(broadcast(hits), col("id") === col("neighbor_id"))
+      .groupBy("query_id", "lab")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("lab").as("pred_label"),
+        col("n_votes"))
+  }
+
   def v9TrainValSplit(s: SparkSession, d: String): DataFrame =
     Sampling.hashSplit(emb(s, d), "vec_id")
       .groupBy(col("label").cast("long").as("label_id"), col("split"))
