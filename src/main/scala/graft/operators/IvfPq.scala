@@ -94,33 +94,33 @@ object IvfPq {
           .sortBy(identity).take(nprobe).map(p => (qid, p._2))
     }
     import spark.implicits._
-    val probesDf = probePairs.toDF("query_id", "centroid_id")
     val centMap = cents.toMap
-    val dtabs = map(qRows.flatMap { case (qid, qv) =>
-      val perCent = map(probePairs.filter(_._1 == qid).flatMap {
-        case (_, cid) =>
-          val cv = centMap(cid)
-          val dtab = (0 until m).map { j =>
-            map(bySub(j).flatMap { cb =>
-              var acc = 0.0; var i = 0
-              while (i < sub) {
-                val d = (qv(j * sub + i) - cv(j * sub + i)) - cb.centroid(i)
-                acc += d * d; i += 1
-              }
-              Seq(lit(cb.cid), lit(acc))
-            }.toIndexedSeq: _*)
+    val qMap = qRows.toMap
+    // the residual lookup table is per (query, probed centroid) — it
+    // rides IN the broadcast probes frame itself (one hash-join lookup
+    // per candidate row; the earlier nested literal map scanned all Q
+    // then all nprobe keys linearly per row), per-sub tables positional
+    // (PqIndex.posTable).
+    val probesDf = probePairs.map { case (qid, cid) =>
+      val qv = qMap(qid)
+      val cv = centMap(cid)
+      val dtab = (0 until m).map { j =>
+        PqIndex.posTable(bySub(j).map { cb =>
+          var acc = 0.0; var i = 0
+          while (i < sub) {
+            val d = (qv(j * sub + i) - cv(j * sub + i)) - cb.centroid(i)
+            acc += d * d; i += 1
           }
-          Seq(lit(cid), array(dtab: _*))
-      }.toIndexedSeq: _*)
-      Seq(lit(qid), perCent)
-    }.toIndexedSeq: _*)
+          (cb.cid, acc)
+        })
+      }
+      (qid, cid, dtab)
+    }.toDF("query_id", "centroid_id", "dtab")
     val cand = codes
       .join(broadcast(probesDf), Seq("centroid_id"))
-      .withColumn("dtab",
-        element_at(element_at(dtabs, col("query_id")), col("centroid_id")))
     val adc = (0 until m)
       .map(j => element_at(element_at(col("dtab"), j + 1),
-        col("codes").getItem(j)))
+        col("codes").getItem(j) + 1))
       .reduce(_ + _)
     val scored = cand.select(col("query_id"),
       col("id").cast("long").as("neighbor_id"), adc.as("adc"))
@@ -150,6 +150,7 @@ object IvfPq {
       centroids.select(col(cidCol), col(vecCol)), queries,
       cidCol, vecCol, qidCol, k = nprobe, scale = scale)
       .select(col("query_id"), col("neighbor_id").as("centroid_id"))
+    val spark = codes.sparkSession
     val bySub: Map[Int, Seq[PqIndex.Codebook]] =
       book.groupBy(_.sub).map { case (j, cbs) => j -> cbs.sortBy(_.cid) }
     val qRows: Array[(Long, Array[Double])] = queries
@@ -157,30 +158,21 @@ object IvfPq {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    // one literal map: query_id -> [per-sub (cid -> d2) maps] — the
-    // per-row lookup is then a pure map-side expression over candidate
-    // rows. Inner tables keyed by cid, robust to non-contiguous
-    // codebook ids (Lloyd-dropped clusters).
-    val dtabs: Column = map(qRows.flatMap { case (qid, qvec) =>
-      val dtab = (0 until m).map { j =>
-        map(bySub(j).flatMap { cb =>
-          var acc = 0.0
-          var i = 0
-          while (i < sub) {
-            val dd = qvec(j * sub + i) - cb.centroid(i)
-            acc += dd * dd; i += 1
-          }
-          Seq(lit(cb.cid), lit(acc))
-        }.toIndexedSeq: _*)
-      }
-      Seq(lit(qid), array(dtab: _*))
-    }.toIndexedSeq: _*)
+    // per-query lookup tables ride a BROADCAST-JOINED column (hash
+    // lookup per candidate row), not a Q-entry literal map whose
+    // element_at scanned all Q keys linearly per row; the per-sub
+    // tables are positional arrays (PqIndex.posTable — O(1) per code).
+    import spark.implicits._
+    val dtabDf = qRows.toSeq.map { case (qid, qvec) =>
+      (qid, (0 until m).map(j =>
+        PqIndex.posTable(PqIndex.subDists(qvec, j, sub, bySub(j)))))
+    }.toDF("query_id", "dtab")
     val cand = codes
       .join(broadcast(probes), Seq("centroid_id"))
-      .withColumn("dtab", element_at(dtabs, col("query_id")))
+      .join(broadcast(dtabDf), Seq("query_id"))
     val adc = (0 until m)
       .map(j => element_at(element_at(col("dtab"), j + 1),
-        col("codes").getItem(j)))
+        col("codes").getItem(j) + 1))
       .reduce(_ + _)
     val scored = cand.select(col("query_id"),
       col("id").cast("long").as("neighbor_id"), adc.as("adc"))

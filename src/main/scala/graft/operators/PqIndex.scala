@@ -84,19 +84,57 @@ object PqIndex {
           encodeSub(col(s"_s$j"), j, book)): _*).as("codes"))
   }
 
+  /** Codebook distances as a POSITIONAL lookup table: index = cid + 1
+    * (element_at is 1-based). A literal-`map` table scans its entries
+    * linearly on every lookup — measured as the data-bound bottleneck
+    * of every ADC path at a 100k-row gallery (v11 162 s, v16 261 s in
+    * BENCH_big_r03's first recording: O(m·ksub) per candidate instead
+    * of O(m)). Positions for Lloyd-dropped cluster ids hold NaN — codes
+    * reference only surviving cids, and if a hole were ever probed the
+    * NaN would poison `dist` and fail the hash gate loudly rather than
+    * mis-rank silently. */
+  private[operators] def posTable(entries: Seq[(Int, Double)]): Seq[Double] = {
+    val arr = Array.fill(entries.map(_._1).max + 1)(Double.NaN)
+    entries.foreach { case (cid, d) => arr(cid) = d }
+    arr.toSeq
+  }
+
+  /** ||q_sub_j − centroid||² for every codebook entry of subspace j —
+    * exact driver math (integer-valued doubles), shared by the ADC
+    * paths. */
+  private[operators] def subDists(qvec: Array[Double], j: Int, sub: Int,
+                                  cbs: Seq[Codebook]): Seq[(Int, Double)] =
+    cbs.map { cb =>
+      var acc = 0.0
+      var i = 0
+      while (i < sub) {
+        val dd = qvec(j * sub + i) - cb.centroid(i)
+        acc += dd * dd; i += 1
+      }
+      (cb.cid, acc)
+    }
+
   /** ADC search: each query's (sub → cid → d2) lookup table is computed
     * driver-side (queries are broadcast-sized by the batch-KNN contract,
-    * like centroids) and folded into the plan as LITERAL nested arrays.
-    * Scoring is then a pure map-side projection over the codes table —
-    * `element_at` lookups summed per gallery row, fully codegen'd, with
-    * NO join and NO exchange until the O(Q·k) partial top-k. (The
-    * round-1 shape exploded codes and shuffled the full O(N·Q) score
-    * matrix through a groupBy — the exact thing ADC exists to avoid.)
-    * Returns (query_id, rnk, neighbor_id, dist) with dist the ADC
-    * approximation of L2. */
+    * like centroids) and delivered as BROADCAST DATA — a
+    * (query_id, dtab) frame crossjoined to the codes scan, the same
+    * shape as batch KNN's broadcast(queries). Scoring per (row, query)
+    * is then m O(1) positional `element_at` lookups ([[posTable]]),
+    * and the only exchange is the O(Q·k) partial top-k.
+    *
+    * Two rejected shapes, both measured: folding the tables in as
+    * per-query LITERALS (an exploded Q-struct array) keeps the plan
+    * join-free but at Q = 1000 the 10⁵-literal expression tree stalls
+    * codegen/Janino for minutes — literals are for centroid-sized
+    * (≤ 10²-entry) tables, data for anything that scales with Q; and
+    * literal-`map` tables scan their entries linearly per lookup
+    * (O(m·ksub) per candidate — v11 162 s, v16 261 s at a 100k-row
+    * gallery). Returns (query_id, rnk, neighbor_id, dist), dist the
+    * ADC approximation of L2. */
   def searchAdc(codes: DataFrame, queries: DataFrame, qidCol: String,
                 vecCol: String, dim: Int, m: Int, book: Seq[Codebook],
                 k: Int): DataFrame = {
+    val spark = codes.sparkSession
     val sub = dim / m
     val bySub: Map[Int, Seq[Codebook]] =
       book.groupBy(_.sub).map { case (j, cbs) => j -> cbs.sortBy(_.cid) }
@@ -105,31 +143,18 @@ object PqIndex {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val perQuery = qRows.map { case (qid, qvec) =>
-      // dtab(j): cid -> ||q_sub_j - centroid_{j,cid}||^2, exact driver
-      // math. Keyed by cid (not positional) so a codebook with
-      // non-contiguous ids — e.g. Lloyd dropped an empty cluster —
-      // still looks up correctly.
-      val dtab = (0 until m).map { j =>
-        map(bySub(j).flatMap { cb =>
-          var acc = 0.0
-          var i = 0
-          while (i < sub) {
-            val dd = qvec(j * sub + i) - cb.centroid(i)
-            acc += dd * dd; i += 1
-          }
-          Seq(lit(cb.cid), lit(acc))
-        }.toIndexedSeq: _*)
-      }
-      val adc = (0 until m)
-        .map(j => element_at(dtab(j), col("codes").getItem(j)))
-        .reduce(_ + _)
-      struct(lit(qid).as("query_id"), adc.as("adc"))
-    }
-    val scored = codes
-      .select(col("id").cast("long").as("neighbor_id"),
-        explode(array(perQuery.toIndexedSeq: _*)).as("qa"))
-      .select(col("qa.query_id"), col("neighbor_id"), col("qa.adc"))
+    import spark.implicits._
+    val dtabDf = qRows.toSeq.map { case (qid, qvec) =>
+      (qid, (0 until m).map(j =>
+        posTable(subDists(qvec, j, sub, bySub(j)))))
+    }.toDF("query_id", "dtab")
+    val adc = (0 until m)
+      .map(j => element_at(element_at(col("dtab"), j + 1),
+        col("codes").getItem(j) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(dtabDf))
+      .select(col("query_id"), col("id").cast("long").as("neighbor_id"),
+        adc.as("adc"))
     TopK.perGroup(scored, "query_id", "neighbor_id", "adc", k,
       ascending = true)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),

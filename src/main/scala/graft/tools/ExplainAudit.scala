@@ -31,9 +31,10 @@ object ExplainAudit {
     * batch KNN scoring and 1-row scalar joins. */
   private val bnljAllowed: Set[String] = Set(
     "v1_knn_l2", "v2_knn_cosine", "v7_ivf_search", "v8_knn_join_meta",
-    "v12_knn_category", "v13_ivfpq_search", "v14_class_centroid",
-    "v15_filtered_knn", "v16_rerank", "v17_sq8_knn", "v20_recall_eval",
-    "t8_tfidf")
+    "v11_pq_adc", "v12_knn_category", "v13_ivfpq_search",
+    "v14_class_centroid", "v15_filtered_knn", "v16_rerank", "v17_sq8_knn",
+    "v20_recall_eval", "v22_hamming_knn", "v23_mips", "v24_range_search",
+    "v25_knn_classify", "t8_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
