@@ -712,16 +712,31 @@ object Queries {
       md5(col("text")).as("full_md5"),
       minShingleFingerprint(col("text")).as("min_shingle_hash"))
 
-  /** Top-5 terms per source by frequency (tie → lexicographic). */
+  /** Top-5 terms per source by frequency (tie → lexicographic).
+    *
+    * Two-phase top-k: a single source-partitioned window would sort the
+    * source's ENTIRE vocabulary on one task (the t8 hot-key pattern —
+    * a web-scale source has 10⁸+ distinct terms). Phase 1 ranks within
+    * (source, salt-of-token) partitions — 8 parallel sorts of vocab/8 —
+    * and keeps each bucket's top 5; any global top-5 row is necessarily
+    * in its own bucket's top 5, so phase 2's window ranks ≤ 40 rows per
+    * source. Output provably identical to the one-window form. */
   def t5TopTerms(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n").desc, col("token"))
-    docs(s, d)
+    val counts = docs(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy("source", "token")
       .agg(count(lit(1)).as("n"))
+    val w1 = Window.partitionBy(col("source"), col("_salt"))
+      .orderBy(col("n").desc, col("token"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("token"))
+    counts
+      .withColumn("_salt", pmod(hash(col("token")), lit(8)))
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= 5)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
+      .select("source", "token", "n", "rnk")
   }
 
   /** Exact per-source token-count quantiles (p50/p90/p99) by positional
