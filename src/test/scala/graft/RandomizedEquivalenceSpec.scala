@@ -146,6 +146,74 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("two-phase t5 top-k == single-window top-k on hot-vocab corpora") {
+    // the de-skewed t5 plan (salted pre-rank → tiny final window) must
+    // equal the naive one-window form on arbitrary tie-heavy counts
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 3) {
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val docs = (1 to 60).map { i =>
+        (i.toLong,
+          Seq.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "),
+          "en", s"s${rnd.nextInt(3)}", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"t5equiv$trial").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.queries.Queries.t5TopTerms(spark, dir)
+        .select("source", "rnk", "token", "n")
+        .as[(String, Long, String, Long)].collect().toSet
+      // naive reference: per-source sort by (n desc, token), take 5
+      val counts = docs
+        .select($"source",
+          explode(graft.functions.TextFunctions.tokens($"text")).as("tk"))
+        .groupBy("source", "tk").count()
+        .as[(String, String, Long)].collect()
+      val expected = counts.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (src, (i + 1).toLong, r._2, r._3) }
+      }.toSet
+      assert(got === expected, s"trial=$trial")
+    }
+  }
+
+  test("anti-join df cap in overlapPairs == window df cap") {
+    // the de-skewed cap (groupBy + anti-join of over-df fps) must equal
+    // the window form it replaced, including AT the cap boundary
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("p", "q", "r", "s", "t", "u")
+    val docs = (1 to 40).map { i =>
+      (i.toLong,
+        Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }.toDF("doc_id", "text")
+    for (maxDf <- Seq(1L, 3L, 8L, 1000L)) {
+      val got = Dedup.overlapPairs(docs, "doc_id", "text",
+          shingleN = 2, window = 3, maxDf = maxDf, minShared = 1L)
+        .select("a_id", "b_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      // naive window-form reference
+      import graft.functions.TextFunctions._
+      val fps = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          positionalShingleHashes(col("text"), 2).as("hs"))
+        .select(col("doc_id"), explode(windowMins(col("hs"), 3)).as("fp"))
+      val capped = fps
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("df") <= maxDf)
+        .select("doc_id", "fp")
+      val expected = capped.as("x").join(capped.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select("a_id", "b_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expected, s"maxDf=$maxDf")
+    }
+  }
+
   test("rangeJoinAgg == naive window count on random event streams") {
     val rnd = new scala.util.Random(17)
     val quotes = (1 to 150).map(i =>
