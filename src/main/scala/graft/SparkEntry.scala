@@ -89,6 +89,7 @@ object SparkEntry {
     "q14_balance_rank" -> (Queries.q14BalanceRank _),
     "q15_revenue_cube" -> (Queries.q15RevenueCube _),
     "q16_segment_setops" -> (Queries.q16SegmentSetOps _),
+    "q17_brand_revenue" -> (Queries.q17BrandRevenue _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),

@@ -924,6 +924,20 @@ SELECT e.event_type, d.type_n, count(*) AS n_joined,
 FROM events e JOIN d USING (event_type)
 GROUP BY 1, 2""",
 
+    // Disjunctive-predicate join (Q19 shape): same OR-of-ANDs, exact
+    // cents. l_quantity cast BIGINT on both sides before the range
+    // compares.
+    "q17_brand_revenue" -> s"""
+SELECT ${moneySum("l_extendedprice * (1 - l_discount)", 10000)} / 10000.0 AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""",
+
     "q14_balance_rank" -> """
 WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
                   rank() OVER w AS rnk,

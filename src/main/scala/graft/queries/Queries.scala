@@ -1130,6 +1130,31 @@ object Queries {
       .union(building.except(recent).withColumn("op", lit("inactive")))
   }
 
+  /** Disjunctive-predicate join (TPC-H Q19 shape): revenue from three
+    * OR'd (brand, size-range, quantity-range) condition groups — the
+    * optimizer path where an OR-of-ANDs must still prune (the
+    * brand/size conjuncts are join-side predicates pushed to the
+    * broadcast part scan as `p_brand IN (...)`-style supersets, the
+    * quantity conjuncts prune the fact scan). One broadcast hash join,
+    * exact-cents aggregate. */
+  def q17BrandRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val q = col("l_quantity").cast("long")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        q.between(1L, 11L)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        q.between(10L, 20L)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+        q.between(20L, 30L))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg((moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
