@@ -56,6 +56,7 @@ object SparkEntry {
     "d11_overlap_pairs" -> (Queries.d11OverlapPairs _),
     "d12_edit_distance" -> (Queries.d12EditDistance _),
     "d13_band_cap" -> (Queries.d13BandCap _),
+    "d14_simhash_cap" -> (Queries.d14SimhashCap _),
     // text analysis
     "t1_lang_id" -> (Queries.t1LangId _),
     "t2_quality_score" -> (Queries.t2QualityScore _),

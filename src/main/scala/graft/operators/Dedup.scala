@@ -78,6 +78,17 @@ object Dedup {
     * (64² = 4096 candidates) is noise for a task. */
   val DefaultMaxBucket = 64L
 
+  /** Operational default for the SIMHASH band-bucket cap. SimHash
+    * 16-bit bands are far less uniform than MinHash band hashes — band
+    * bits are biased by corpus-wide token statistics, so the hottest
+    * band value legitimately holds O(100) docs even at sf0.01 (max
+    * observed: 159). The cap therefore sits an order of magnitude
+    * higher: slack for genuine near-dup structure, while still
+    * bounding a degenerate bucket's task at ~1024² ≈ 10⁶ cheap
+    * xor/bit_count candidates. Boilerplate families beyond it fall to
+    * d1's exact dedup or [[simhashDupEdges]]'s O(k) contraction. */
+  val SimhashMaxBucket = 1024L
+
   /** The shared MinHash-LSH front end of [[minhashLsh]] and
     * [[minhashEstimate]] — shingle → signature → banded bucket
     * self-join → deduped candidate pairs — factored out so the banding
@@ -218,7 +229,29 @@ object Dedup {
     * bands > maxHamming the pigeonhole principle guarantees at least
     * one band matches exactly — the band-bucket self-join is
     * candidate-complete (no recall loss, unlike probabilistic MinHash
-    * banding). Default 4×16 bits covers maxHamming = 3.
+    * banding) for every pair whose buckets survive the `maxBucket`
+    * guard. Default 4×16 bits covers maxHamming = 3.
+    *
+    * `maxBucket` is the same skew guard as [[minhashLsh]]'s: a k-copy
+    * boilerplate family shares ALL band values, so one band bucket
+    * holds k docs and the self-join forms O(k²) candidates in ONE task
+    * — and for SimHash the verified OUTPUT of such a family is itself
+    * quadratic (every pair is at distance ~0). Over-full buckets are
+    * excluded from candidate generation entirely; the cap is part of
+    * the operator's SEMANTICS, mirrored by the oracle. Families larger
+    * than maxBucket are dedup'd by the exact-hash pass (d1) or
+    * clustered at O(k) by [[simhashDupEdges]]'s fingerprint
+    * contraction — they don't silently eat the cluster. */
+  def simhashDup(docs: DataFrame, idCol: String, textCol: String,
+                 bands: Int = 4, maxHamming: Int = 3,
+                 maxBucket: Long = SimhashMaxBucket): DataFrame =
+    simhashDupFromFp(simhash(docs, idCol, textCol), bands, maxHamming,
+      maxBucket)
+
+  /** [[simhashDup]]'s core over an existing fingerprint frame
+    * `fp(doc_id, simhash)` — factored out so the pair join can run on
+    * contracted (distinct-fingerprint) representatives
+    * ([[simhashDupEdges]]) as well as raw documents.
     *
     * The fingerprint rides the band shuffle as `bands` packed Longs
     * (`conv(bits, 2, 10)` per band), so verification needs NO re-join
@@ -227,9 +260,14 @@ object Dedup {
     * `bit_count(a XOR b)` sum applied BEFORE the pair dedup, so the
     * dropDuplicates exchange moves only verified pairs (the 64×substr
     * HOF form of the same compare ran interpreted per element and was
-    * 10× slower). Band join keys are Longs, not strings. */
-  def simhashDup(docs: DataFrame, idCol: String, textCol: String,
-                 bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    * 10× slower). Band join keys are Longs, not strings.
+    *
+    * The mega-bucket guard runs BEFORE the join exchange, exactly as
+    * in [[lshCandidates]]: bucket sizes via a map-side-combined
+    * groupBy, the tiny over-full list anti-joined out (AQE broadcasts
+    * it), so a mega bucket's join task receives nothing. */
+  def simhashDupFromFp(fp: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+                       maxBucket: Long = SimhashMaxBucket): DataFrame = {
     require(bands > maxHamming, "need bands > maxHamming for completeness")
     require(64 % bands == 0, "bands must divide 64")
     // bands=1 would make the band key the full 64-bit unsigned value:
@@ -240,13 +278,19 @@ object Dedup {
     // fingerprint projected as its own column BEFORE the band packing:
     // inlining simhash64 would re-evaluate the whole md5-vote kernel
     // once per band.
-    val banded = simhash(docs, idCol, textCol)
+    val banded = fp
       .select(col("doc_id"),
         array((0 until bands).map(b =>
           conv(substring(col("simhash"), b * width + 1, width), 2, 10)
             .cast("long")): _*).as("fpv"))
       .select(col("doc_id"), col("fpv"),
         posexplode(col("fpv")).as(Seq("band_idx", "band_val")))
+    val overFull = banded.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .select("band_idx", "band_val")
+    val kept = banded.join(overFull, Seq("band_idx", "band_val"),
+      "left_anti")
     val ham = (0 until bands)
       .map(b => bit_count(element_at(col("x.fpv"), b + 1)
         .bitwiseXOR(element_at(col("y.fpv"), b + 1))).cast("long"))
@@ -256,7 +300,7 @@ object Dedup {
     // pairs is free), while dropDuplicates is a shuffle — filtering
     // first means the exchange moves only verified pairs (3 longs), not
     // every band collision carrying two fingerprint arrays.
-    banded.as("x").join(banded.as("y").hint("merge"),
+    kept.as("x").join(kept.as("y").hint("merge"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -264,6 +308,45 @@ object Dedup {
         ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("a_id", "b_id")
+  }
+
+  /** SPANNING edges for SimHash near-dup CLUSTERING — the d7 input
+    * shape. Where [[simhashDup]]'s pair output is inherently quadratic
+    * in a near-dup family's size, connected components only need a
+    * spanning structure, so this emits:
+    *
+    *  1. STAR edges from identical-fingerprint contraction: one
+    *     representative (min doc_id) per distinct fingerprint, edge
+    *     rep → member. Hamming distance is a function of the
+    *     fingerprint alone, so contracting identical-fingerprint docs
+    *     preserves components EXACTLY — a 10⁶-copy boilerplate family
+    *     contributes 10⁶−1 edges (one groupBy + one key-local join),
+    *     never a pair per copy².
+    *  2. Verified banded pairs between the REPRESENTATIVES (distinct
+    *     fingerprints) via [[simhashDupFromFp]], mega-bucket guard
+    *     included — cross-fingerprint links inside an over-full band
+    *     bucket are boilerplate-excluded, same semantics as d2/d6.
+    *
+    * With a slack cap the components equal those of the uncapped pair
+    * graph: any verified pair (a, b) maps to a rep pair (or a shared
+    * rep) at the same Hamming distance, and star edges close the gap. */
+  def simhashDupEdges(docs: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 4, maxHamming: Int = 3,
+                      maxBucket: Long = SimhashMaxBucket): DataFrame = {
+    val fp = simhash(docs, idCol, textCol)
+    val reps = fp.groupBy("simhash").agg(min(col("doc_id")).as("rep_id"))
+    // The join back on simhash re-partitions on the same key the
+    // groupBy just shuffled on, so the contraction costs one exchange
+    // of (doc_id, fingerprint) rows; rep_id = min(doc_id) keeps
+    // a_id < b_id by construction.
+    val star = fp.join(reps, Seq("simhash"))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
+    val repPairs = simhashDupFromFp(
+      reps.select(col("rep_id").as("doc_id"), col("simhash")),
+      bands, maxHamming, maxBucket)
+      .select("a_id", "b_id")
+    star.unionByName(repPairs)
   }
 
   /** n-gram Jaccard similarity pairs via a PREFIX-FILTERED inverted-index

@@ -83,6 +83,33 @@ v AS (SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
                - CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS uni
       FROM cand JOIN s sa ON sa.doc_id = cand.a_id JOIN s sb ON sb.doc_id = cand.b_id)"""
 
+  /** Exact Hamming distance between two 64-char bit-string columns. */
+  private def hammingSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(64), i ->
+               CASE WHEN substr($a, CAST(i AS INT) + 1, 1)
+                         = substr($b, CAST(i AS INT) + 1, 1)
+                    THEN 0 ELSE 1 END)) AS BIGINT)"""
+
+  /** CTE chain from a fingerprint CTE `src(doc_id, simhash)` to banded
+    * candidate pairs `sc(a_id, b_id)` — the exact twin of
+    * Dedup.simhashDupFromFp's candidate generation (4 bands × 16 bits)
+    * INCLUDING the mega-bucket guard: band buckets holding more than
+    * `maxBucket` rows generate no candidates. The oracle bands on the
+    * 16-char bit substring where Spark bands on its conv()'d Long —
+    * the two are bijective, so bucket membership is identical. Shared
+    * by d6 (operational cap), d14 (binding cap), and d7 (contracted
+    * representatives) so the banding arithmetic can never diverge. */
+  private def simhashBandCtes(src: String, maxBucket: Long): String = s"""
+bb AS (SELECT doc_id, j AS band_idx,
+              substr(simhash, CAST(16 * j AS INT) + 1, 16) AS band_val
+       FROM $src, (SELECT unnest(range(4)) AS j)),
+ok AS (SELECT band_idx, band_val FROM bb GROUP BY 1, 2
+       HAVING count(*) <= $maxBucket),
+bk AS (SELECT bb.* FROM bb JOIN ok USING (band_idx, band_val)),
+sc AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       FROM bk x JOIN bk y ON x.band_idx = y.band_idx
+        AND x.band_val = y.band_val AND x.doc_id < y.doc_id)"""
+
   /** Recursive reachability over an undirected pair set: nodes from
     * `$nodes(doc_id, …)`, edges from `$pairs(a_id, b_id)` →
     * `res(id, cluster_id)` with cluster_id = min reachable id — the
@@ -621,24 +648,50 @@ SELECT a_id, b_id, edit_dist, 1.0 - edit_dist / mx AS sim FROM ed""",
 WITH $simhashFpCtes
 SELECT doc_id, simhash FROM f""",
 
+    // Banded + bucket-capped candidate generation mirrored exactly
+    // (the cap is part of d6's SEMANTICS, like d2's); Hamming verified
+    // on the full 64-bit fingerprint. The operational cap is SLACK at
+    // sf0.01 (hottest bucket: 159 < 1024), so this equals the old
+    // naive-complete twin — d14 gates the binding-cap path.
     "d6_simhash_dup" -> s"""
 WITH $simhashFpCtes,
-p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-             CAST(list_sum(list_transform(range(64), i ->
-               CASE WHEN substr(x.simhash, CAST(i AS INT) + 1, 1)
-                         = substr(y.simhash, CAST(i AS INT) + 1, 1)
-                    THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
-      FROM f x JOIN f y ON x.doc_id < y.doc_id)
+${simhashBandCtes("f", graft.operators.Dedup.SimhashMaxBucket)},
+p AS (SELECT a_id, b_id, ${hammingSql("fa.simhash", "fb.simhash")} AS hamming
+      FROM sc JOIN f fa ON fa.doc_id = sc.a_id
+      JOIN f fb ON fb.doc_id = sc.b_id)
 SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""",
 
+    // d6's chain with a BINDING bucket cap (100 < the max band bucket
+    // of 159 at sf0.01): the guard's drop-the-bucket semantics are
+    // themselves hash-gated — the d13 recipe, one operator over.
+    "d14_simhash_cap" -> s"""
+WITH $simhashFpCtes,
+${simhashBandCtes("f", 100L)},
+p AS (SELECT a_id, b_id, ${hammingSql("fa.simhash", "fb.simhash")} AS hamming
+      FROM sc JOIN f fa ON fa.doc_id = sc.a_id
+      JOIN f fb ON fb.doc_id = sc.b_id)
+SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3""",
+
+    // Clusters over SPANNING edges: identical fingerprints contract to
+    // star edges around the min-doc_id representative (Hamming distance
+    // is a function of the fingerprint alone, so contraction preserves
+    // components exactly), and the banded+capped pair join runs over
+    // the distinct-fingerprint representatives only — the exact mirror
+    // of Dedup.simhashDupEdges.
     "d7_dup_clusters" -> s"""
 WITH RECURSIVE $simhashFpCtes,
-p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
-      FROM f x JOIN f y ON x.doc_id < y.doc_id
-      WHERE CAST(list_sum(list_transform(range(64), i ->
-              CASE WHEN substr(x.simhash, CAST(i AS INT) + 1, 1)
-                        = substr(y.simhash, CAST(i AS INT) + 1, 1)
-                   THEN 0 ELSE 1 END)) AS BIGINT) <= 3),
+rp0 AS (SELECT simhash, CAST(min(doc_id) AS BIGINT) AS rep
+        FROM f GROUP BY simhash),
+star AS (SELECT r.rep AS a_id, f.doc_id AS b_id
+         FROM f JOIN rp0 r USING (simhash) WHERE f.doc_id <> r.rep),
+rf AS (SELECT rep AS doc_id, simhash FROM rp0),
+${simhashBandCtes("rf", graft.operators.Dedup.SimhashMaxBucket)},
+rpair AS (SELECT sc.a_id, sc.b_id
+          FROM sc JOIN rf fa ON fa.doc_id = sc.a_id
+          JOIN rf fb ON fb.doc_id = sc.b_id
+          WHERE ${hammingSql("fa.simhash", "fb.simhash")} <= 3),
+p AS (SELECT a_id, b_id FROM star
+      UNION ALL SELECT a_id, b_id FROM rpair),
 ${reachCtes("f", "p")}
 SELECT id AS doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members

@@ -492,17 +492,38 @@ object Queries {
 
   /** SimHash near-dup join — the dedup step d3's fingerprints feed:
     * Hamming-banded candidate generation (pigeonhole-complete for
-    * distance <= 3) + exact Hamming verification. */
+    * distance <= 3 within surviving buckets) + exact Hamming
+    * verification, with the oracle-mirrored mega-bucket guard
+    * (Dedup.SimhashMaxBucket — slack at test SFs; d14 gates the
+    * binding-cap path). */
   def d6SimhashDup(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDup(docs(s, d), "doc_id", "text")
 
-  /** Near-dup CLUSTERS: connected components over the d6 pair graph,
-    * cluster id = min doc_id in the component, plus member count. The
-    * keep-one-per-cluster dedup decision reads straight off this
-    * (keep doc_id == cluster_id). */
+  /** d6's SimHash banded join with a BINDING mega-bucket cap
+    * (maxBucket = 100 — sf0.01's hottest band bucket holds 159 docs,
+    * so the guard actually fires here): gates the drop-the-bucket
+    * semantics themselves under the hash oracle, the d13 recipe one
+    * operator over. Pairs whose only band collisions happen inside
+    * over-full buckets are excluded BY DEFINITION, mirrored exactly
+    * by the oracle's capped banding. */
+  def d14SimhashCap(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashDup(docs(s, d), "doc_id", "text", maxBucket = 100L)
+
+  /** Near-dup CLUSTERS: connected components over SimHash spanning
+    * edges, cluster id = min doc_id in the component, plus member
+    * count. The keep-one-per-cluster dedup decision reads straight off
+    * this (keep doc_id == cluster_id).
+    *
+    * The edge set is Dedup.simhashDupEdges, NOT d6's pair output:
+    * identical-fingerprint docs contract to star edges (a 10⁶-copy
+    * boilerplate family costs 10⁶−1 edges, never pairs²), and the
+    * banded+guarded verification joins only distinct-fingerprint
+    * representatives. Components are provably identical to the
+    * all-pairs graph whenever the cap is slack (it is at every test
+    * SF), and the oracle mirrors the contraction + cap exactly. */
   def d7DupClusters(s: SparkSession, d: String): DataFrame = {
     val labels = Clustering.connectedComponents(
-      d6SimhashDup(s, d), "a_id", "b_id",
+      Dedup.simhashDupEdges(docs(s, d), "doc_id", "text"), "a_id", "b_id",
       docs(s, d).select(col("doc_id")), "doc_id")
     labels
       .withColumn("n_members",

@@ -87,6 +87,52 @@ class DedupSpec extends SparkSpec {
     assert(m === naive)
   }
 
+  test("simhash mega-bucket guard drops over-full band buckets only") {
+    // 6 identical copies: every band bucket they occupy has size >= 6
+    val boiler = (10L to 15L)
+      .map(i => (i, "boilerplate footer repeated verbatim on every single page", "s1"))
+      .toDF("doc_id", "text", "source")
+    val all = docs.union(boiler)
+    val guarded = Dedup.simhashDup(all, "doc_id", "text", maxBucket = 5L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!guarded.exists(p => p._1 >= 10L || p._2 >= 10L))
+    assert(guarded.contains((1L, 2L)))
+    val slack = Dedup.simhashDup(all, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(slack.contains((10L, 11L)) && slack.contains((14L, 15L)))
+    assert(guarded.subsetOf(slack))
+  }
+
+  test("simhash spanning edges yield the same components as all pairs") {
+    val boiler = (10L to 15L)
+      .map(i => (i, "boilerplate footer repeated verbatim on every single page", "s1"))
+      .toDF("doc_id", "text", "source")
+    val all = docs.union(boiler)
+    def components(edges: Set[(Long, Long)]): Map[Long, Long] = {
+      val ids = all.select($"doc_id").as[Long].collect()
+      val root = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (root(x) == x) x else { root(x) = find(root(x)); root(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    val pairComp = components(
+      Dedup.simhashDup(all, "doc_id", "text")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet)
+    val edgeComp = components(
+      Dedup.simhashDupEdges(all, "doc_id", "text")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet)
+    assert(edgeComp === pairComp)
+    // and the contraction keeps the boilerplate family to O(k) edges:
+    // 5 star edges for the 6 copies, not 15 pairs
+    val edges = Dedup.simhashDupEdges(all, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(edges.count(p => p._1 >= 10L && p._2 >= 10L) === 5)
+  }
+
   test("ngram jaccard pairs respect blocking and threshold") {
     val r = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
       shingleN = 2, threshold = 0.3)
