@@ -764,23 +764,36 @@ object Queries {
     * selection: value at rank ceil(q*n) in the per-source sort order.
     * Rank positions are EXACT INTEGER arithmetic — ceil(0.9*n) computed
     * as (9n+9) div 10, never a float ceil (0.9*10 = 9.0000000000000002
-    * would ceil to 10). Exact order statistics inherently cost one
-    * per-group sort (the window shuffle); the approximate scale path is
-    * a mergeable sketch ([[graft.operators.Sketches]]). Ties on the
-    * value don't matter: the value at a fixed position in the sorted
-    * multiset is unique even when row numbers among ties are not. */
+    * would ceil to 10).
+    *
+    * TWO-PHASE selection, never a whole-source row sort: phase 1 is a
+    * map-side-combined groupBy(source, value) count — the only
+    * corpus-sized shuffle, moving one row per DISTINCT (source, value).
+    * Phase 2 ranks the distinct-value histogram with a cumulative-count
+    * window; the value at rank r is the unique distinct value whose
+    * cumulative range [cum−cnt, cum) covers r. The per-source window
+    * sort now touches O(distinct token counts) rows — bounded by the
+    * max document length, corpus-INDEPENDENT — where the old form
+    * sorted every document of a source on one task. Output identical:
+    * the value at a fixed position in the sorted multiset depends only
+    * on the histogram. */
   def t7LengthQuantiles(s: SparkSession, d: String): DataFrame = {
-    val wSort = Window.partitionBy("source").orderBy("n_tok")
-    val wAll = Window.partitionBy("source")
-    docs(s, d)
+    val hist = docs(s, d)
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("rn", row_number().over(wSort).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .groupBy("source", "n_tok")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("source").orderBy("n_tok")
+    val wAll = Window.partitionBy("source")
+    def pick(rank: String) =
+      max(when(expr(s"cum - cnt < $rank AND $rank <= cum"), col("n_tok")))
+    hist
+      .withColumn("cum", sum("cnt").over(wCum).cast("long"))
+      .withColumn("n", sum("cnt").over(wAll).cast("long"))
       .groupBy("source")
       .agg(
-        max(when(col("rn") === expr("(n + 1) div 2"), col("n_tok"))).as("p50"),
-        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_tok"))).as("p90"),
-        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_tok"))).as("p99"))
+        pick("(n + 1) div 2").as("p50"),
+        pick("(9 * n + 9) div 10").as("p90"),
+        pick("(99 * n + 99) div 100").as("p99"))
   }
 
   /** Gopher-style repetition signals per document — the quality gates a
@@ -871,16 +884,37 @@ object Queries {
   /** WebDataset-style shard packing — the multimodal EXPORT shape: per
     * source, assets in id order pack greedily into ~8 KiB shards
     * (shard = bytes-before div shardBytes); output is the per-shard
-    * manifest a tar-writer would consume. The running sum is a
-    * source-partitioned window — one key-local shuffle; shard manifests
-    * aggregate with map-side combine. All integer arithmetic. */
+    * manifest a tar-writer would consume. All integer arithmetic.
+    *
+    * The running sum is TWO-LEVEL, never a whole-source single-task
+    * window: assets chunk by id range (4096 ids/chunk), level 1 runs
+    * the running sum WITHIN each (source, chunk) — parallel across
+    * chunks, ≤4096 rows per window partition — and level 2 prefix-sums
+    * the per-chunk byte totals (one row per chunk, 4096× smaller than
+    * the corpus; AQE broadcasts the offsets back onto the level-1
+    * partitioning). bytes_before = chunk offset + chunk-local running
+    * sum — identical to the one-window form. A corpus so large that
+    * the CHUNK TOTALS overwhelm one task recurses the same two-level
+    * split on the chunk frame. */
   def m3ShardAssign(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("asset_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, d)
+    val assets = docs(s, d)
       .select(col("doc_id").cast("long").as("asset_id"), col("source"),
         octet_length(col("text")).cast("long").as("n_bytes"))
-      .withColumn("bytes_before", coalesce(sum("n_bytes").over(w), lit(0L)))
+      .withColumn("chunk", floorDiv("asset_id", 4096L))
+    val wLocal = Window.partitionBy("source", "chunk").orderBy("asset_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wChunk = Window.partitionBy("source").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = assets.groupBy("source", "chunk")
+      .agg(sum("n_bytes").as("chunk_bytes"))
+      .withColumn("chunk_offset",
+        coalesce(sum("chunk_bytes").over(wChunk), lit(0L)))
+      .select("source", "chunk", "chunk_offset")
+    assets
+      .withColumn("local_before",
+        coalesce(sum("n_bytes").over(wLocal), lit(0L)))
+      .join(offsets, Seq("source", "chunk"))
+      .withColumn("bytes_before", col("chunk_offset") + col("local_before"))
       .groupBy(col("source"), floorDiv("bytes_before", 8192L).as("shard_id"))
       .agg(count(lit(1)).as("n_assets"),
         sum("n_bytes").as("shard_bytes"),
@@ -1154,10 +1188,13 @@ object Queries {
   /** Disjunctive-predicate join (TPC-H Q19 shape): revenue from three
     * OR'd (brand, size-range, quantity-range) condition groups — the
     * optimizer path where an OR-of-ANDs must still prune (the
-    * brand/size conjuncts are join-side predicates pushed to the
-    * broadcast part scan as `p_brand IN (...)`-style supersets, the
-    * quantity conjuncts prune the fact scan). One broadcast hash join,
-    * exact-cents aggregate. */
+    * brand/size conjuncts are join-side predicates pushed to the part
+    * scan as `p_brand IN (...)`-style supersets, the quantity conjuncts
+    * prune the fact scan). No broadcast hint: part scales linearly with
+    * SF (~20M rows at sf100) and the brand/size filter keeps a
+    * scale-linear ~3/25 of it, so AQE decides from the POST-filter size
+    * at runtime — broadcast while it fits, shuffle join beyond (the d12
+    * precedent). Exact-cents aggregate. */
   def q17BrandRevenue(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
     val p = Tables.part(s, d)
@@ -1169,7 +1206,7 @@ object Queries {
         q.between(10L, 20L)) ||
       (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
         q.between(20L, 30L))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg((moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
         10000) / lit(10000.0)).as("revenue"),
