@@ -84,6 +84,22 @@ object PqIndex {
           encodeSub(col(s"_s$j"), j, book)): _*).as("codes"))
   }
 
+  /** Hard ceiling on a positional table's cid range: positions are
+    * allocated DENSELY up to the max cid, so a sparse id-derived cid
+    * space (say doc_id-keyed codebooks at big SF) would silently
+    * allocate a huge mostly-NaN array per (query, subspace). Real
+    * codebooks are ksub ≤ 256 (FAISS's 8-bit codes); 4096 leaves slack
+    * for sparse Lloyd survivors while catching misuse loudly. */
+  val MaxCodebookCid = 4096
+
+  /** Ceiling on the ADC broadcast distance-table frame (~the Spark
+    * broadcast comfort zone). dtab grows as Q · m · (maxCid+1) doubles
+    * — the Q side of the batch-KNN "queries are broadcast-sized"
+    * contract, ENFORCED in [[searchAdc]] rather than implied: a
+    * Q = 10⁷ call fails with a batching instruction instead of OOMing
+    * the driver. */
+  val MaxAdcTableBytes = 256L << 20
+
   /** Codebook distances as a POSITIONAL lookup table: index = cid + 1
     * (element_at is 1-based). A literal-`map` table scans its entries
     * linearly on every lookup — measured as the data-bound bottleneck
@@ -94,7 +110,15 @@ object PqIndex {
     * NaN would poison `dist` and fail the hash gate loudly rather than
     * mis-rank silently. */
   private[operators] def posTable(entries: Seq[(Int, Double)]): Seq[Double] = {
-    val arr = Array.fill(entries.map(_._1).max + 1)(Double.NaN)
+    require(entries.nonEmpty,
+      "posTable: empty codebook subspace — the codebook must hold at " +
+        "least one centroid per subspace")
+    val maxCid = entries.map(_._1).max
+    require(maxCid < MaxCodebookCid,
+      s"posTable: max cid $maxCid exceeds $MaxCodebookCid — positional " +
+        "tables allocate densely to the max cid; re-index the codebook " +
+        "to a compact cid range")
+    val arr = Array.fill(maxCid + 1)(Double.NaN)
     entries.foreach { case (cid, d) => arr(cid) = d }
     arr.toSeq
   }
@@ -136,8 +160,22 @@ object PqIndex {
                 k: Int): DataFrame = {
     val spark = codes.sparkSession
     val sub = dim / m
+    // The batch-query contract, enforced BEFORE the collect: each query
+    // costs m · (maxCid+1) table doubles, so the Q bound follows from
+    // the broadcast budget. limit(maxQ+1).count() reads at most maxQ+1
+    // rows — a bounded probe job, never a full count of a huge frame.
+    val perQueryBytes =
+      m.toLong * (book.map(_.cid).max + 1) * java.lang.Double.BYTES
+    val maxQ = MaxAdcTableBytes / perQueryBytes
+    val qProbe = queries.limit((maxQ + 1).toInt).count()
+    require(qProbe <= maxQ,
+      s"searchAdc: query batch exceeds $maxQ (the $MaxAdcTableBytes-byte " +
+        "ADC table budget at this codebook size) — split the query set " +
+        "into batches and union the per-batch top-k results")
     val bySub: Map[Int, Seq[Codebook]] =
       book.groupBy(_.sub).map { case (j, cbs) => j -> cbs.sortBy(_.cid) }
+    (0 until m).foreach(j => require(bySub.contains(j),
+      s"searchAdc: codebook holds no centroids for subspace $j of $m"))
     val qRows: Array[(Long, Array[Double])] = queries
       .select(col(qidCol).cast("long"), toDoubleArray(col(vecCol)))
       .collect()

@@ -108,4 +108,35 @@ class PqIndexSpec extends SparkSpec {
     assert(Seq(r(0)._3, r(1)._3).sorted === Seq(0L, 1L))
     assert(r(2)._3 === 4L)                       // next-closest codes
   }
+
+  test("ADC search enforces the batch-query broadcast contract") {
+    val codes = PqIndex.encode(vecs, "vec_id", "embedding", 4, 2, book)
+    // budget / (m * (maxCid+1) * 8 bytes) queries fit; one past it must
+    // fail BEFORE any collect, with the batching instruction
+    val perQ = 2L * (book.map(_.cid).max + 1) * 8
+    val maxQ = PqIndex.MaxAdcTableBytes / perQ
+    val hugeQ = spark.range(maxQ + 1)
+      .select($"id".as("vec_id"),
+        array(lit(0.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.searchAdc(codes, hugeQ, "vec_id", "embedding", 4, 2, book, 3)
+    }
+    assert(e.getMessage.contains("batches"))
+  }
+
+  test("posTable rejects empty subspaces and unbounded cid ranges") {
+    assert(intercept[IllegalArgumentException] {
+      PqIndex.searchAdc(
+        PqIndex.encode(vecs, "vec_id", "embedding", 4, 2, book),
+        vecs.limit(1), "vec_id", "embedding", 4, 2,
+        book.filter(_.sub == 0), 3)     // subspace 1 empty
+    }.getMessage.contains("subspace"))
+    val sparse = book.map(cb =>
+      if (cb.sub == 1 && cb.cid == 0) cb.copy(cid = 100000) else cb)
+    assert(intercept[IllegalArgumentException] {
+      PqIndex.searchAdc(
+        PqIndex.encode(vecs, "vec_id", "embedding", 4, 2, book),
+        vecs.limit(1), "vec_id", "embedding", 4, 2, sparse, 3)
+    }.getMessage.contains("cid"))
+  }
 }
