@@ -41,6 +41,7 @@ object SparkEntry {
     "v23_mips" -> (Queries.v23Mips _),
     "v24_range_search" -> (Queries.v24RangeSearch _),
     "v25_knn_classify" -> (Queries.v25KnnClassify _),
+    "v26_lloyd_train" -> (Queries.v26LloydTrain _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),

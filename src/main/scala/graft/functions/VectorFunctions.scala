@@ -19,12 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** THE fixed-point scale of the oracle-checked vector surface. Every
+    * quantized distance, dot product, and reported double divides by
+    * this (or its square) — the DuckDB twins interpolate the SAME
+    * constant ([[graft.queries.Oracles]]), so changing it here re-syncs
+    * both engines instead of desynchronizing them at gate time. */
+  val DefaultScale = 10000
+
   /** Cast a numeric array column to array<double> for f64 math. */
   def toDoubleArray(v: Column): Column = v.cast("array<double>")
 
   /** Fixed-point quantization: round(x * scale) per element, as Long.
     * Exact in any engine; makes distance sums order-independent. */
-  def quantize(v: Column, scale: Int = 10000): Column =
+  def quantize(v: Column, scale: Int = DefaultScale): Column =
     transform(toDoubleArray(v), x => round(x * lit(scale)).cast("long"))
 
   /** Sequential left fold — keeps all math in codegen. */
@@ -67,7 +74,7 @@ object VectorFunctions {
   /** Integer squared norm. */
   def intNormSq(a: Column): Column = intDot(a, a)
   /** Real-scale distance from integer squared distance. */
-  def distFromIntSq(d2: Column, scale: Int = 10000): Column =
+  def distFromIntSq(d2: Column, scale: Int = DefaultScale): Column =
     sqrt(d2) / lit(scale.toDouble)
   /** Cosine from exact integer dot/norms: ip / sqrt(na * nb), computed
     * identically (same IEEE op sequence) by the DuckDB oracle. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFunctions.quantize
+import graft.functions.VectorFunctions.{quantize, DefaultScale}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,7 +47,7 @@ object Centroids {
     * against the naive all-pairs mean. Output: (label_id, n,
     * mean_sq_dist) in real (descaled) units. */
   def classCompactness(vecs: DataFrame, labCol: String, vecCol: String,
-                       scale: Int = 10000): DataFrame = {
+                       scale: Int = DefaultScale): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = vecs.select(col(labCol).cast("long").as("label_id"),
       quantize(col(vecCol), scale).as("qv"))
@@ -75,7 +75,7 @@ object Centroids {
     * rows. Output: (query_id, label_id, pred_label, dist, correct). */
   def nearestClassMean(vecs: DataFrame, idCol: String, labCol: String,
                        vecCol: String, queries: DataFrame,
-                       scale: Int = 10000): DataFrame = {
+                       scale: Int = DefaultScale): DataFrame = {
     val g = vecs.select(col(labCol).cast("long").as("lab"),
       quantize(col(vecCol), scale).as("qv"))
     val cs = classSums(g, "lab", "qv")

@@ -446,7 +446,7 @@ object Dedup {
     * (string bucket keys included). */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, threshold: Double,
-                       scale: Int = 10000): DataFrame = {
+                       scale: Int = DefaultScale): DataFrame = {
     val v = vecs.select(col(idCol).cast("long").as("id"),
       col(blockCol).as("blk"),
       quantize(col(vecCol), scale).as("qv"))

@@ -29,7 +29,7 @@ object IvfIndex {
     * in the grouping key — wrong at 100 TB.) */
   def assign(vectors: DataFrame, centroids: DataFrame, idCol: String,
              vecCol: String, cidCol: String,
-             scale: Int = 10000): DataFrame = {
+             scale: Int = DefaultScale): DataFrame = {
     val cents: Array[(Long, Array[Long])] = centroids
       .select(col(cidCol).cast("long"), quantize(col(vecCol), scale))
       .collect()
@@ -111,7 +111,7 @@ object IvfIndex {
     * Output (query_id, rnk, neighbor_id, dist). */
   def search(index: DataFrame, centroids: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, cidCol: String, qidCol: String,
-             k: Int, nprobe: Int, scale: Int = 10000): DataFrame = {
+             k: Int, nprobe: Int, scale: Int = DefaultScale): DataFrame = {
     // stage 1: query → nprobe nearest centroids (tiny crossjoin).
     val probes = KnnJoin.knnL2(
       centroids.select(col(cidCol), col(vecCol)), queries,

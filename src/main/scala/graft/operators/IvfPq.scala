@@ -41,7 +41,7 @@ object IvfPq {
     * Train residual codebooks on this (`PqIndex.train` over `rvec`). */
   def residuals(vectors: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String, cidCol: String,
-                scale: Int = 10000): DataFrame = {
+                scale: Int = DefaultScale): DataFrame = {
     val cmap = map(collectVecs(centroids, cidCol, vecCol).flatMap {
       case (cid, cv) => Seq(lit(cid), array(cv.map(lit): _*))
     }.toIndexedSeq: _*)
@@ -59,7 +59,7 @@ object IvfPq {
   def encodeResidual(vectors: DataFrame, centroids: DataFrame,
                      idCol: String, vecCol: String, cidCol: String,
                      dim: Int, m: Int, book: Seq[PqIndex.Codebook],
-                     scale: Int = 10000): DataFrame = {
+                     scale: Int = DefaultScale): DataFrame = {
     val sub = dim / m
     residuals(vectors, centroids, idCol, vecCol, cidCol, scale)
       .select(col("id") +: col("centroid_id") +:

@@ -29,7 +29,7 @@ object KnnJoin {
     */
   def knnL2(gallery: DataFrame, queries: DataFrame, idCol: String,
             vecCol: String, qidCol: String, k: Int,
-            scale: Int = 10000): DataFrame = {
+            scale: Int = DefaultScale): DataFrame = {
     val g = gallery.select(col(idCol).cast("long").as("neighbor_id"),
       quantize(col(vecCol), scale).as("gv"))
     val q = queries.select(col(qidCol).cast("long").as("query_id"),
@@ -73,7 +73,7 @@ object KnnJoin {
     * scale is one IEEE op. */
   def knnDot(gallery: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, qidCol: String, k: Int,
-             scale: Int = 10000): DataFrame = {
+             scale: Int = DefaultScale): DataFrame = {
     val g = gallery.select(col(idCol).cast("long").as("neighbor_id"),
       quantize(col(vecCol), scale).as("gv"))
     val q = queries.select(col(qidCol).cast("long").as("query_id"),
@@ -90,7 +90,7 @@ object KnnJoin {
   /** Exact top-k by cosine similarity on quantized vectors. */
   def knnCosine(gallery: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, qidCol: String, k: Int,
-                scale: Int = 10000): DataFrame = {
+                scale: Int = DefaultScale): DataFrame = {
     val g = gallery.select(col(idCol).cast("long").as("neighbor_id"),
       quantize(col(vecCol), scale).as("gv"))
       .withColumn("gn", intNormSq(col("gv")))

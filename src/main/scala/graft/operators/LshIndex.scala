@@ -44,7 +44,7 @@ object LshIndex {
 
   /** Sign-bucket key column for a raw vector column. */
   def bucketKey(vec: Column, planes: Seq[Seq[Double]],
-                scale: Int = 10000): Column =
+                scale: Int = DefaultScale): Column =
     bucketKeyQ(quantize(vec, scale), quantizePlanes(planes))
 
   /** Attach LSH buckets: (idCol, vecCol, bucket). */
@@ -57,7 +57,7 @@ object LshIndex {
     * One shuffle keyed by bucket; skew-capped by the bit width. */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    dim: Int, threshold: Double, nPlanes: Int = 12,
-                   seed: Long = 42L, scale: Int = 10000): DataFrame = {
+                   seed: Long = 42L, scale: Int = DefaultScale): DataFrame = {
     val b = bucketed(vecs, idCol, vecCol, dim, nPlanes, seed)
       .select(col("id"), col("bucket"), quantize(col("vec"), scale).as("qv"))
       .withColumn("nsq", intNormSq(col("qv")))
@@ -75,7 +75,7 @@ object LshIndex {
   def search(gallery: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, qidCol: String, dim: Int, k: Int,
              nPlanes: Int = 12, seed: Long = 42L,
-             scale: Int = 10000): DataFrame = {
+             scale: Int = DefaultScale): DataFrame = {
     val qplanes = quantizePlanes(hyperplanes(dim, nPlanes, seed))
     val g = gallery
       .select(col(idCol).cast("long").as("neighbor_id"),

@@ -6,9 +6,16 @@ package graft.queries
   */
 object Oracles {
 
+  /** The Spark side's fixed-point scale, interpolated into every
+    * quantized-vector oracle (and squared where the engine divides a
+    * dot/sum-of-squares) so the two engines can never silently
+    * disagree on it. */
+  private val vscale = graft.functions.VectorFunctions.DefaultScale
+  private val vscale2 = vscale.toLong * vscale
+
   /** Fixed-point quantization of a float-list column (scale 10000). */
   private def qv(e: String): String =
-    s"list_transform(CAST($e AS DOUBLE[]), x -> CAST(round(x * 10000) AS BIGINT))"
+    s"list_transform(CAST($e AS DOUBLE[]), x -> CAST(round(x * $vscale) AS BIGINT))"
 
   /** Exact integer squared-L2 between two quantized list columns. */
   private def l2sq(a: String, b: String): String =
@@ -124,6 +131,28 @@ reach(id, root) AS (
 res AS (SELECT id, CAST(min(root) AS BIGINT) AS cluster_id
         FROM reach GROUP BY id)"""
 
+  /** One exact Lloyd round as CTEs: from assignment `asn${r-1}(gid,
+    * lab)` to `asn$r(gid, lab)` via per-cluster (n, HUGEINT sum) and
+    * the scaled-distance reassignment `sqrt(A)/(n·scale)` — the v18
+    * arithmetic, templated so v26's chain and the single-round gate
+    * share one definition. */
+  private def lloydRoundCtes(r: Int): String = s"""
+cnt$r AS (SELECT lab AS c, CAST(count(*) AS BIGINT) AS n
+          FROM asn${r - 1} GROUP BY 1),
+cm$r AS (SELECT a.lab AS c, i, sum(g.v[CAST(i AS INT)+1]) AS s
+         FROM asn${r - 1} a JOIN g ON g.gid = a.gid
+         CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+d$r AS (SELECT g.gid, m.c AS lab, cnt$r.n,
+               sum((cnt$r.n * g.v[CAST(m.i AS INT)+1] - m.s)
+                     * (cnt$r.n * g.v[CAST(m.i AS INT)+1] - m.s)) AS a2
+        FROM g CROSS JOIN cm$r m JOIN cnt$r ON cnt$r.c = m.c
+        GROUP BY 1, 2, 3),
+r$r AS (SELECT gid, lab,
+               row_number() OVER (PARTITION BY gid
+                 ORDER BY sqrt(a2) / CAST(n * $vscale AS DOUBLE), lab) AS rn
+        FROM d$r),
+asn$r AS (SELECT gid, lab FROM r$r WHERE rn = 1)"""
+
   /** LSH sign-bucket expression over a quantized list column: the SAME
     * seed-fixed quantized hyperplanes the Spark side uses
     * (LshIndex.hyperplanes(64, 6, 42) → quantizePlanes — 6 planes,
@@ -183,7 +212,7 @@ d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q),
 r AS (SELECT query_id, gid, d2,
              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
       FROM d)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5""",
 
     "v15_filtered_knn" -> s"""
@@ -195,7 +224,7 @@ d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q),
 r AS (SELECT query_id, gid, d2,
              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
       FROM d)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5""",
 
     "v2_knn_cosine" -> s"""
@@ -213,7 +242,7 @@ SELECT query_id, rnk, gid AS neighbor_id, cos_sim FROM r WHERE rnk <= 5""",
     "v3_vector_norms" -> s"""
 WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, ${qv("embedding")} AS v FROM embeddings)
 SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
-       sqrt(${idot("v", "v")}) / 10000.0 AS norm
+       sqrt(${idot("v", "v")}) / $vscale.0 AS norm
 FROM e""",
 
     "v4_category_counts" -> """
@@ -258,7 +287,7 @@ cand AS (SELECT p.query_id, a.gid, ${l2sq("gvec", "qvec")} AS d2
 r AS (SELECT query_id, gid, d2,
              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
       FROM cand)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM r WHERE rnk <= 3""",
 
     "v8_knn_join_meta" -> s"""
@@ -286,12 +315,12 @@ cand AS (SELECT qb.query_id, b.gid, ${l2sq("b.v", "qb.qvec")} AS d2
 r AS (SELECT query_id, gid, d2,
              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
       FROM cand)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5""",
 
     "v11_pq_adc" -> s"""
 WITH $pqAdcCtes
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5""",
 
     // Two-stage retrieval: v11's ADC chain proposes rnk <= 20, then the
@@ -305,7 +334,7 @@ ex AS (SELECT s.query_id, s.gid, ${l2sq("g.v", "q.qvec")} AS d2
 rr AS (SELECT query_id, gid, d2,
               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
        FROM ex)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM rr WHERE rnk <= 5""",
 
     // SQ8: per-dim (min,max) over the gallery, 8-bit codes by exact
@@ -362,7 +391,7 @@ adc AS (SELECT q.query_id, e.gid,
 r AS (SELECT query_id, gid, adc,
              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
       FROM adc)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5""",
 
     // Residual IVFPQ (by_residual=true, the IndexIVFPQ default): same
@@ -407,7 +436,7 @@ adc AS (SELECT qr.query_id, e.gid,
 rk AS (SELECT query_id, gid, adc,
               row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
        FROM adc)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / 10000.0 AS dist
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
 FROM rk WHERE rnk <= 5""",
 
     // Radius search (faiss range_search twin): exact integer threshold
@@ -417,7 +446,7 @@ WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
            FROM embeddings WHERE vec_id % 100 = 0),
 g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
 d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q)
-SELECT query_id, gid AS neighbor_id, sqrt(d2) / 10000.0 AS dist
+SELECT query_id, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM d WHERE d2 <= 144000000""",
 
     // KNN-vote classifier (the app's label semantics): modal label of
@@ -449,7 +478,7 @@ d AS (SELECT query_id, gid, ${idot("qvec", "gvec")} AS dp FROM g CROSS JOIN q),
 r AS (SELECT query_id, gid, dp,
              row_number() OVER (PARTITION BY query_id ORDER BY dp DESC, gid) AS rnk
       FROM d)
-SELECT query_id, rnk, gid AS neighbor_id, dp / 100000000.0 AS dot
+SELECT query_id, rnk, gid AS neighbor_id, dp / $vscale2.0 AS dot
 FROM r WHERE rnk <= 5""",
 
     // Binary-code ANN over the d3 SimHash fingerprints: exact Hamming
@@ -502,9 +531,9 @@ d AS (SELECT q.query_id, q.true_lab, c.lab, cnt.n,
       FROM q CROSS JOIN csum c JOIN cnt ON cnt.lab = c.lab
       GROUP BY 1, 2, 3, 4),
 r AS (SELECT query_id, true_lab, lab,
-             sqrt(a) / CAST(n * 10000 AS DOUBLE) AS dist,
+             sqrt(a) / CAST(n * $vscale AS DOUBLE) AS dist,
              row_number() OVER (PARTITION BY query_id
-               ORDER BY sqrt(a) / CAST(n * 10000 AS DOUBLE), lab) AS rn
+               ORDER BY sqrt(a) / CAST(n * $vscale AS DOUBLE), lab) AS rn
       FROM d)
 SELECT query_id, true_lab AS label_id, lab AS pred_label, dist,
        CAST(CASE WHEN lab = true_lab THEN 1 ELSE 0 END AS BIGINT) AS correct
@@ -533,11 +562,31 @@ d AS (SELECT g.gid, a.c0 AS c0, m.c0 AS lab, cnt.n,
       GROUP BY 1, 2, 3, 4),
 r AS (SELECT gid, c0, lab,
              row_number() OVER (PARTITION BY gid
-               ORDER BY sqrt(a2) / CAST(n * 10000 AS DOUBLE), lab) AS rn
+               ORDER BY sqrt(a2) / CAST(n * $vscale AS DOUBLE), lab) AS rn
       FROM d)
 SELECT lab AS centroid_id, count(*) AS n_after,
        CAST(sum(CASE WHEN c0 = lab THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed
 FROM r WHERE rn = 1 GROUP BY 1""",
+
+    // Full Lloyd training: three chained rounds of the v18 arithmetic
+    // (per-round (n, sum) in native HUGEINT, reassignment via the
+    // scaled-distance trick — no float centroid at any round), CTEs
+    // generated by the same per-round template so the chain cannot
+    // drift from the single-round form. Output compares the final
+    // round's assignment against the round before it.
+    "v26_lloyd_train" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
+asn0 AS (SELECT gid, cid AS lab FROM (
+          SELECT g.gid, c.cid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+${(1 to 3).map(lloydRoundCtes).mkString(",\n")}
+SELECT a3.lab AS centroid_id, count(*) AS n_after,
+       CAST(sum(CASE WHEN a2.lab = a3.lab THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stayed
+FROM asn3 a3 JOIN asn2 a2 USING (gid) GROUP BY 1""",
 
     // Compactness oracle uses the SAME centroid identity (not a naive
     // pairwise join — the identity itself is what's being gated; the
@@ -555,7 +604,7 @@ ag AS (SELECT label_id, CAST(count(*) AS BIGINT) AS n,
 SELECT ag.label_id, ag.n,
        CASE WHEN ag.n >= 2
             THEN (CAST(ag.n * ag.s2 - sn.snorm AS DOUBLE)
-                    / CAST((ag.n * (ag.n - 1)) // 2 AS DOUBLE)) / 100000000.0
+                    / CAST((ag.n * (ag.n - 1)) // 2 AS DOUBLE)) / $vscale2.0
             ELSE 0.0 END AS mean_sq_dist
 FROM ag JOIN sn USING (label_id)""",
 

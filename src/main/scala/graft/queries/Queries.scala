@@ -316,14 +316,24 @@ object Queries {
     * broadcast-sized sums → map-only literal-argmin REassign → O(nlist)
     * count aggregate. Zero data-sized shuffles. Output per cluster:
     * size after the round and how many members stayed. */
-  def v18LloydRound(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
-    val a0 = IvfIndex.assign(e, seedCentroids(e), "vec_id", "embedding",
-      "cid")
+  /** Seed assignment for the Lloyd rounds: every vector argmin-assigned
+    * to the 10 seed centroids, carried as (id, qv, c). */
+  private def lloydSeedAssign(e: DataFrame): DataFrame =
+    IvfIndex.assign(e, seedCentroids(e), "vec_id", "embedding", "cid")
       .select(col("id"), quantize(col("vec")).as("qv"),
-        col("centroid_id").as("c0"))
+        col("centroid_id").as("c"))
+
+  /** ONE exact Lloyd reassignment over (id, qv, c): collect the
+    * broadcast-sized (n, sum-vector) per current cluster, re-assign
+    * every vector by the scaled-distance trick `sqrt(A)/(n·scale)`
+    * with `A = Σ(n·q_i − s_i)²` in Decimal(38,0) — no float centroid
+    * ever exists, so the round is bit-portable. Returns
+    * (id, qv, c_prev, c). Plan per round: one (cluster, dim)-keyed
+    * map-side-combined aggregate + one map-only literal argmin —
+    * zero data-sized shuffles. */
+  private def lloydRound(cur: DataFrame): DataFrame = {
     val cs: Array[(Long, Long, Array[Long])] =
-      Centroids.classSums(a0, "c0", "qv")
+      Centroids.classSums(cur, "c", "qv")
         .select(col("lab"), col("n"), col("svec")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
         .sortBy(_._1)
@@ -340,15 +350,40 @@ object Queries {
           diff * diff
         }),
         lit(0L).cast(dec), (acc, x) => acc + x)
-      struct((sqrt(a2) / lit(n * 10000L).cast("double")).as("dist"),
-        lit(lab).as("lab"))
+      struct((sqrt(a2) / lit(n * DefaultScale.toLong).cast("double"))
+        .as("dist"), lit(lab).as("lab"))
     }
-    a0.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
-      .select(col("c0"), col("best.lab").as("centroid_id"))
-      .groupBy("centroid_id")
+    cur.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
+      .select(col("id"), col("qv"), col("c").as("c_prev"),
+        col("best.lab").as("c"))
+  }
+
+  /** Per-cluster membership stats of the LAST round: size after, and
+    * how many members kept their previous assignment. */
+  private def lloydStats(last: DataFrame): DataFrame =
+    last.groupBy(col("c").as("centroid_id"))
       .agg(count(lit(1)).as("n_after"),
-        sum(when(col("c0") === col("centroid_id"), 1L).otherwise(0L))
+        sum(when(col("c_prev") === col("c"), 1L).otherwise(0L))
           .as("n_stayed"))
+
+  def v18LloydRound(s: SparkSession, d: String): DataFrame =
+    lloydStats(lloydRound(lloydSeedAssign(emb(s, d))))
+
+  /** FULL Lloyd TRAINING under the hard gate — the convergence loop the
+    * IVF coarse quantizer actually trains with (v18 gates one round;
+    * this chains three). Each round re-collects the broadcast-sized
+    * (n, sum) table and re-assigns map-only, so the iteration costs one
+    * small aggregate + one scan per round with zero data-sized
+    * shuffles; `localCheckpoint` truncates the growing literal-argmin
+    * lineage between rounds (the connectedComponents pattern — at
+    * cluster scale, checkpoint to storage). The oracle reconstructs
+    * all three rounds as chained CTEs with identical exact
+    * arithmetic. */
+  def v26LloydTrain(s: SparkSession, d: String): DataFrame = {
+    var cur = lloydSeedAssign(emb(s, d))
+    for (_ <- 1 to 3)
+      cur = lloydRound(cur).localCheckpoint(false)
+    lloydStats(cur)
   }
 
   /** Per-class embedding compactness — mean intra-class squared L2 —

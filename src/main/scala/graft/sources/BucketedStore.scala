@@ -38,19 +38,34 @@ object BucketedStore {
     * as a PERSISTED STORE, so repeated query builds in one session are
     * read-only. A warehouse directory orphaned by a previous JVM (the
     * in-memory catalog dies with the session, the files do not) is
-    * cleared before the save. */
+    * cleared before the save — resolved from the session's ACTUAL
+    * `spark.sql.warehouse.dir` (a relative "spark-warehouse" guess
+    * breaks under a non-default warehouse or changed CWD), with a
+    * JVM-wide per-table lock so two sessions in one JVM can't race
+    * delete-then-save. */
   def ensure(spark: SparkSession, table: String, build: => DataFrame,
              bucketCol: String, numBuckets: Int): DataFrame = {
-    if (!spark.catalog.tableExists(table)) {
-      val dir = java.nio.file.Paths.get("spark-warehouse", table)
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+    val lock = locks.getOrElseUpdate(table, new Object)
+    lock.synchronized {
+      if (!spark.catalog.tableExists(table)) {
+        val warehouse = java.net.URI.create(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val root = java.nio.file.Paths.get(
+          if (warehouse.getScheme == "file") warehouse.getPath
+          else warehouse.toString)
+        val dir = root.resolve(table)
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        save(build, table, bucketCol, numBuckets)
       }
-      save(build, table, bucketCol, numBuckets)
     }
     load(spark, table)
   }
+
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 }

@@ -25,9 +25,16 @@ object CategoryFixture {
     val dir = java.nio.file.Paths.get("target", "graft-tmp")
     java.nio.file.Files.createDirectories(dir)
     val p = dir.resolve(s"train_val_$maxLabel.json")
-    if (!java.nio.file.Files.exists(p))
-      java.nio.file.Files.writeString(p,
-        s"""{"train": [$items], "categories": [$cats]}""")
+    // write-to-temp + atomic move: a pre-existing file could be a
+    // truncated leftover from a crashed run, and generation is cheap
+    // and deterministic — so ALWAYS rewrite, and never let a reader
+    // (this JVM or a concurrent one) observe a half-written file
+    val tmp = java.nio.file.Files.createTempFile(dir, "train_val_", ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"train": [$items], "categories": [$cats]}""")
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     p.toString
   })
 }

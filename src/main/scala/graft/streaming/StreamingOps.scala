@@ -65,7 +65,7 @@ object StreamingOps {
     * complete output modes). */
   def knnStream(queries: DataFrame, gallery: DataFrame, qidCol: String,
                 vecCol: String, gidCol: String, k: Int,
-                scale: Int = 10000): DataFrame = {
+                scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
     import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
     val g = gallery.select(col(gidCol).cast("long").as("neighbor_id"),
       quantize(col(vecCol), scale).as("gv"))

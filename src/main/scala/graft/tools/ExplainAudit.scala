@@ -81,14 +81,35 @@ object ExplainAudit {
           // whole plan (the batch side; its partitioning is then reused
           // by the downstream text_hash aggregate). ensureParallelism's
           // RoundRobin repartition of the single-row-group testdata
-          // scan is not a key shuffle and is excluded.
-          val hashExch = "Arguments: hashpartitioning".r
-            .findAllIn(plan).size
-          if (!plan.contains("Bucketed: true"))
+          // scan is not a key shuffle and is excluded. Checked on the
+          // executedPlan NODES, not the printed plan text — a Spark
+          // upgrade that reworks explain formatting can't flip this
+          // gate to a false PASS/FAIL.
+          import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+          import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+          // plain .collect stops at AQE/stage wrapper boundaries — their
+          // current plan is a field, not a child; ReusedExchange points
+          // back at an already-counted exchange, so don't descend
+          def deep(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+            case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+            case q: QueryStageExec => deep(q.plan)
+            case _: ReusedExchangeExec => Nil
+            case other => other.children.flatMap(deep)
+          })
+          val nodes = deep(df.queryExecution.executedPlan)
+          val bucketedScans = nodes.collect {
+            case s: FileSourceScanExec if s.bucketedScan => s }
+          val hashExchNodes = nodes.collect {
+            case e: ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }
+          if (bucketedScans.isEmpty)
             violations ::= s"$name: seen-index scan is not bucketed"
-          if (hashExch != 1)
-            violations ::= s"$name: $hashExch hash exchanges (want 1: " +
-              "batch side only — the bucketed index must not re-shuffle)"
+          if (hashExchNodes.size != 1)
+            violations ::= s"$name: ${hashExchNodes.size} hash " +
+              "exchanges (want 1: batch side only — the bucketed index " +
+              "must not re-shuffle)"
         }
       } catch {
         case e: Throwable =>
