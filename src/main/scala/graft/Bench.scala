@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Bench-only keys: persisted-index search variants (build runs once
+    * into /tmp during warm-up, timed rounds measure search alone).
+    * Not in SparkEntry.queries — they share v7/v13's gated math but
+    * exist to split build from search in the recorded numbers. */
+  private def extras
+      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    def idx(dir: String, kind: String) =
+      "/tmp/graft_" + kind + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Map(
+      "v7_search_persisted" -> ((s, dir) =>
+        queries.Queries.v7SearchPersisted(s, dir, idx(dir, "ivfidx"))),
+      "v13_search_persisted" -> ((s, dir) =>
+        queries.Queries.v13SearchPersisted(s, dir, idx(dir, "pqidx"))))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,7 +35,7 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     // Optional subset filter for iteration (same contract as Verify).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    val selected = (SparkEntry.queries ++ extras).filter { case (name, _) =>
       only.forall(_.contains(name)) }
     // noop sink, not count(): under a count() aggregate Catalyst prunes
     // every projection that doesn't affect row count, so map-only
@@ -62,7 +78,15 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write the full per-query JSON to a file: stdout tails get
+    // truncated by capture harnesses (BENCH_r03 lost its d-family keys
+    // that way) — the committed file is the durable artifact.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full_latest.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
   }
 }

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   *    preserving, decorrelates replicas so near-dup pairs don't grow
   *    quadratically across replicas);
   *  - events ×V: event_id + rep·10⁹, user_id + rep·10⁶ (new users:
-  *    per-user event density, session and funnel shapes unchanged).
-  * Relational tables are symlinked unchanged (their queries stay
-  * sf0.1 and are excluded from the big-SF reading).
+  *    per-user event density, session and funnel shapes unchanged);
+  *  - customer/orders/lineitem ×R: key-remapped consistently
+  *    (c_custkey/o_custkey + rep·10⁷, o_orderkey/l_orderkey + rep·10⁹)
+  *    so every customer→orders→lineitem join holds within its replica —
+  *    the effect is a higher-SF TPC-H where each part/supplier sees R×
+  *    the lineitems (part and supplier stay dimension tables). This is
+  *    the data-bound point for the relational q-/e-family the r3
+  *    verdict asked for.
+  * nation/region/part/supplier are symlinked unchanged (dimensions).
   */
 object MakeBigSf {
   def main(args: Array[String]): Unit = {
@@ -77,15 +83,39 @@ object MakeBigSf {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    // relational tables ride along unchanged (symlinks)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")) {
+    // fact-side relational tables: consistent key remap per replica
+    val rFac = sys.env.getOrElse("SPARK_GRAFT_BIG_REL", "20").toInt
+    def unlink(t: String): Unit =
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(outDir, s"$t.parquet"))
+
+    // key remap preserving every other column as-is (schemas differ
+    // from full TPC-H — the testdata tables are trimmed)
+    def replicate(name: String, src: DataFrame,
+                  remap: Map[String, Long]): Unit = {
+      unlink(name)
+      src.select(col("*"), reps(rFac))
+        .select(src.columns.toIndexedSeq.map(c => remap.get(c)
+          .map(o => (col(c) + col("rep") * o).as(c)).getOrElse(col(c))): _*)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    replicate("customer", Tables.customer(spark, srcDir),
+      Map("c_custkey" -> 10000000L))
+    replicate("orders", Tables.orders(spark, srcDir),
+      Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L))
+    replicate("lineitem", Tables.lineitem(spark, srcDir),
+      Map("l_orderkey" -> 1000000000L))
+
+    // dimension tables ride along unchanged (symlinks)
+    for (t <- Seq("region", "nation", "supplier", "part")) {
       val link = java.nio.file.Paths.get(outDir, s"$t.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(srcDir, s"$t.parquet"))
     }
-    for (t <- Seq("documents", "embeddings", "events"))
+    for (t <- Seq("documents", "embeddings", "events", "customer",
+        "orders", "lineitem"))
       println(s"[makebigsf] $t rows=" +
         spark.read.parquet(s"$outDir/$t.parquet").count())
     spark.stop()
