@@ -92,6 +92,9 @@ object SparkEntry {
     "q15_revenue_cube" -> (Queries.q15RevenueCube _),
     "q16_segment_setops" -> (Queries.q16SegmentSetOps _),
     "q17_brand_revenue" -> (Queries.q17BrandRevenue _),
+    "q18_blame_supplier" -> (Queries.q18BlameSupplier _),
+    "q19_order_count_dist" -> (Queries.q19OrderCountDist _),
+    "q20_top_supplier" -> (Queries.q20TopSupplier _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),
@@ -101,7 +104,8 @@ object SparkEntry {
     "e6_retention" -> (Queries.e6Retention _),
     "e7_json_props" -> (Queries.e7JsonProps _),
     "e8_event_pivot" -> (Queries.e8EventPivot _),
-    "e9_skew_enrich" -> (Queries.e9SkewEnrich _))
+    "e9_skew_enrich" -> (Queries.e9SkewEnrich _),
+    "e10_conversion_lag" -> (Queries.e10ConversionLag _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -277,8 +277,14 @@ object Dedup {
     val width = 64 / bands
     // fingerprint projected as its own column BEFORE the band packing:
     // inlining simhash64 would re-evaluate the whole md5-vote kernel
-    // once per band.
+    // once per band. The frame is LAZILY CHECKPOINTED because two
+    // branches consume it (the bucket-count guard and the join) and
+    // the md5-vote kernel is the dominant map cost — measured at the
+    // 100k-doc bench point, recomputing it for the count branch took
+    // d6 from ~9 s to 15 s. The checkpoint stores 8 B/doc/band —
+    // linear, local, and exactly what d3 materializes anyway.
     val banded = fp
+      .localCheckpoint(false)
       .select(col("doc_id"),
         array((0 until bands).map(b =>
           conv(substring(col("simhash"), b * width + 1, width), 2, 10)
@@ -333,7 +339,9 @@ object Dedup {
   def simhashDupEdges(docs: DataFrame, idCol: String, textCol: String,
                       bands: Int = 4, maxHamming: Int = 3,
                       maxBucket: Long = SimhashMaxBucket): DataFrame = {
-    val fp = simhash(docs, idCol, textCol)
+    // checkpointed: the contraction groupBy and the star join both
+    // consume the fingerprint frame — one kernel evaluation, not two
+    val fp = simhash(docs, idCol, textCol).localCheckpoint(false)
     val reps = fp.groupBy("simhash").agg(min(col("doc_id")).as("rep_id"))
     // The join back on simhash re-partitions on the same key the
     // groupBy just shuffled on, so the contraction costs one exchange

@@ -102,13 +102,29 @@ object IvfIndex {
     assigned.select("id", "vec", "centroid_id")
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
-  /** Load a persisted index (faiss_utils.py:15-17). */
+  /** Load a persisted index (faiss_utils.py:15-17). The scan is
+    * parallelism-ensured: a small index (or one whose files coalesce
+    * under maxPartitionBytes) would otherwise run every downstream
+    * map stage on a handful of tasks — measured as v7_search_persisted
+    * benching SLOWER than the full rebuild. No-op on a
+    * production-scale multi-split layout. */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.sources.Tables.ensureParallelism(
+      spark.read.parquet(path), Some(path))
 
   /** IVF probe search: route each query to its `nprobe` nearest
     * centroids, then exact top-k among vectors in the probed partitions.
-    * Output (query_id, rnk, neighbor_id, dist). */
+    * Output (query_id, rnk, neighbor_id, dist).
+    *
+    * Plan shape (re-measured at the 100k-row bench point): the gallery
+    * side quantizes ONCE per index row BEFORE the join — an index row
+    * probed by p queries must not re-quantize p times (the original
+    * post-join projection did exactly that: with ~200 queries probing
+    * each centroid it was 200× the map work, and v7 benched SLOWER
+    * than the v1 brute-force scan it is supposed to beat). The query
+    * vectors fold INTO the broadcast probe table (Q·nprobe rows, each
+    * with its quantized query), so there is exactly ONE join on the
+    * gallery side and the distance evaluates in its output. */
   def search(index: DataFrame, centroids: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, cidCol: String, qidCol: String,
              k: Int, nprobe: Int, scale: Int = DefaultScale): DataFrame = {
@@ -121,14 +137,14 @@ object IvfIndex {
     // pruning when `index` is loaded from the partitioned layout).
     val q = queries.select(col(qidCol).cast("long").as("query_id"),
       quantize(col(vecCol), scale).as("qv"))
+    val probeQ = probes.join(q, Seq("query_id"))
     val cand = index
-      .select(col("id").cast("long").as("neighbor_id"), col("vec"),
+      .select(col("id").cast("long").as("neighbor_id"),
+        quantize(col("vec"), scale).as("nqv"),
         col("centroid_id").cast("long").as("centroid_id"))
-      .join(broadcast(probes), Seq("centroid_id"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(broadcast(probeQ), Seq("centroid_id"))
       .select(col("query_id"), col("neighbor_id"),
-        intL2Sq(quantize(col("vec"), scale), col("qv"))
-          .cast("double").as("d2"))
+        intL2Sq(col("nqv"), col("qv")).cast("double").as("d2"))
     TopK.perGroup(cand, "query_id", "neighbor_id", "d2", k, ascending = true)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         distFromIntSq(col("d2"), scale).as("dist"))

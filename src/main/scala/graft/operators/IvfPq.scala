@@ -162,14 +162,18 @@ object IvfPq {
     // lookup per candidate row), not a Q-entry literal map whose
     // element_at scanned all Q keys linearly per row; the per-sub
     // tables are positional arrays (PqIndex.posTable — O(1) per code).
+    // The tables fold INTO the probe frame (Q·nprobe rows) so the
+    // codes side sees exactly ONE broadcast join — the v7 lesson: a
+    // second join over the post-probe row explosion pays its cost
+    // once per (row, query) pair.
     import spark.implicits._
     val dtabDf = qRows.toSeq.map { case (qid, qvec) =>
       (qid, (0 until m).map(j =>
         PqIndex.posTable(PqIndex.subDists(qvec, j, sub, bySub(j)))))
     }.toDF("query_id", "dtab")
+    val probeTab = probes.join(dtabDf, Seq("query_id"))
     val cand = codes
-      .join(broadcast(probes), Seq("centroid_id"))
-      .join(broadcast(dtabDf), Seq("query_id"))
+      .join(broadcast(probeTab), Seq("centroid_id"))
     val adc = (0 until m)
       .map(j => element_at(element_at(col("dtab"), j + 1),
         col("codes").getItem(j) + 1))

@@ -1040,6 +1040,48 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
        AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""",
 
+    // Q21 shape: exists(other supplier in the order) AND NOT
+    // exists(other supplier also returned) — the oracle keeps the
+    // correlated form DuckDB decorrelates itself; Spark's plan is the
+    // explicit semi+anti pair on the same orderkey key.
+    "q18_blame_supplier" -> """
+WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       count(*) AS n_blame
+FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1, 2""",
+
+    // Q13 shape: the predicate lives ON the left join, so customers
+    // with only urgent orders count 0 instead of disappearing.
+    "q19_order_count_dist" -> """
+WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY 1)
+SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""",
+
+    // Q15 shape: suppliers AT the max quarterly revenue; the max
+    // compares exact integer cents so ties are engine-independent.
+    "q20_top_supplier" -> s"""
+WITH rev AS (SELECT l_suppkey,
+                    ${moneySum("l_extendedprice * (1 - l_discount)", 10000)} AS rev_c
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       rev_c / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM rev)""",
+
     "q14_balance_rank" -> """
 WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
                   rank() OVER w AS rnk,
@@ -1069,6 +1111,20 @@ c AS (SELECT lang,
                   THEN 'en' ELSE 'other' END AS lang_pred
       FROM d)
 SELECT lang, lang_pred, count(*) AS n FROM c GROUP BY 1, 2""",
+
+    // Conversion lag: conditional FILTER mins per user, both-events
+    // users only; exact-µs integers (negative lag is valid signal).
+    "e10_conversion_lag" -> """
+WITH u AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  min(epoch_us(ts)) FILTER (event_type = 'view')
+                    AS first_view_us,
+                  min(epoch_us(ts)) FILTER (event_type = 'purchase')
+                    AS first_purchase_us
+           FROM events GROUP BY 1)
+SELECT user_id, first_view_us, first_purchase_us,
+       first_purchase_us - first_view_us AS lag_us
+FROM u
+WHERE first_view_us IS NOT NULL AND first_purchase_us IS NOT NULL""",
 
     "e6_retention" -> """
 WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,

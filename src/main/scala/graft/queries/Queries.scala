@@ -275,7 +275,7 @@ object Queries {
         .join(IvfIndex.assign(g, cents, "id", "qemb", "cid", scale = 1)
           .select(col("id"), col("centroid_id")), Seq("id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    val codes = s.read.parquet(path)
+    val codes = Tables.ensureParallelism(s.read.parquet(path), Some(path))
     val queries = g.filter(col("id") % 100 === 0)
     IvfPq.search(codes, cents, queries, "cid", "id", "qemb",
       dim, m, book, k = 5, nprobe = 2, scale = 1)
@@ -1293,6 +1293,75 @@ object Queries {
         count(lit(1)).as("n"))
   }
 
+  /** Sole-blame supplier report (TPC-H Q21 shape): suppliers whose
+    * lineitem is returned ('R') inside a MULTI-supplier order where no
+    * OTHER supplier's line was returned — the exists + not-exists
+    * correlated pair, decorrelated into one semi-join and one
+    * anti-join on the SAME l_orderkey equi-key (residual suppkey
+    * inequality evaluated inside the join), so all three lineitem
+    * branches share the orderkey partitioning and no per-order
+    * cross product ever forms. Supplier dim broadcasts. */
+  def q18BlameSupplier(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val blamed = l.filter(col("l_returnflag") === "R")
+    val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+      col("l_returnflag").as("r2"))
+    blamed
+      .join(others, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(others.filter(col("r2") === "R"),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_blame"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        col("n_blame"))
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT outer
+    * join with a predicate ON THE JOIN (orders below '1-URGENT' only —
+    * pushed to the orders scan, never filtering customers out), per-
+    * customer count of matched orders (0 for unmatched), then the
+    * distribution over counts. Two shuffles: the outer join's custkey
+    * exchange (reused by the per-customer count on the same key) and
+    * the O(distinct counts) distribution aggregate. */
+  def q19OrderCountDist(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Top-revenue supplier (TPC-H Q15 shape): revenue per supplier over
+    * a ship-date quarter, suppliers AT the maximum. The max compares
+    * EXACT integer cents (a float revenue tie would be engine-
+    * dependent), rides back as a broadcast 1-row aggregate — never a
+    * driver-side collect. One lineitem scan (date filter pushed),
+    * supplier dim broadcast. */
+  def q20TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000).as("rev_c"))
+    val top = rev.agg(max(col("rev_c")).as("max_c"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_c") === col("max_c"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        (col("rev_c") / lit(10000.0)).as("total_revenue"))
+  }
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
@@ -1432,6 +1501,25 @@ object Queries {
       .agg(count(lit(1)).as("n_joined"),
         (moneySum(col("value"), 10000) / lit(10000.0)).as("sum_value"))
   }
+
+  /** Conversion lag — the attribution primitive behind every funnel
+    * dashboard: per user, the first 'view' and first 'purchase'
+    * timestamps and their exact-µs gap, for users who did both. ONE
+    * map-side-combined groupBy(user_id) with conditional mins — never
+    * a view×purchase self-join (which a hot user would make
+    * quadratic); the lag can be negative (purchase before any view) —
+    * that is signal, not an error. */
+  def e10ConversionLag(s: SparkSession, d: String): DataFrame =
+    eventsUs(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("first_view_us"),
+        min(when(col("event_type") === "purchase", col("us")))
+          .as("first_purchase_us"))
+      .filter(col("first_view_us").isNotNull &&
+        col("first_purchase_us").isNotNull)
+      .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+        (col("first_purchase_us") - col("first_view_us")).as("lag_us"))
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

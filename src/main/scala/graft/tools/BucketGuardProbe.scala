@@ -52,6 +52,26 @@ object BucketGuardProbe {
     val (gp, gs) = time(Dedup.DefaultMaxBucket)
     val (up, us) = time(Long.MaxValue)
     println(s"""{"probe":"lsh_bucket_guard","docs":$n,"family":$family,"guarded_pairs":$gp,"guarded_sec":$gs,"unguarded_pairs":$up,"unguarded_sec":$us}""")
+
+    // The SAME adversarial family against the SimHash paths: identical
+    // copies share all four band values AND the full fingerprint, so
+    //  - unguarded d6 enumerates ~family²/2·4 candidates in one task
+    //    and its verified OUTPUT is itself quadratic;
+    //  - guarded d6 drops the over-full buckets (cap semantics);
+    //  - the d7 edge path contracts the family to ONE representative +
+    //    family−1 star edges — O(k), clusters preserved.
+    def timeSim(maxBucket: Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val pairs = Dedup.simhashDup(scaled, "doc_id", "text",
+        maxBucket = maxBucket).count()
+      (pairs, (System.nanoTime() - t0) / 1e9)
+    }
+    val (sgp, sgs) = timeSim(Dedup.SimhashMaxBucket)
+    val (sup, sus) = timeSim(Long.MaxValue)
+    val t0 = System.nanoTime()
+    val edges = Dedup.simhashDupEdges(scaled, "doc_id", "text").count()
+    val es = (System.nanoTime() - t0) / 1e9
+    println(s"""{"probe":"simhash_bucket_guard","docs":$n,"family":$family,"guarded_pairs":$sgp,"guarded_sec":$sgs,"unguarded_pairs":$sup,"unguarded_sec":$sus,"edges":$edges,"edges_sec":$es}""")
     spark.stop()
   }
 }

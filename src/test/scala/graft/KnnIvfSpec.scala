@@ -79,4 +79,22 @@ class KnnIvfSpec extends SparkSpec {
     assert(m(1)._2.zip(Seq(5.05, 5.0)).forall {
       case (g, e) => math.abs(g - e) < 1e-6 })
   }
+
+  test("persisted-index search variants are row-identical to the gated rebuilds") {
+    // the bench-only keys must carry the same math as v7/v13 — the
+    // partition-column round-trip (partitionBy writes centroid_id as a
+    // directory key and re-infers its type on read) must not change a
+    // single row
+    import graft.queries.Queries
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val p7 = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_spec").toString
+    val p13 = java.nio.file.Files
+      .createTempDirectory("graft_pqidx_spec").toString
+    assert(rows(Queries.v7SearchPersisted(spark, sf, s"$p7/idx"))
+      === rows(Queries.v7IvfSearch(spark, sf)))
+    assert(rows(Queries.v13SearchPersisted(spark, sf, s"$p13/idx"))
+      === rows(Queries.v13IvfPqSearch(spark, sf)))
+  }
 }
