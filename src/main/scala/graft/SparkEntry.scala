@@ -42,6 +42,7 @@ object SparkEntry {
     "v24_range_search" -> (Queries.v24RangeSearch _),
     "v25_knn_classify" -> (Queries.v25KnnClassify _),
     "v26_lloyd_train" -> (Queries.v26LloydTrain _),
+    "v27_ivf_upsert" -> (Queries.v27IvfUpsert _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
@@ -70,12 +71,14 @@ object SparkEntry {
     "t9_repetition" -> (Queries.t9Repetition _),
     "t10_lang_confusion" -> (Queries.t10LangConfusion _),
     "t11_normalize" -> (Queries.t11Normalize _),
+    "t12_gopher_quality" -> (Queries.t12GopherQuality _),
     "q10_small_qty_revenue" -> (Queries.q10SmallQtyRevenue _),
     "v15_filtered_knn" -> (Queries.v15FilteredKnn _),
     // multimodal
     "m1_binary_meta" -> (Queries.m1BinaryMeta _),
     "m2_decode_features" -> (Queries.m2DecodeFeatures _),
     "m3_shard_assign" -> (Queries.m3ShardAssign _),
+    "m4_modality_stats" -> (Queries.m4ModalityStats _),
     // relational analytics
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
@@ -95,6 +98,7 @@ object SparkEntry {
     "q18_blame_supplier" -> (Queries.q18BlameSupplier _),
     "q19_order_count_dist" -> (Queries.q19OrderCountDist _),
     "q20_top_supplier" -> (Queries.q20TopSupplier _),
+    "q21_lonely_customers" -> (Queries.q21LonelyCustomers _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),
@@ -105,7 +109,8 @@ object SparkEntry {
     "e7_json_props" -> (Queries.e7JsonProps _),
     "e8_event_pivot" -> (Queries.e8EventPivot _),
     "e9_skew_enrich" -> (Queries.e9SkewEnrich _),
-    "e10_conversion_lag" -> (Queries.e10ConversionLag _))
+    "e10_conversion_lag" -> (Queries.e10ConversionLag _),
+    "e11_late_events" -> (Queries.e11LateEvents _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

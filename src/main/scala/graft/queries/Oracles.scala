@@ -588,6 +588,29 @@ SELECT a3.lab AS centroid_id, count(*) AS n_after,
          AS n_stayed
 FROM asn3 a3 JOIN asn2 a2 USING (gid) GROUP BY 1""",
 
+    // Incremental IVF upsert: the oracle assigns EVERY vector in one
+    // pass and splits base (% 4 <> 0) from genuinely-new batch rows
+    // (% 3 = 0 AND % 4 = 0 — the anti-join's survivors); the Spark
+    // side's persisted-index + anti-join path must land on the same
+    // merged occupancy.
+    "v27_ivf_upsert" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+asn AS (SELECT gid, cid FROM (
+          SELECT gid, cid,
+                 row_number() OVER (PARTITION BY gid
+                   ORDER BY ${l2sq("gvec", "cvec")}, cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+b AS (SELECT cid, count(*) AS n_base FROM asn WHERE gid % 4 <> 0 GROUP BY 1),
+n AS (SELECT cid, count(*) AS n_new FROM asn
+      WHERE gid % 3 = 0 AND gid % 4 = 0 GROUP BY 1)
+SELECT COALESCE(b.cid, n.cid) AS centroid_id,
+       CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(n_base, 0) + COALESCE(n_new, 0) AS BIGINT) AS n_total
+FROM b FULL JOIN n ON b.cid = n.cid""",
+
     // Compactness oracle uses the SAME centroid identity (not a naive
     // pairwise join — the identity itself is what's being gated; the
     // naive-join equivalence is proven in RandomizedEquivalenceSpec).
@@ -883,6 +906,40 @@ SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
             ELSE 0.0 END AS top_bigram_frac
 FROM d LEFT JOIN topu USING (doc_id) LEFT JOIN topb USING (doc_id)""",
 
+    // Gopher-style quality rules: every threshold is the same
+    // cross-multiplied integer comparison as the Spark side (a float
+    // ratio could flip a boundary doc across engines); the modal count
+    // reuses t9's naive explode+group form.
+    "t12_gopher_quality" -> s"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                  string_split(text, ' ') AS toks FROM documents),
+m AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS modal_n FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2)
+      GROUP BY 1),
+s AS (SELECT d.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+             CAST(len(list_filter(toks, t -> t IN $stopList)) AS BIGINT)
+               AS stop_hits,
+             m.modal_n
+      FROM d JOIN m USING (doc_id)),
+f AS (SELECT doc_id, n_tok, word_chars, stop_hits, modal_n,
+             CAST(CASE WHEN n_tok >= 20 AND n_tok <= 100000
+                  THEN 1 ELSE 0 END AS BIGINT) AS pass_len,
+             CAST(CASE WHEN 3 * n_tok <= word_chars
+                        AND word_chars <= 10 * n_tok
+                  THEN 1 ELSE 0 END AS BIGINT) AS pass_wordlen,
+             CAST(CASE WHEN 50 * stop_hits >= n_tok
+                  THEN 1 ELSE 0 END AS BIGINT) AS pass_stop,
+             CAST(CASE WHEN 5 * modal_n <= n_tok
+                  THEN 1 ELSE 0 END AS BIGINT) AS pass_rep
+      FROM s)
+SELECT doc_id, n_tok, word_chars, stop_hits, modal_n,
+       pass_len, pass_wordlen, pass_stop, pass_rep,
+       pass_len * pass_wordlen * pass_stop * pass_rep AS keep
+FROM f""",
+
     // Overlap pairs on t6's winnowing fingerprints; the df <= 50 cap is
     // operator semantics (boilerplate fingerprints excluded) mirrored
     // exactly here.
@@ -1082,6 +1139,43 @@ SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_c = (SELECT max(rev_c) FROM rev)""",
 
+    // Q22 shape: above-average balance via the exact cross-multiplied
+    // integer predicate (never a float average), dormancy via NOT
+    // EXISTS on recent orders (mirrors left_anti's null semantics).
+    "q21_lonely_customers" -> """
+WITH c AS (SELECT c_custkey, c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+           FROM customer),
+a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS cnt
+      FROM c WHERE bal_c > 0)
+SELECT c_mktsegment, count(*) AS n_cust,
+       CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_bal
+FROM c, a
+WHERE bal_c * cnt > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+GROUP BY 1""",
+
+    // Watermark-lateness twin: arrival order is the v5 hash permutation
+    // of event_id; high-water mark over arrival order, late = trails it
+    // by > 1h in exact µs. FILTERed aggregates leave max_late_us NULL
+    // for never-late users, matching Spark's conditional max.
+    "e11_late_events" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(event_id AS BIGINT) AS event_id,
+                  (CAST(event_id AS BIGINT) * 2654435761) % 2147483647
+                    AS arr,
+                  epoch_us(ts) AS us FROM events),
+h AS (SELECT user_id, us,
+             max(us) OVER (PARTITION BY user_id ORDER BY arr, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM x)
+SELECT user_id, count(*) AS n_events,
+       CAST(count(*) FILTER (hwm - us > 3600000000) AS BIGINT) AS n_late,
+       max(hwm - us) FILTER (hwm - us > 3600000000) AS max_late_us
+FROM h GROUP BY 1""",
+
     "q14_balance_rank" -> """
 WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
                   rank() OVER w AS rnk,
@@ -1179,6 +1273,23 @@ SELECT source, bytes_before // 8192 AS shard_id, count(*) AS n_assets,
        CAST(min(asset_id) AS BIGINT) AS first_asset,
        CAST(max(asset_id) AS BIGINT) AS last_asset
 FROM c GROUP BY 1, 2""",
+
+    // Modality inventory: byte totals are exact integers, the one
+    // IEEE division (avg) happens on the final aggregates; modality
+    // derives from doc_id % 3 (non-negative, so % matches pmod).
+    "m4_modality_stats" -> """
+WITH a AS (SELECT CAST(doc_id AS BIGINT) AS asset_id, source,
+                  CAST(strlen(text) AS BIGINT) AS n_bytes,
+                  sha256(text) AS sha,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS modality
+           FROM documents)
+SELECT source, modality, count(*) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+       CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct_payloads,
+       CAST(sum(n_bytes) AS BIGINT) / count(*) AS avg_bytes
+FROM a GROUP BY 1, 2""",
 
     // Ratio of exact-cents aggregates: one conditional sum over one
     // scan of the star join, a single IEEE division for the share.

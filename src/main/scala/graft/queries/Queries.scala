@@ -431,6 +431,44 @@ object Queries {
     lloydStats(cur)
   }
 
+  /** Incremental IVF maintenance — the ingest-time shape of a LIVE
+    * vector index (the d9 seen-index pattern applied to the reference's
+    * persisted FAISS index, faiss_utils.py:11-17): the assigned index
+    * (vec_id → centroid) is persisted ONCE through the bucketed store,
+    * bucketed by vec_id; an arriving batch (possibly re-delivered —
+    * at-least-once ingest) anti-joins the index on vec_id so only
+    * genuinely-new vectors pay the assignment pass, and the merged
+    * per-centroid occupancy comes from the index-side counts plus the
+    * new assignments. The anti-join probes co-located buckets with no
+    * index-side exchange (merge hint pins sort-merge, mirroring d9 —
+    * a 100 TB index is never broadcast-sized); assignment itself is
+    * IvfIndex.assign's map-only literal-folded argmin. The batch here
+    * is vec_id % 3 == 0 (overlapping the % 4 != 0 base, so the
+    * dedup-by-id path is genuinely exercised: only % 12 == 0 ids are
+    * new). */
+  def v27IvfUpsert(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = seedCentroids(e)
+    val table = "graft_ivf_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.sources.BucketedStore.ensure(s, table,
+      IvfIndex.assign(e.filter(col("vec_id") % 4 =!= 0), cents,
+        "vec_id", "embedding", "cid")
+        .select(col("id"), col("centroid_id")),
+      "id", numBuckets = 32)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+    val newVecs = batch.join(base.hint("merge"),
+      batch("vec_id") === base("id"), "left_anti")
+    val nNew = IvfIndex.assign(newVecs, cents, "vec_id", "embedding", "cid")
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_new"))
+    val nBase = base.groupBy("centroid_id").agg(count(lit(1)).as("n_base"))
+    nBase.join(nNew, Seq("centroid_id"), "full")
+      .select(col("centroid_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_total"))
+  }
+
   /** Per-class embedding compactness — mean intra-class squared L2 —
     * WITHOUT any pairwise join: the centroid identity
     * `Σ_{i<j}||xi−xj||² = n·Σ||xi||² − ||Σxi||²` turns an O(N²/labels)
@@ -933,6 +971,42 @@ object Queries {
           .as("unchanged"))
   }
 
+  /** Gopher-style quality rules — the heuristic document filter every
+    * LLM training pipeline runs before tokenization (token-count
+    * bounds, mean-word-length band, stopword presence, repetition cap).
+    * Every rule is an EXACT cross-multiplied integer comparison — never
+    * a float ratio threshold (3 ≤ chars/words ≤ 10 is
+    * `3·n_tok ≤ chars ∧ chars ≤ 10·n_tok`; a float division's rounding
+    * could flip a boundary doc across engines). Map-only over the
+    * corpus: word chars via a space-strip length, stop hits and the
+    * modal-token count via the linear array aggregates t1/t9 use — no
+    * explode, no shuffle, no UDF. Output: per-doc rule flags + the
+    * composite keep verdict. */
+  def t12GopherQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("word_chars"),
+        stopwordHits(col("text")).cast("long").as("stop_hits"),
+        modalCount(toks).as("modal_n"))
+      .select(col("doc_id"), col("n_tok"), col("word_chars"),
+        col("stop_hits"), col("modal_n"),
+        when(col("n_tok") >= 20 && col("n_tok") <= 100000, 1L).otherwise(0L)
+          .as("pass_len"),
+        when(lit(3) * col("n_tok") <= col("word_chars") &&
+          col("word_chars") <= lit(10) * col("n_tok"), 1L).otherwise(0L)
+          .as("pass_wordlen"),
+        when(lit(50) * col("stop_hits") >= col("n_tok"), 1L).otherwise(0L)
+          .as("pass_stop"),
+        when(lit(5) * col("modal_n") <= col("n_tok"), 1L).otherwise(0L)
+          .as("pass_rep"))
+      .withColumn("keep",
+        col("pass_len") * col("pass_wordlen") * col("pass_stop") *
+          col("pass_rep"))
+  }
+
   /** MOSS-style winnowing fingerprints, long format (doc_id, fp): the
     * plagiarism/attribution primitive — any shared >= 6-token run
     * between docs shares a fingerprint row. */
@@ -1001,6 +1075,30 @@ object Queries {
         min("asset_id").as("first_asset"),
         max("asset_id").as("last_asset"))
   }
+
+  /** Per-(source, modality) asset inventory — the storage-planning
+    * query a multimodal corpus runs before sharding (how many bytes of
+    * which modality live where, and how much of it is duplicate
+    * payload). Modality is derived deterministically (doc_id mod 3 —
+    * the synthetic stand-in for a real mime sniff); distinct-payload
+    * counts key on m1's sha256, so the dedup signal is content-true.
+    * One groupBy with map-side combine; count_distinct expands to the
+    * standard two-phase distinct aggregate — O(distinct payloads)
+    * intermediate, never a per-group set collect. */
+  def m4ModalityStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("asset_id"), col("source"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha256"))
+      .withColumn("modality",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("asset_id"), lit(3)) + 1).cast("int")))
+      .groupBy(col("source"), col("modality"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        countDistinct(col("sha256")).as("n_distinct_payloads"))
+      .withColumn("avg_bytes", col("total_bytes") / col("n_assets"))
 
   // ---------- relational analytics ----------
 
@@ -1362,6 +1460,35 @@ object Queries {
         (col("rev_c") / lit(10000.0)).as("total_revenue"))
   }
 
+  /** Dormant high-balance customers (TPC-H Q22 shape): customers with
+    * above-average positive balance and NO RECENT orders (none since
+    * 1998-06-01). The scalar average rides as a broadcast 1-row
+    * (sum, count) aggregate and the "above average" predicate is the
+    * EXACT integer cross-multiplication `bal_c · cnt > sum_c` — never
+    * a float average threshold (an engine-dependent ulp would flip
+    * boundary customers). The dormancy test is a left ANTI join on
+    * custkey (never NOT IN — a null custkey would poison the
+    * predicate); the recency filter and single-column projection both
+    * push to the orders scan. Aggregation to O(segments) rows,
+    * map-side combined. */
+  def q21LonelyCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val avgPos = c.filter(col("bal_c") > 0)
+      .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("cnt"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("bal_c") * col("cnt") > col("sum_c"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >=
+          to_timestamp(lit("1998-06-01 00:00:00")))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        (sum("bal_c") / lit(100.0)).as("total_bal"))
+  }
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
@@ -1520,6 +1647,34 @@ object Queries {
         col("first_purchase_us").isNotNull)
       .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
         (col("first_purchase_us") - col("first_view_us")).as("lag_us"))
+
+  /** Watermark-lateness accounting — the batch twin of Structured
+    * Streaming's late-event drop (streaming/StreamingOps' windowed aggs
+    * declare `withWatermark("1 hour")`; this key gates, per user, how
+    * many events that policy would discard and how late the worst one
+    * was). Arrival order is a seeded hash permutation of event_id (the
+    * v5 sampling hash — the synthetic stand-in for a real ingest log's
+    * arrival sequence, which the generator's ts-sorted event_id can't
+    * play); the per-user event-time high-water mark is a running max
+    * over arrival order, an event is late when it trails the prior
+    * high-water mark by more than the watermark (1 h in exact integer
+    * µs). The window partitions by user_id — per-key state exactly
+    * like the streaming runtime's, never a whole-stream single-task
+    * sort. */
+  def e11LateEvents(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    eventsUs(s, d)
+      .withColumn("arr", (col("event_id") * 2654435761L) % 2147483647L)
+      .withColumn("hwm", max("us").over(w))
+      .withColumn("late_us",
+        when(col("hwm") - col("us") > lit(3600000000L),
+          col("hwm") - col("us")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("late_us")).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+  }
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

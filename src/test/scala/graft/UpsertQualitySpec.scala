@@ -1,0 +1,113 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-4 continuation operators: incremental
+  * IVF upsert (v27), Gopher quality rules (t12), watermark lateness
+  * (e11), dormant customers (q21), modality inventory (m4). Exact value
+  * parity is covered by the DuckDB oracle gate; these assert the
+  * semantic properties the oracle can't name.
+  */
+class UpsertQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("v27: occupancy splits exactly into base and new, idempotently") {
+    val r = Queries.v27IvfUpsert(spark, sf).collect()
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nBase = e.filter($"vec_id" % 4 =!= 0).count()
+    val nNew = e.filter($"vec_id" % 12 === 0).count()
+    assert(r.map(_.getAs[Long]("n_base")).sum === nBase)
+    // only genuinely-new ids (batch minus index) pay assignment
+    assert(r.map(_.getAs[Long]("n_new")).sum === nNew)
+    r.foreach(row => assert(row.getAs[Long]("n_total") ===
+      row.getAs[Long]("n_base") + row.getAs[Long]("n_new")))
+    // re-delivery: a second run reuses the persisted index and lands on
+    // identical occupancy (the upsert is idempotent by construction)
+    val again = Queries.v27IvfUpsert(spark, sf).collect()
+    assert(again.map(x => (x.getAs[Long]("centroid_id"),
+      x.getAs[Long]("n_total"))).sortBy(_._1).toSeq ===
+      r.map(x => (x.getAs[Long]("centroid_id"),
+        x.getAs[Long]("n_total"))).sortBy(_._1).toSeq)
+  }
+
+  test("t12: flags are 0/1, keep is their conjunction, doc 0 hand-checks") {
+    val rows = Queries.t12GopherQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val flags = Seq("pass_len", "pass_wordlen", "pass_stop", "pass_rep")
+        .map(row.getAs[Long](_))
+      flags.foreach(f => assert(f === 0L || f === 1L))
+      assert(row.getAs[Long]("keep") === flags.product)
+    }
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" === 0).select("text").as[String].head()
+    val toks = text.split(" ", -1)
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_tok") === toks.length.toLong)
+    assert(r0.getAs[Long]("word_chars") ===
+      text.count(_ != ' ').toLong)
+    assert(r0.getAs[Long]("modal_n") ===
+      toks.groupBy(identity).values.map(_.length).max.toLong)
+  }
+
+  test("e11: lateness bounded by the per-user arrival replay") {
+    val rows = Queries.e11LateEvents(spark, sf).collect()
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === nEvents)
+    rows.foreach { row =>
+      val late = row.getAs[Long]("n_late")
+      assert(late <= row.getAs[Long]("n_events"))
+      val maxLate = Option(row.get(row.fieldIndex("max_late_us")))
+      assert(maxLate.isDefined === (late > 0))
+      maxLate.foreach(m => assert(m.asInstanceOf[Long] > 3600000000L))
+    }
+    // replay one user's arrival order in plain Scala and compare
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"user_id" === 0)
+      .select($"event_id".cast("long"),
+        expr("ts div 1000").as("us")) // ns are non-negative: div = floor
+      .as[(Long, Long)].collect()
+    val replay = ev.map { case (id, us) =>
+      ((id * 2654435761L) % 2147483647L, id, us)
+    }.sortBy(t => (t._1, t._2))
+    var hwm = Long.MinValue; var late = 0L
+    replay.foreach { case (_, _, us) =>
+      if (hwm != Long.MinValue && hwm - us > 3600000000L) late += 1
+      hwm = math.max(hwm, us)
+    }
+    val got = rows.find(_.getAs[Long]("user_id") == 0L).get
+    assert(got.getAs[Long]("n_late") === late)
+  }
+
+  test("q21: every counted customer is dormant and above average") {
+    val r = Queries.q21LonelyCustomers(spark, sf).collect()
+    assert(r.nonEmpty) // non-empty at every test SF by construction
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", round($"c_acctbal" * 100).cast("long").as("b"))
+    val pos = c.filter($"b" > 0).agg(sum("b"), count(lit(1)))
+      .as[(Long, Long)].head()
+    val recent = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderdate" >= to_timestamp(lit("1998-06-01 00:00:00")))
+      .select($"o_custkey").distinct()
+    val expected = c.filter($"b" * pos._2 > pos._1)
+      .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .count()
+    assert(r.map(_.getAs[Long]("n_cust")).sum === expected)
+  }
+
+  test("m4: inventory partitions the corpus; distinct <= total") {
+    val rows = Queries.m4ModalityStats(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_assets")).sum === docs.count())
+    rows.foreach { row =>
+      assert(row.getAs[Long]("n_distinct_payloads") <=
+        row.getAs[Long]("n_assets"))
+      assert(row.getAs[Long]("max_bytes") <= row.getAs[Long]("total_bytes"))
+      assert(row.getAs[Double]("avg_bytes") ===
+        row.getAs[Long]("total_bytes").toDouble /
+          row.getAs[Long]("n_assets"))
+      assert(Set("image", "audio", "video")(row.getAs[String]("modality")))
+    }
+  }
+}
