@@ -43,6 +43,7 @@ object SparkEntry {
     "v25_knn_classify" -> (Queries.v25KnnClassify _),
     "v26_lloyd_train" -> (Queries.v26LloydTrain _),
     "v27_ivf_upsert" -> (Queries.v27IvfUpsert _),
+    "v28_knn_graph" -> (Queries.v28KnnGraph _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "d12_edit_distance" -> (Queries.d12EditDistance _),
     "d13_band_cap" -> (Queries.d13BandCap _),
     "d14_simhash_cap" -> (Queries.d14SimhashCap _),
+    "d15_prefix_dup" -> (Queries.d15PrefixDup _),
     // text analysis
     "t1_lang_id" -> (Queries.t1LangId _),
     "t2_quality_score" -> (Queries.t2QualityScore _),
@@ -72,6 +74,7 @@ object SparkEntry {
     "t10_lang_confusion" -> (Queries.t10LangConfusion _),
     "t11_normalize" -> (Queries.t11Normalize _),
     "t12_gopher_quality" -> (Queries.t12GopherQuality _),
+    "t13_novelty" -> (Queries.t13Novelty _),
     "q10_small_qty_revenue" -> (Queries.q10SmallQtyRevenue _),
     "v15_filtered_knn" -> (Queries.v15FilteredKnn _),
     // multimodal

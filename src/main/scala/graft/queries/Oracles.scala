@@ -588,6 +588,21 @@ SELECT a3.lab AS centroid_id, count(*) AS n_after,
          AS n_stayed
 FROM asn3 a3 JOIN asn2 a2 USING (gid) GROUP BY 1""",
 
+    // KNN graph, LSH-bucket-blocked: the naive in-bucket self-join +
+    // per-source rank; same seed-fixed quantized hyperplanes as v10.
+    "v28_knn_graph" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand)
+SELECT src_id, rnk, dst_id, sqrt(d2) / $vscale.0 AS dist
+FROM r WHERE rnk <= 3""",
+
     // Incremental IVF upsert: the oracle assigns EVERY vector in one
     // pass and splits base (% 4 <> 0) from genuinely-new batch rows
     // (% 3 = 0 AND % 4 = 0 — the anti-join's survivors); the Spark
@@ -905,6 +920,34 @@ SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        CASE WHEN len(toks) >= 2 THEN topb.top_bigram_n / (len(toks) - 1)
             ELSE 0.0 END AS top_bigram_frac
 FROM d LEFT JOIN topu USING (doc_id) LEFT JOIN topb USING (doc_id)""",
+
+    // Trigram novelty: distinct shingles per doc (mirrors shingles()'s
+    // array_distinct), df via group, rate = exact counts + one division.
+    "t13_novelty" -> """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               AS bgs
+      FROM d WHERE len(toks) >= 3),
+u AS (SELECT doc_id, unnest(bgs) AS bg FROM s),
+f AS (SELECT bg, count(*) AS df FROM u GROUP BY 1)
+SELECT doc_id, count(*) AS n_trigrams,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*)
+         AS novelty
+FROM u JOIN f USING (bg) GROUP BY 1""",
+
+    // Prefix dedup: d1's exact-dedup shape on the md5 of the first 8
+    // tokens; groups of >= 2 only.
+    "d15_prefix_dup" -> """
+WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                    AS prefix_hash
+           FROM documents)
+SELECT prefix_hash, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM p GROUP BY 1 HAVING count(*) >= 2""",
 
     // Gopher-style quality rules: every threshold is the same
     // cross-multiplied integer comparison as the Spark side (a float

@@ -431,6 +431,33 @@ object Queries {
     lloydStats(cur)
   }
 
+  /** KNN-graph construction — every vector's top-3 neighbors, the
+    * build primitive under graph ANN indexes (NN-descent / HNSW layer
+    * 0) and graph-based dedup. All-pairs exact is O(N²) and dies at
+    * scale, so candidates are LSH-BUCKET-BLOCKED (the d5 blocker, the
+    * same seed-fixed hyperplanes as v10): the self-join keys on the
+    * bucket, so candidate volume is Σ bucket², linear in N for fixed
+    * bucket count, and the join shuffles ONCE on the bucket key. Top-3
+    * per source via the native partial top-k aggregate (map-side heaps,
+    * O(N·k) shuffle — never a per-source sort). Vectors alone in their
+    * bucket emit no edges (the recall/coverage trade is the operator
+    * contract; more planes + multi-probe tune it at 100 TB). */
+  def v28KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val planes = LshIndex.quantizePlanes(
+      LshIndex.hyperplanes(dim = 64, nPlanes = 6, seed = 42L))
+    val v = emb(s, d).select(col("vec_id").cast("long").as("id"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", LshIndex.bucketKeyQ(col("qv"), planes))
+    val scored = v.as("x").join(v.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src_id"), col("y.id").as("dst_id"),
+        intL2Sq(col("x.qv"), col("y.qv")).cast("double").as("d2"))
+    TopK.perGroup(scored, "src_id", "dst_id", "d2", k = 3,
+      ascending = true)
+      .select(col("src_id"), col("rnk"), col("dst_id"),
+        distFromIntSq(col("d2")).as("dist"))
+  }
+
   /** Incremental IVF maintenance — the ingest-time shape of a LIVE
     * vector index (the d9 seen-index pattern applied to the reference's
     * persisted FAISS index, faiss_utils.py:11-17): the assigned index
@@ -587,6 +614,22 @@ object Queries {
 
   def d1DedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d), "doc_id", "text")
+
+  /** Prefix dedup — boilerplate detection by identical leading run
+    * (crawled pages share headers/templates long before they share
+    * whole bodies; prefix grouping is the cheap first pass before
+    * near-dup). Groups docs by the md5 of their first 8 tokens and
+    * keeps groups of >= 2. Map-only hash + one map-side-combined
+    * groupBy — d1's exact-dedup shape on a weaker key; output is
+    * O(duplicate groups), never corpus-sized. */
+  def d15PrefixDup(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(array_join(slice(tokens(col("text")), 1, 8), " "))
+          .as("prefix_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+      .filter(col("n") >= 2)
 
   def d2MinhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(docs(s, d), "doc_id", "text")
@@ -969,6 +1012,30 @@ object Queries {
         length(col("norm")).cast("long").as("n_chars_norm"),
         when(col("norm") === col("text"), 1L).otherwise(0L)
           .as("unchanged"))
+  }
+
+  /** Trigram novelty rate — the rational-arithmetic stand-in for LM
+    * perplexity filtering (a real LM score needs log-probs; libm logs
+    * are not bit-portable, and the signal "how much of this document's
+    * phrasing appears nowhere else" is the same boilerplate/template
+    * detector). Per doc: the fraction of its DISTINCT trigrams with
+    * corpus document-frequency 1 (trigrams, not bigrams — the bigram
+    * space saturates on a bounded vocabulary and the rate collapses to
+    * 0). Plan shape is t8's: trigram df via a map-side-combined
+    * groupBy (one partial per (shingle, partition) — never a
+    * shingle-partitioned window that would ship every row of a hot
+    * shingle to one task), equi-join back on the shingle key (stays
+    * on the df exchange's partitioning), then a per-doc aggregate.
+    * Exact integer counts; the one IEEE division is the final rate. */
+  def t13Novelty(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
+      explode(shingles(col("text"), 3)).as("bg"))
+    val df = bg.groupBy("bg").agg(count(lit(1)).as("df"))
+    bg.join(df, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", col("n_unique") / col("n_trigrams"))
   }
 
   /** Gopher-style quality rules — the heuristic document filter every

@@ -96,6 +96,46 @@ class UpsertQualitySpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_cust")).sum === expected)
   }
 
+  test("v28: graph has no self-loops, ranked by nondecreasing distance") {
+    val rows = Queries.v28KnnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("src_id") !== r.getAs[Long]("dst_id"))
+      assert(r.getAs[Long]("rnk") >= 1L && r.getAs[Long]("rnk") <= 3L)
+    }
+    rows.groupBy(_.getAs[Long]("src_id")).foreach { case (_, es) =>
+      val byRank = es.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("dist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("t13: novelty is the exact unique-trigram rate, doc 0 hand-checks") {
+    val rows = Queries.t13Novelty(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_trigrams"); val u = r.getAs[Long]("n_unique")
+      assert(u <= n)
+      assert(r.getAs[Double]("novelty") === u.toDouble / n)
+    }
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)].collect()
+    def tris(t: String) =
+      t.split(" ", -1).sliding(3).map(_.mkString(" ")).toSet
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_trigrams") === tris(texts.find(_._1 == 0L).get._2).size.toLong)
+  }
+
+  test("d15: groups are >= 2 and keyed by the true 8-token prefix") {
+    val rows = Queries.d15PrefixDup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n") >= 2L))
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)].collect()
+      .groupBy(_._2.split(" ", -1).take(8).mkString(" "))
+      .values.filter(_.length >= 2)
+    assert(rows.length === expected.size)
+    assert(rows.map(_.getAs[Long]("n")).sum === expected.map(_.length.toLong).sum)
+  }
+
   test("m4: inventory partitions the corpus; distinct <= total") {
     val rows = Queries.m4ModalityStats(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
