@@ -44,6 +44,7 @@ object SparkEntry {
     "v26_lloyd_train" -> (Queries.v26LloydTrain _),
     "v27_ivf_upsert" -> (Queries.v27IvfUpsert _),
     "v28_knn_graph" -> (Queries.v28KnnGraph _),
+    "v29_nn_descent" -> (Queries.v29NnDescent _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
@@ -75,6 +76,8 @@ object SparkEntry {
     "t11_normalize" -> (Queries.t11Normalize _),
     "t12_gopher_quality" -> (Queries.t12GopherQuality _),
     "t13_novelty" -> (Queries.t13Novelty _),
+    "t14_hapax" -> (Queries.t14Hapax _),
+    "p2_mixture_weights" -> (Queries.p2MixtureWeights _),
     "q10_small_qty_revenue" -> (Queries.q10SmallQtyRevenue _),
     "v15_filtered_knn" -> (Queries.v15FilteredKnn _),
     // multimodal
@@ -82,6 +85,7 @@ object SparkEntry {
     "m2_decode_features" -> (Queries.m2DecodeFeatures _),
     "m3_shard_assign" -> (Queries.m3ShardAssign _),
     "m4_modality_stats" -> (Queries.m4ModalityStats _),
+    "m5_frame_sample" -> (Queries.m5FrameSample _),
     // relational analytics
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
@@ -113,7 +117,9 @@ object SparkEntry {
     "e8_event_pivot" -> (Queries.e8EventPivot _),
     "e9_skew_enrich" -> (Queries.e9SkewEnrich _),
     "e10_conversion_lag" -> (Queries.e10ConversionLag _),
-    "e11_late_events" -> (Queries.e11LateEvents _))
+    "e11_late_events" -> (Queries.e11LateEvents _),
+    "e12_top_spenders" -> (Queries.e12TopSpenders _),
+    "e13_sliding_dau" -> (Queries.e13SlidingDau _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -603,6 +603,35 @@ r AS (SELECT src_id, dst_id, d2,
 SELECT src_id, rnk, dst_id, sqrt(d2) / $vscale.0 AS dist
 FROM r WHERE rnk <= 3""",
 
+    // NN-descent round: v28's chain extended by the 2-hop closure,
+    // exact re-score, and a fresh rank — the same candidates the Spark
+    // side's edge-list self-join generates.
+    "v29_nn_descent" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand),
+e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
+two AS (SELECT e1.src_id AS src_id, e2.dst_id AS dst_id
+        FROM e e1 JOIN e e2 ON e1.dst_id = e2.src_id
+        WHERE e1.src_id <> e2.dst_id),
+c2 AS (SELECT DISTINCT src_id, dst_id
+       FROM (SELECT * FROM e UNION ALL SELECT * FROM two)),
+rr AS (SELECT c2.src_id, c2.dst_id, ${l2sq("vx.v", "vy.v")} AS d2
+       FROM c2 JOIN b vx ON vx.gid = c2.src_id
+                JOIN b vy ON vy.gid = c2.dst_id),
+r2 AS (SELECT src_id, dst_id, d2,
+              row_number() OVER (PARTITION BY src_id
+                ORDER BY d2, dst_id) AS rnk
+       FROM rr)
+SELECT src_id, rnk, dst_id, sqrt(d2) / $vscale.0 AS dist
+FROM r2 WHERE rnk <= 3""",
+
     // Incremental IVF upsert: the oracle assigns EVERY vector in one
     // pass and splits base (% 4 <> 0) from genuinely-new batch rows
     // (% 3 = 0 AND % 4 = 0 — the anti-join's survivors); the Spark
@@ -939,6 +968,35 @@ SELECT doc_id, count(*) AS n_trigrams,
          AS novelty
 FROM u JOIN f USING (bg) GROUP BY 1""",
 
+    // Hapax/type counts via the token-frequency table; the Spark side's
+    // sorted-array run-length pass must land on identical counts.
+    "t14_hapax" -> """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM c GROUP BY 1)
+SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       a.n_types, a.n_hapax,
+       a.n_types / CAST(len(toks) AS BIGINT) AS ttr,
+       a.n_hapax / CAST(len(toks) AS BIGINT) AS hapax_frac
+FROM d JOIN a USING (doc_id)""",
+
+    // Mixture weights: per-source token mass over the corpus total,
+    // one exact division per source row.
+    "p2_mixture_weights" -> """
+WITH per AS (SELECT source, count(*) AS n_docs,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_tokens
+             FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per)
+SELECT source, n_docs, n_tokens,
+       n_tokens / tot_tokens AS token_share
+FROM per CROSS JOIN tot""",
+
     // Prefix dedup: d1's exact-dedup shape on the md5 of the first 8
     // tokens; groups of >= 2 only.
     "d15_prefix_dup" -> """
@@ -1219,6 +1277,35 @@ SELECT user_id, count(*) AS n_events,
        max(hwm - us) FILTER (hwm - us > 3600000000) AS max_late_us
 FROM h GROUP BY 1""",
 
+    // Daily top-3 spenders: exact-cents rollup, then rank with the
+    // same (cents DESC, user_id) tie order the partial top-k uses.
+    "e12_top_spenders" -> s"""
+WITH s AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                    AS day_epoch,
+                  CAST(user_id AS BIGINT) AS user_id,
+                  ${moneySum("\"value\"", 100)} AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+r AS (SELECT day_epoch, user_id, cents,
+             row_number() OVER (PARTITION BY day_epoch
+               ORDER BY cents DESC, user_id) AS rnk
+      FROM s)
+SELECT day_epoch, CAST(rnk AS BIGINT) AS rnk, user_id,
+       cents / 100.0 AS spend
+FROM r WHERE rnk <= 3""",
+
+    // Sliding 3-day DAU: each event fans out to the 3 windows that
+    // contain its day, then exact distinct per window.
+    "e13_sliding_dau" -> """
+WITH x AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                    AS day,
+                  CAST(user_id AS BIGINT) AS user_id
+           FROM events),
+w AS (SELECT (day - off) * 86400 AS window_epoch, user_id
+      FROM x, (SELECT unnest(range(3)) AS off))
+SELECT window_epoch, CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+       count(*) AS n_events
+FROM w GROUP BY 1""",
+
     "q14_balance_rank" -> """
 WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
                   rank() OVER w AS rnk,
@@ -1333,6 +1420,19 @@ SELECT source, modality, count(*) AS n_assets,
        CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct_payloads,
        CAST(sum(n_bytes) AS BIGINT) / count(*) AS avg_bytes
 FROM a GROUP BY 1, 2""",
+
+    // Frame manifest: the same 0..duration step-250 offset list,
+    // unnested; frame_idx is the offset's exact integer quotient.
+    "m5_frame_sample" -> """
+WITH a AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                  CAST(strlen(text) AS BIGINT) AS duration_ms
+           FROM documents),
+f AS (SELECT asset_id, duration_ms,
+             unnest(range(0, duration_ms + 1, 250)) AS offset_ms
+      FROM a)
+SELECT asset_id, duration_ms, offset_ms // 250 AS frame_idx,
+       offset_ms
+FROM f""",
 
     // Ratio of exact-cents aggregates: one conditional sum over one
     // scan of the star join, a single IEEE division for the share.

@@ -442,17 +442,60 @@ object Queries {
     * O(N·k) shuffle — never a per-source sort). Vectors alone in their
     * bucket emit no edges (the recall/coverage trade is the operator
     * contract; more planes + multi-probe tune it at 100 TB). */
-  def v28KnnGraph(s: SparkSession, d: String): DataFrame = {
+  /** Quantized vectors with their LSH bucket key — the blocked-graph
+    * front end shared by v28 (build) and v29 (refine). */
+  private def bucketedVecs(s: SparkSession, d: String): DataFrame = {
     val planes = LshIndex.quantizePlanes(
       LshIndex.hyperplanes(dim = 64, nPlanes = 6, seed = 42L))
-    val v = emb(s, d).select(col("vec_id").cast("long").as("id"),
+    emb(s, d).select(col("vec_id").cast("long").as("id"),
         quantize(col("embedding")).as("qv"))
       .withColumn("bucket", LshIndex.bucketKeyQ(col("qv"), planes))
+  }
+
+  /** The ranked bucket-blocked KNN graph (src_id, rnk, dst_id, d2). */
+  private def knnGraphRanked(v: DataFrame): DataFrame = {
     val scored = v.as("x").join(v.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
       .select(col("x.id").as("src_id"), col("y.id").as("dst_id"),
         intL2Sq(col("x.qv"), col("y.qv")).cast("double").as("d2"))
-    TopK.perGroup(scored, "src_id", "dst_id", "d2", k = 3,
+    TopK.perGroup(scored, "src_id", "dst_id", "d2", k = 3, ascending = true)
+  }
+
+  def v28KnnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphRanked(bucketedVecs(s, d))
+      .select(col("src_id"), col("rnk"), col("dst_id"),
+        distFromIntSq(col("d2")).as("dist"))
+
+  /** One NN-descent refinement round over the v28 graph — the iteration
+    * that turns a rough blocked graph into a high-recall one (NN-descent:
+    * "a neighbor of my neighbor is likely my neighbor"). Candidates are
+    * the current edges plus the 2-hop closure (neighbors' neighbors,
+    * self excluded), deduped, re-scored EXACTLY, and cut back to top-3.
+    * Scale shape: the closure is an id-keyed equi-join of an O(N·k) edge
+    * list with itself (shuffle O(N·k²), never O(N²)); re-scoring joins
+    * candidates to vectors by id (AQE may broadcast the smaller side);
+    * the final cut is the native partial top-k. Each further round is
+    * the same plan — recall climbs monotonically toward exact (v1 is
+    * the fixed point). */
+  def v29NnDescent(s: SparkSession, d: String): DataFrame = {
+    val v = bucketedVecs(s, d)
+    // the O(N·k) edge list is referenced three times below (direct,
+    // g1, g2) — localCheckpoint computes the bucketed join + top-k
+    // once instead of three times (the v26 lineage-truncation pattern;
+    // at cluster scale, checkpoint to storage)
+    val g = knnGraphRanked(v).select("src_id", "dst_id")
+      .localCheckpoint(false)
+    val twoHop = g.as("g1").join(g.as("g2"),
+        col("g1.dst_id") === col("g2.src_id") &&
+          col("g1.src_id") =!= col("g2.dst_id"))
+      .select(col("g1.src_id").as("src_id"), col("g2.dst_id").as("dst_id"))
+    val cand = g.union(twoHop).distinct()
+    val rescored = cand
+      .join(v.select(col("id").as("src_id"), col("qv").as("sv")), "src_id")
+      .join(v.select(col("id").as("dst_id"), col("qv").as("dv")), "dst_id")
+      .select(col("src_id"), col("dst_id"),
+        intL2Sq(col("sv"), col("dv")).cast("double").as("d2"))
+    TopK.perGroup(rescored, "src_id", "dst_id", "d2", k = 3,
       ascending = true)
       .select(col("src_id"), col("rnk"), col("dst_id"),
         distFromIntSq(col("d2")).as("dist"))
@@ -1038,6 +1081,69 @@ object Queries {
       .withColumn("novelty", col("n_unique") / col("n_trigrams"))
   }
 
+  /** Lexical-diversity profile — token/type/hapax counts per document,
+    * the vocabulary-richness signal (type-token ratio, hapax fraction)
+    * quality pipelines use alongside t9's repetition stats. MAP-ONLY:
+    * one `array_sort` + one linear `aggregate` pass per doc (the
+    * modalCount pattern) — types are runs in the sorted token array,
+    * hapaxes are runs of length exactly 1 — so the corpus never
+    * explodes to a token table and the operator is a single
+    * whole-stage-codegen scan at any SF. The fractions divide the same
+    * two exact Longs in both engines (one IEEE division — bit-equal). */
+  def t14Hapax(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stats = aggregate(array_sort(toks),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("types"), lit(0L).as("hapax")),
+      (acc, x) => {
+        val same = acc.getField("prev") <=> x
+        struct(
+          x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(1L).as("run"),
+          when(same, acc.getField("types"))
+            .otherwise(acc.getField("types") + 1L).as("types"),
+          when(same, acc.getField("hapax"))
+            .otherwise(acc.getField("hapax") +
+              when(acc.getField("run") === 1L, 1L).otherwise(0L))
+            .as("hapax"))
+      },
+      acc => struct(
+        acc.getField("types").as("types"),
+        (acc.getField("hapax") +
+          when(acc.getField("run") === 1L, 1L).otherwise(0L)).as("hapax")))
+    // two-step select (the t9 idiom): the stats struct is referenced
+    // twice below, so CollapseProject keeps a single evaluation
+    val base = docs(s, d).select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      stats.as("st"))
+    base.select(col("doc_id"), col("n_tokens"),
+      col("st.types").as("n_types"), col("st.hapax").as("n_hapax"))
+      .withColumn("ttr", col("n_types") / col("n_tokens"))
+      .withColumn("hapax_frac", col("n_hapax") / col("n_tokens"))
+  }
+
+  /** Training-mix table — per-source document/token mass and the
+    * α=1 (token-proportional) sampling share every data-mixing step
+    * consumes. Two aggregates: a map-side-combined per-source rollup
+    * (O(sources) rows) and a 1-row corpus total that joins back as a
+    * broadcast crossjoin (the q20 scalar pattern — never a window over
+    * the whole table). The share divides two exact Longs once per
+    * source row. Temperature-α variants (share^α re-normalized) are a
+    * driver-side post-pass over these O(sources) rows by design: the
+    * normalizer Σ shareᵃ is a float sum whose value depends on
+    * accumulation order, so it has no bit-portable distributed form. */
+  def p2MixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val per = docs(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    per.join(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("tot_tokens")).as("token_share"))
+  }
+
   /** Gopher-style quality rules — the heuristic document filter every
     * LLM training pipeline runs before tokenization (token-count
     * bounds, mean-word-length band, stopword presence, repetition cap).
@@ -1166,6 +1272,26 @@ object Queries {
         max(col("n_bytes")).as("max_bytes"),
         countDistinct(col("sha256")).as("n_distinct_payloads"))
       .withColumn("avg_bytes", col("total_bytes") / col("n_assets"))
+
+  /** Frame-sampling manifest — the video-ingest planning pass: each
+    * asset fans out to the frame offsets a decoder would extract (every
+    * `frameStepMs`, duration derived 1 ms/byte from the payload — the
+    * deterministic stand-in for real container metadata, same contract
+    * as m2's stubbed decode). The fan-out is `explode(sequence(...))`
+    * — generated map-side inside codegen, zero shuffle, and the frame
+    * list never materializes on the driver. A real pipeline feeds this
+    * manifest to m2's mapPartitions decode boundary; partition count
+    * scales with assets × frames, exactly what a 100 TB video corpus
+    * needs (no per-asset task, no driver loop). */
+  def m5FrameSample(s: SparkSession, d: String): DataFrame = {
+    val frameStepMs = 250L
+    BinaryPipeline.toAssets(docs(s, d), "doc_id", "text")
+      .select(col("asset_id"), col("n_bytes").as("duration_ms"),
+        posexplode(sequence(lit(0L), col("n_bytes"), lit(frameStepMs)))
+          .as(Seq("frame_idx", "offset_ms")))
+      .select(col("asset_id"), col("duration_ms"),
+        col("frame_idx").cast("long").as("frame_idx"), col("offset_ms"))
+  }
 
   // ---------- relational analytics ----------
 
@@ -1742,6 +1868,46 @@ object Queries {
         count(col("late_us")).as("n_late"),
         max(col("late_us")).as("max_late_us"))
   }
+
+  /** Daily top-3 spenders — the leaderboard shape (top-k by aggregate
+    * per time bucket). Phase 1 is a map-side-combined (day, user) cents
+    * rollup — the only data-sized shuffle; phase 2 cuts top-3 per day
+    * through the native partial top-k aggregate (per-partition heaps,
+    * O(days·k·partitions) shuffle — never a per-day sort window over
+    * all spenders, the t5/t8 hot-key lesson). Cents ride as exact
+    * Longs; ties break to the lowest user_id inside the aggregate,
+    * mirrored by the oracle's ORDER BY. */
+  def e12TopSpenders(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy((floorDiv("ts", 86400000000000L) * 86400).as("day_epoch"),
+        col("user_id").cast("long").as("user_id"))
+      .agg(moneySum(col("value"), 100).as("cents"))
+    TopK.perGroup(spend, "day_epoch", "user_id", "cents", k = 3,
+      ascending = false)
+      .select(col("day_epoch"), col("rnk"), col("user_id"),
+        (col("cents") / lit(100.0)).as("spend"))
+  }
+
+  /** Sliding-window distinct users — 3-day windows stepping 1 day,
+    * the streaming `window(..., "3 days", "1 day")` shape as its exact
+    * batch twin: each event fans out to the ≤3 windows containing it
+    * (`explode(sequence)` — map-side, no driver loop) and the
+    * per-window COUNT(DISTINCT) runs as Spark's two-phase expand+agg
+    * (partial distinct per partition, then merge — no single-task
+    * window). Edge windows are partial by contract (both engines
+    * share the arithmetic). At 100 TB the same plan holds; if exact
+    * distinct ever dominates, the HLL sketch twin (Sketches) is the
+    * documented approximate fallback. */
+  def e13SlidingDau(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(floorDiv("ts", 86400000000000L).as("day"),
+        col("user_id").cast("long").as("user_id"))
+      .select(explode(sequence(col("day") - 2, col("day"))).as("win_day"),
+        col("user_id"))
+      .groupBy((col("win_day") * 86400).as("window_epoch"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n_events"))
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

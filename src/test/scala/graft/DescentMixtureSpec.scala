@@ -1,0 +1,104 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-4 widening batch: NN-descent
+  * refinement (v29), lexical diversity (t14), mixture weights (p2),
+  * frame sampling (m5), daily top-k spenders (e12), sliding-window
+  * DAU (e13). Exact value parity is covered by the DuckDB oracle gate;
+  * these assert the semantic properties the oracle can't name.
+  */
+class DescentMixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("v29: refinement never worsens any rank-1 neighbor vs v28") {
+    val before = Queries.v28KnnGraph(spark, sf)
+      .filter($"rnk" === 1).select($"src_id", $"dist".as("d0"))
+    val after = Queries.v29NnDescent(spark, sf)
+      .filter($"rnk" === 1).select($"src_id", $"dist".as("d1"))
+    val joined = before.join(after, "src_id")
+      .select($"src_id", $"d0", $"d1").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getDouble(2) <= r.getDouble(1) + 1e-12,
+        s"src ${r.getLong(0)} got worse"))
+    // descent output is still a valid ranked graph
+    val g = Queries.v29NnDescent(spark, sf).collect()
+    assert(g.forall(r => r.getAs[Long]("rnk") >= 1 &&
+      r.getAs[Long]("rnk") <= 3))
+    assert(g.forall(r => r.getAs[Long]("src_id") != r.getAs[Long]("dst_id")))
+  }
+
+  test("t14: doc-0 replay matches, hapax <= types <= tokens") {
+    val rows = Queries.t14Hapax(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+    }
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" === 0).select("text").as[String].head()
+    val freq = text.split(" ", -1).groupBy(identity).map(_._2.length)
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_tokens") === freq.sum.toLong)
+    assert(r0.getAs[Long]("n_types") === freq.size.toLong)
+    assert(r0.getAs[Long]("n_hapax") === freq.count(_ == 1).toLong)
+  }
+
+  test("p2: shares sum to 1, masses reconcile with the corpus") {
+    val rows = Queries.p2MixtureWeights(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val nTok = docs.select(sum(size(split($"text", " ")).cast("long")))
+      .as[Long].head()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === nTok)
+    val share = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(share - 1.0) < 1e-9)
+  }
+
+  test("m5: frame manifest is the exact 250 ms grid per asset") {
+    val byAsset = Queries.m5FrameSample(spark, sf).collect()
+      .groupBy(_.getAs[Long]("asset_id"))
+    assert(byAsset.nonEmpty)
+    byAsset.foreach { case (_, frames) =>
+      val dur = frames.head.getAs[Long]("duration_ms")
+      val offs = frames.sortBy(_.getAs[Long]("frame_idx"))
+        .map(_.getAs[Long]("offset_ms")).toSeq
+      assert(offs === (0L to dur by 250L).toSeq)
+      assert(frames.forall(f =>
+        f.getAs[Long]("offset_ms") === f.getAs[Long]("frame_idx") * 250L))
+    }
+  }
+
+  test("e12: per-day ranks are dense, spend non-increasing, ties by id") {
+    val byDay = Queries.e12TopSpenders(spark, sf).collect()
+      .groupBy(_.getAs[Long]("day_epoch"))
+    assert(byDay.nonEmpty)
+    byDay.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ===
+        (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Double]("spend"), b.getAs[Double]("spend"))
+          assert(sa > sb ||
+            (sa == sb &&
+              a.getAs[Long]("user_id") < b.getAs[Long]("user_id")))
+        case _ => ()
+      }
+    }
+  }
+
+  test("e13: every event lands in exactly 3 windows; dau bounded") {
+    val rows = Queries.e13SlidingDau(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    assert(rows.map(_.getAs[Long]("n_events")).sum === 3 * ev.count())
+    val users = ev.select(countDistinct($"user_id")).as[Long].head()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") >= 1 && r.getAs[Long]("dau") <= users)
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("n_events"))
+    }
+  }
+}
