@@ -45,6 +45,7 @@ object SparkEntry {
     "v27_ivf_upsert" -> (Queries.v27IvfUpsert _),
     "v28_knn_graph" -> (Queries.v28KnnGraph _),
     "v29_nn_descent" -> (Queries.v29NnDescent _),
+    "v30_mutual_knn_clusters" -> (Queries.v30MutualKnnClusters _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "q19_order_count_dist" -> (Queries.q19OrderCountDist _),
     "q20_top_supplier" -> (Queries.q20TopSupplier _),
     "q21_lonely_customers" -> (Queries.q21LonelyCustomers _),
+    "q22_top_balance" -> (Queries.q22TopBalance _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),
@@ -119,7 +121,8 @@ object SparkEntry {
     "e10_conversion_lag" -> (Queries.e10ConversionLag _),
     "e11_late_events" -> (Queries.e11LateEvents _),
     "e12_top_spenders" -> (Queries.e12TopSpenders _),
-    "e13_sliding_dau" -> (Queries.e13SlidingDau _))
+    "e13_sliding_dau" -> (Queries.e13SlidingDau _),
+    "e14_cadence" -> (Queries.e14Cadence _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -632,6 +632,30 @@ r2 AS (SELECT src_id, dst_id, d2,
 SELECT src_id, rnk, dst_id, sqrt(d2) / $vscale.0 AS dist
 FROM r2 WHERE rnk <= 3""",
 
+    // Mutual-KNN clustering: v28's ranked edges filtered to mutual
+    // pairs, then the d7 recursive reachability over that edge set.
+    "v30_mutual_knn_clusters" -> s"""
+WITH RECURSIVE g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand),
+e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
+mu AS (SELECT e1.src_id AS a_id, e1.dst_id AS b_id
+       FROM e e1 JOIN e e2
+         ON e1.src_id = e2.dst_id AND e1.dst_id = e2.src_id
+       WHERE e1.src_id < e1.dst_id),
+nd AS (SELECT gid AS doc_id FROM g),
+${reachCtes("nd", "mu")}
+SELECT id AS vec_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS n_members
+FROM res""",
+
     // Incremental IVF upsert: the oracle assigns EVERY vector in one
     // pass and splits base (% 4 <> 0) from genuinely-new batch rows
     // (% 3 = 0 AND % 4 = 0 — the anti-join's survivors); the Spark
@@ -1258,6 +1282,18 @@ WHERE bal_c * cnt > sum_c
                     AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
 GROUP BY 1""",
 
+    // Argmax join-back: rank mirrors the struct max's lexicographic
+    // (bal DESC, custkey DESC) tie order.
+    "q22_top_balance" -> """
+WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_nationkey,
+                  c_name,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+           FROM customer),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        ORDER BY bal_c DESC, c_custkey DESC) AS rn FROM c)
+SELECT n_name, c_custkey, c_name, bal_c / 100.0 AS acctbal
+FROM r JOIN nation ON c_nationkey = n_nationkey WHERE rn = 1""",
+
     // Watermark-lateness twin: arrival order is the v5 hash permutation
     // of event_id; high-water mark over arrival order, late = trails it
     // by > 1h in exact µs. FILTERed aggregates leave max_late_us NULL
@@ -1305,6 +1341,28 @@ w AS (SELECT (day - off) * 86400 AS window_epoch, user_id
 SELECT window_epoch, CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
        count(*) AS n_events
 FROM w GROUP BY 1""",
+
+    // Cadence: per-user gap sums in HUGEINT (the Decimal(38,0) twin),
+    // variance via the exact v19 identity, one division at the end.
+    "e14_cadence" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(event_id AS BIGINT) AS event_id,
+                  epoch_us(ts) AS us FROM events),
+gp AS (SELECT user_id,
+              us - lag(us) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS gap
+       FROM x),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             sum(CAST(gap AS HUGEINT)) AS sg,
+             sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sg2
+      FROM gp WHERE gap IS NOT NULL GROUP BY 1)
+SELECT user_id, n_gaps,
+       CAST(sg AS DOUBLE) / n_gaps AS mean_gap_us,
+       CASE WHEN n_gaps >= 2
+            THEN CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+                   / CAST(n_gaps * (n_gaps - 1) AS DOUBLE)
+            ELSE 0.0 END AS var_gap
+FROM a""",
 
     "q14_balance_rank" -> """
 WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,

@@ -501,6 +501,31 @@ object Queries {
         distFromIntSq(col("d2")).as("dist"))
   }
 
+  /** Mutual-KNN clustering — connected components over the MUTUAL edges
+    * of the v28 graph (a↔b both rank each other top-3). Mutual-KNN is
+    * the classic density-based grouping on an embedding space (chains
+    * break at asymmetric links, so clusters follow the data manifold,
+    * not the bucket structure). The mutual filter is one self-join of
+    * the O(N·k) edge list on the reversed key pair; components run
+    * through the d7 min-label-propagation operator (one shuffle per
+    * step, lazy-checkpoint convergence, never a collect). Every vector
+    * gets a label; singletons keep their own id. */
+  def v30MutualKnnClusters(s: SparkSession, d: String): DataFrame = {
+    val v = bucketedVecs(s, d)
+    val g = knnGraphRanked(v).select("src_id", "dst_id")
+      .localCheckpoint(false)
+    val mutual = g.as("a").join(g.as("b"),
+        col("a.src_id") === col("b.dst_id") &&
+          col("a.dst_id") === col("b.src_id") &&
+          col("a.src_id") < col("a.dst_id"))
+      .select(col("a.src_id").as("a_id"), col("a.dst_id").as("b_id"))
+    Clustering.connectedComponents(mutual, "a_id", "b_id",
+      v.select(col("id")), "id")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .select(col("id").as("vec_id"), col("cluster_id"), col("n_members"))
+  }
+
   /** Incremental IVF maintenance — the ingest-time shape of a LIVE
     * vector index (the d9 seen-index pattern applied to the reference's
     * persisted FAISS index, faiss_utils.py:11-17): the assigned index
@@ -1682,6 +1707,31 @@ object Queries {
         (sum("bal_c") / lit(100.0)).as("total_bal"))
   }
 
+  /** Per-nation top-balance customer — the argmax-per-group JOIN-BACK
+    * shape (TPC-H Q2's min-cost supplier, on this schema's columns).
+    * The argmax is ONE map-side-combined `max(struct(bal, key))`
+    * aggregate — O(nations) result rows, never a per-nation sort
+    * window (a hot nation would sort all its customers on one task) —
+    * and the winner keys join BACK to the fact side to recover
+    * attributes, with the O(groups) winners frame broadcast. Balances
+    * compare as exact cents; ties break to the highest custkey via the
+    * struct's lexicographic order, mirrored by the oracle's ORDER BY
+    * ... DESC, ... DESC. */
+  def q22TopBalance(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_nationkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val winners = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(max(struct(col("bal_c"), col("c_custkey"))).as("w"))
+      .select(col("nk"), col("w.c_custkey").as("c_custkey"))
+    c.join(broadcast(winners), Seq("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        (col("bal_c") / lit(100.0)).as("acctbal"))
+  }
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
@@ -1908,6 +1958,35 @@ object Queries {
       .groupBy((col("win_day") * 86400).as("window_epoch"))
       .agg(countDistinct(col("user_id")).as("dau"),
         count(lit(1)).as("n_events"))
+
+  /** Per-user event cadence — inter-event gap count/mean/variance in
+    * exact arithmetic (the metronome signal bot detection keys on: a
+    * scripted client's gap variance collapses toward 0). Gaps come
+    * from a per-user lag window (per-key state, the e2 shape — never a
+    * whole-stream sort); Σgap and Σgap² ride as Decimal(38,0) (a 30-day
+    * µs gap squares to ~7e24, past Long; DuckDB mirrors in HUGEINT);
+    * variance is v19's exact identity (n·Σx² − (Σx)²) / (n·(n−1)) with
+    * ONE IEEE division at the end, so both engines land on the same
+    * bits. */
+  def e14Cadence(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    eventsUs(s, d)
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev")).as("gap"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(dec)).as("sg"),
+        sum(col("gap").cast(dec) * col("gap").cast(dec)).as("sg2"))
+      .select(col("user_id"), col("n_gaps"),
+        (col("sg").cast("double") / col("n_gaps")).as("mean_gap_us"),
+        when(col("n_gaps") >= 2,
+          (col("n_gaps").cast(dec) * col("sg2") - col("sg") * col("sg"))
+            .cast("double")
+            / expr("n_gaps * (n_gaps - 1)").cast("double"))
+          .otherwise(lit(0.0)).as("var_gap"))
+  }
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -91,6 +91,60 @@ class DescentMixtureSpec extends SparkSpec {
     }
   }
 
+  test("v30: mutual edges land in one cluster; labels are component minima") {
+    val labels = Queries.v30MutualKnnClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"))).toMap
+    // every vector is labeled, label <= own id (min-propagation)
+    assert(labels.size === 500)
+    labels.foreach { case (id, (cid, _)) => assert(cid <= id) }
+    // endpoints of every mutual v28 edge share a cluster
+    val g = Queries.v28KnnGraph(spark, sf)
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    val mutual = g.filter { case (a, b) => a < b && g.contains((b, a)) }
+    assert(mutual.nonEmpty)
+    mutual.foreach { case (a, b) =>
+      assert(labels(a)._1 === labels(b)._1, s"edge ($a,$b) split") }
+    // n_members is the exact label multiplicity
+    val sizes = labels.values.groupBy(_._1).map { case (c, v) => c -> v.size }
+    labels.foreach { case (_, (cid, n)) => assert(n === sizes(cid)) }
+  }
+
+  test("q22: one winner per nation with the true max balance") {
+    val rows = Queries.q22TopBalance(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("n_name")).distinct.length === rows.length)
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_nationkey".cast("long"), $"c_custkey".cast("long"),
+        round($"c_acctbal" * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select($"n_nationkey".cast("long"), $"n_name")
+      .as[(Long, String)].collect().toMap
+    val best = c.groupBy(_._1).map { case (nk, rs) =>
+      val w = rs.maxBy(r => (r._3, r._2)); nation(nk) -> w }
+    rows.foreach { r =>
+      val w = best(r.getAs[String]("n_name"))
+      assert(r.getAs[Long]("c_custkey") === w._2)
+      assert(r.getAs[Double]("acctbal") === w._3 / 100.0)
+    }
+  }
+
+  test("e14: user-0 replay matches mean and exact variance") {
+    val rows = Queries.e14Cadence(spark, sf).collect()
+    val us = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"user_id" === 0)
+      .select(expr("ts div 1000").as("us"), $"event_id".cast("long"))
+      .as[(Long, Long)].collect().sortBy(identity).map(_._1)
+    val gaps = us.sliding(2).map(a => BigInt(a(1) - a(0))).toSeq
+    val (n, sg, sg2) = (gaps.size, gaps.sum, gaps.map(g => g * g).sum)
+    val r0 = rows.find(_.getAs[Long]("user_id") == 0L).get
+    assert(r0.getAs[Long]("n_gaps") === n.toLong)
+    assert(r0.getAs[Double]("mean_gap_us") ===
+      sg.toDouble / n)
+    assert(r0.getAs[Double]("var_gap") ===
+      (BigInt(n) * sg2 - sg * sg).toDouble / (n.toLong * (n - 1)))
+  }
+
   test("e13: every event lands in exactly 3 windows; dau bounded") {
     val rows = Queries.e13SlidingDau(spark, sf).collect()
     val ev = spark.read.parquet(s"$sf/events.parquet")
