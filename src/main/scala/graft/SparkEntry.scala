@@ -46,6 +46,7 @@ object SparkEntry {
     "v28_knn_graph" -> (Queries.v28KnnGraph _),
     "v29_nn_descent" -> (Queries.v29NnDescent _),
     "v30_mutual_knn_clusters" -> (Queries.v30MutualKnnClusters _),
+    "v31_opq_prerotate" -> (Queries.v31OpqPrerotate _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "t13_novelty" -> (Queries.t13Novelty _),
     "t14_hapax" -> (Queries.t14Hapax _),
     "p2_mixture_weights" -> (Queries.p2MixtureWeights _),
+    "p3_clean_funnel" -> (Queries.p3CleanFunnel _),
     "q10_small_qty_revenue" -> (Queries.q10SmallQtyRevenue _),
     "v15_filtered_knn" -> (Queries.v15FilteredKnn _),
     // multimodal
@@ -122,7 +124,8 @@ object SparkEntry {
     "e11_late_events" -> (Queries.e11LateEvents _),
     "e12_top_spenders" -> (Queries.e12TopSpenders _),
     "e13_sliding_dau" -> (Queries.e13SlidingDau _),
-    "e14_cadence" -> (Queries.e14Cadence _))
+    "e14_cadence" -> (Queries.e14Cadence _),
+    "e15_transitions" -> (Queries.e15Transitions _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

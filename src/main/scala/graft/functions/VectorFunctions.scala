@@ -29,6 +29,34 @@ object VectorFunctions {
   /** Cast a numeric array column to array<double> for f64 math. */
   def toDoubleArray(v: Column): Column = v.cast("array<double>")
 
+  /** Seeded signed permutation — the exact-arithmetic OPQ-style
+    * pre-rotation. A signed permutation matrix is orthogonal, so L2
+    * geometry is preserved EXACTLY in integer space (no float rotation
+    * error) while the PQ subspace split changes — the cheap end of the
+    * OPQ family (full OPQ's learned dense rotation has no bit-portable
+    * fixed-point form). `java.util.Random`'s LCG is spec-pinned, so
+    * both engines can interpolate the same literal permutation.
+    * Returns (perm, signs): rotated[i] = signs(i) * v(perm(i)). */
+  def signedPerm(dim: Int, seed: Long): (Array[Int], Array[Int]) = {
+    val rnd = new java.util.Random(seed)
+    val perm = Array.tabulate(dim)(identity)
+    var i = dim - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      i -= 1
+    }
+    val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1 else -1)
+    (perm, signs)
+  }
+
+  /** Apply a signed permutation to an array column (literal-folded —
+    * one codegen'd projection, no shuffle, no UDF). */
+  def applySignedPerm(v: Column, perm: Array[Int],
+                      signs: Array[Int]): Column =
+    array(perm.indices.map(i =>
+      lit(signs(i)) * element_at(v, perm(i) + 1)): _*)
+
   /** Fixed-point quantization: round(x * scale) per element, as Long.
     * Exact in any engine; makes distance sums order-independent. */
   def quantize(v: Column, scale: Int = DefaultScale): Column =

@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Portable pseudo-random order key. */
+  /** Portable pseudo-random order key. MOD-FIRST: (id mod p)·c mod p
+    * ≡ (id·c) mod p, and the reduced operand (< 2^31) times the Knuth
+    * constant (< 2^32) stays under 2^63 — the direct product overflows
+    * Long (ANSI error) once ids pass ~3.4e9, which real ingest ids do
+    * (the big-SF bench caught exactly this on e11's replicated
+    * event_ids). Oracles carry the same mod-first text. */
   def portableHash(id: Column): Column =
-    (id.cast("long") * lit(2654435761L)) % lit(2147483647L)
+    ((id.cast("long") % lit(2147483647L)) * lit(2654435761L)) %
+      lit(2147483647L)
 
   /** N-per-class deterministic sample: hash-ordered row_number within
     * each class. The window shuffles once on the class key; at scale the

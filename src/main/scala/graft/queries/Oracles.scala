@@ -176,10 +176,14 @@ asn$r AS (SELECT gid, lab FROM r$r WHERE rn = 1)"""
   }
 
   /** The v11 seeded-PQ ADC chain (gallery → seeded codebooks → encode →
-    * per-query ADC sums → ranked `r`), shared by v11 and v16 so the
-    * index arithmetic can never diverge between them. */
-  private val pqAdcCtes: String = s"""
-g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+    * per-query ADC sums → ranked `r`), shared by v11, v16, and v31 so
+    * the index arithmetic can never diverge between them. `gCte`
+    * parameterizes the gallery definition (v31 rotates it; the default
+    * is the plain quantized scan). */
+  private def pqAdcCtes(gCte: String =
+      s"g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings)")
+      : String = s"""
+$gCte,
 cb AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 16),
 jj AS (SELECT unnest(range(8)) AS j),
 enc AS (SELECT gid, j, cid AS code FROM (
@@ -251,7 +255,7 @@ FROM embeddings GROUP BY 1""",
 
     "v5_per_class_sample" -> """
 WITH h AS (SELECT CAST(label AS BIGINT) AS label_id, CAST(vec_id AS BIGINT) AS vec_id,
-                  (CAST(vec_id AS BIGINT) * 2654435761) % 2147483647 AS hk
+                  ((CAST(vec_id AS BIGINT) % 2147483647) * 2654435761) % 2147483647 AS hk
            FROM embeddings),
 r AS (SELECT label_id, vec_id,
              row_number() OVER (PARTITION BY label_id ORDER BY hk, vec_id) AS rnk
@@ -319,14 +323,31 @@ SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5""",
 
     "v11_pq_adc" -> s"""
-WITH $pqAdcCtes
+WITH ${pqAdcCtes()}
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5""",
+
+    // OPQ-style pre-rotation: the SAME ADC chain over a signed-
+    // permuted gallery; perm/signs interpolated from the shared
+    // seeded generator (VectorFunctions.signedPerm(64, 42)).
+    "v31_opq_prerotate" -> {
+      val (perm, signs) = graft.functions.VectorFunctions
+        .signedPerm(64, seed = 42L)
+      val permLit = perm.map(_ + 1).mkString("[", ",", "]")
+      val signLit = signs.mkString("[", ",", "]")
+      val rotG = s"""g0 AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v0 FROM embeddings),
+g AS (SELECT gid, list_transform(range(64),
+         i -> ($signLit)[i+1] * v0[($permLit)[i+1]]) AS v FROM g0)"""
+      s"""
+WITH ${pqAdcCtes(rotG)}
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
+FROM r WHERE rnk <= 5"""
+    },
 
     // Two-stage retrieval: v11's ADC chain proposes rnk <= 20, then the
     // TRUE fixed-point L2 re-ranks the shortlist to top-5.
     "v16_rerank" -> s"""
-WITH $pqAdcCtes,
+WITH ${pqAdcCtes()},
 short AS (SELECT query_id, gid FROM r WHERE rnk <= 20),
 ex AS (SELECT s.query_id, s.gid, ${l2sq("g.v", "q.qvec")} AS d2
        FROM short s JOIN g ON g.gid = s.gid
@@ -726,7 +747,7 @@ GROUP BY 1""",
 
     "v9_train_val_split" -> """
 SELECT CAST(label AS BIGINT) AS label_id,
-       CASE WHEN (CAST(vec_id AS BIGINT) * 2654435761) % 2147483647 % 5 = 0
+       CASE WHEN ((CAST(vec_id AS BIGINT) % 2147483647) * 2654435761) % 2147483647 % 5 = 0
             THEN 'val' ELSE 'train' END AS split,
        count(*) AS n
 FROM embeddings GROUP BY 1, 2""",
@@ -875,6 +896,32 @@ ${reachCtes("k", "pr")}
 SELECT res.id AS doc_id, k.n_tokens, k.score
 FROM res JOIN k ON k.doc_id = res.id
 WHERE res.id = res.cluster_id""",
+
+    // Funnel: p1's exact stage chain reduced to one attrition row;
+    // every fragment (score formula, lang threshold, banding) is the
+    // p1 oracle's own text, so the two can never disagree.
+    "p3_clean_funnel" -> s"""
+WITH RECURSIVE
+d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+              string_split(text, ' ') AS toks FROM documents),
+c0 AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+              len(list_filter(toks, t -> t IN $stopList)) AS hits
+       FROM d0),
+fl AS (SELECT doc_id, text, toks, n_tokens,
+              (hits / n_tokens) * 0.4 + least(n_tokens / 100.0, 1.0) * 0.6 AS score
+       FROM c0
+       WHERE hits / n_tokens >= 0.1
+         AND (hits / n_tokens) * 0.4 + least(n_tokens / 100.0, 1.0) * 0.6 >= 0.4),
+ek AS (SELECT min(doc_id) AS doc_id FROM fl GROUP BY md5(text)),
+k AS (SELECT fl.* FROM fl JOIN ek USING (doc_id)),
+${minhashPairCtes("k")},
+pr AS (SELECT a_id, b_id FROM v WHERE inter / uni >= 0.5),
+${reachCtes("k", "pr")}
+SELECT (SELECT count(*) FROM d0) AS n_total,
+       (SELECT count(*) FROM c0 WHERE hits / n_tokens >= 0.1) AS n_lang,
+       (SELECT count(*) FROM fl) AS n_quality,
+       (SELECT count(*) FROM k) AS n_exact,
+       (SELECT count(*) FROM res WHERE id = cluster_id) AS n_final""",
 
     "d4_ngram_jaccard" -> s"""
 WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
@@ -1301,7 +1348,7 @@ FROM r JOIN nation ON c_nationkey = n_nationkey WHERE rn = 1""",
     "e11_late_events" -> """
 WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
                   CAST(event_id AS BIGINT) AS event_id,
-                  (CAST(event_id AS BIGINT) * 2654435761) % 2147483647
+                  ((CAST(event_id AS BIGINT) % 2147483647) * 2654435761) % 2147483647
                     AS arr,
                   epoch_us(ts) AS us FROM events),
 h AS (SELECT user_id, us,
@@ -1363,6 +1410,20 @@ SELECT user_id, n_gaps,
                    / CAST(n_gaps * (n_gaps - 1) AS DOUBLE)
             ELSE 0.0 END AS var_gap
 FROM a""",
+
+    // Transition matrix: consecutive event-type pairs per user via the
+    // same (us, event_id) lag order, exact counts + distinct reach.
+    "e15_transitions" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(event_id AS BIGINT) AS event_id,
+                  event_type, epoch_us(ts) AS us FROM events),
+p AS (SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS from_type
+      FROM x)
+SELECT from_type, to_type, count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2""",
 
     "q14_balance_rank" -> """
 WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,

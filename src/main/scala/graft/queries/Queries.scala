@@ -526,6 +526,30 @@ object Queries {
       .select(col("id").as("vec_id"), col("cluster_id"), col("n_members"))
   }
 
+  /** OPQ-style pre-rotated PQ search — the v11 ADC chain behind a
+    * seeded SIGNED PERMUTATION of the dimensions (OPQ's idea: rotate
+    * before splitting into subspaces so each subspace carries balanced
+    * variance; a signed permutation is the exact-arithmetic member of
+    * that family — orthogonal, so true L2 is untouched, while the PQ
+    * cells change). The rotation is a literal-folded map-only
+    * projection (64 element_at's inside codegen — no shuffle, no UDF);
+    * everything downstream IS v11's operator chain, so the index
+    * arithmetic cannot drift between the rotated and plain paths. */
+  def v31OpqPrerotate(s: SparkSession, d: String): DataFrame = {
+    val (perm, signs) = graft.functions.VectorFunctions
+      .signedPerm(PqDim, seed = 42L)
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      graft.functions.VectorFunctions.applySignedPerm(
+        transform(quantize(col("embedding")), x => x.cast("double")),
+        perm, signs).as("qemb"))
+    val book = PqIndex.seededBook(g, "id", "qemb", PqDim, PqM, PqKsub)
+    val codes = PqIndex.encode(g, "id", "qemb", PqDim, PqM, book)
+    PqIndex.searchAdc(codes, g.filter(col("id") % 100 === 0),
+        "id", "qemb", PqDim, PqM, book, k = 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
   /** Incremental IVF maintenance — the ingest-time shape of a LIVE
     * vector index (the d9 seen-index pattern applied to the reference's
     * persisted FAISS index, faiss_utils.py:11-17): the assigned index
@@ -1167,6 +1191,42 @@ object Queries {
     per.join(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         (col("n_tokens") / col("tot_tokens")).as("token_share"))
+  }
+
+  /** Cleaning-funnel attrition report — the observability row every
+    * dedup pipeline publishes: how many documents survive each stage
+    * of p1's chain (total → language → quality → exact-dedup →
+    * near-dup representative). The first three counts are ONE
+    * conditional aggregate over a single scan (no per-stage re-scan);
+    * the dedup stages reuse p1's exact operators, reduced to 1-row
+    * counts that compose by broadcast crossjoin (the q20 scalar
+    * pattern). Shares every semantic with p1, so the funnel can never
+    * disagree with the pipeline it reports on. */
+  def p3CleanFunnel(s: SparkSession, d: String): DataFrame = {
+    val enriched = docs(s, d).select(
+      col("doc_id").cast("long").as("doc_id"), col("text"),
+      qualityScore(col("text")).as("score"),
+      langId(col("text")).as("lang"))
+    val stages = enriched.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_lang"),
+      sum(when(col("lang") === "en" && col("score") >= 0.4, 1L)
+        .otherwise(0L)).as("n_quality"))
+    val filtered = enriched
+      .filter(col("lang") === "en" && col("score") >= 0.4)
+    val keepIds = filtered
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val kept = filtered
+      .join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val labels = Clustering.connectedComponents(
+      Dedup.minhashLsh(kept, "doc_id", "text"), "a_id", "b_id",
+      kept.select(col("doc_id")), "doc_id")
+    val nExact = kept.agg(count(lit(1)).as("n_exact"))
+    val nFinal = labels.filter(col("id") === col("cluster_id"))
+      .agg(count(lit(1)).as("n_final"))
+    stages.crossJoin(broadcast(nExact)).crossJoin(broadcast(nFinal))
   }
 
   /** Gopher-style quality rules — the heuristic document filter every
@@ -1908,7 +1968,7 @@ object Queries {
     val w = Window.partitionBy("user_id").orderBy("arr", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     eventsUs(s, d)
-      .withColumn("arr", (col("event_id") * 2654435761L) % 2147483647L)
+      .withColumn("arr", Sampling.portableHash(col("event_id")))
       .withColumn("hwm", max("us").over(w))
       .withColumn("late_us",
         when(col("hwm") - col("us") > lit(3600000000L),
@@ -1986,6 +2046,24 @@ object Queries {
             .cast("double")
             / expr("n_gaps * (n_gaps - 1)").cast("double"))
           .otherwise(lit(0.0)).as("var_gap"))
+  }
+
+  /** Event-type transition matrix — the path/Markov analysis behind
+    * funnel design (which step follows which, for how many users).
+    * Consecutive pairs come from the per-user lag window (per-key
+    * state, the e2 shape — never a self-join on adjacent timestamps,
+    * which goes quadratic on a hot user); the transition rollup is one
+    * map-side-combined groupBy over O(types²) keys, with the exact
+    * two-phase distinct for per-transition user reach. */
+  def e15Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    eventsUs(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
   }
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {

@@ -32,10 +32,11 @@ object ExplainAudit {
   private val bnljAllowed: Set[String] = Set(
     "v1_knn_l2", "v2_knn_cosine", "v7_ivf_search", "v8_knn_join_meta",
     "v11_pq_adc", "v12_knn_category", "v13_ivfpq_search",
+    "v31_opq_prerotate",
     "v14_class_centroid", "v15_filtered_knn", "v16_rerank", "v17_sq8_knn",
     "v20_recall_eval", "v22_hamming_knn", "v23_mips", "v24_range_search",
     "v25_knn_classify", "t8_tfidf", "q20_top_supplier",
-    "q21_lonely_customers", "p2_mixture_weights")
+    "q21_lonely_customers", "p2_mixture_weights", "p3_clean_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -145,6 +145,54 @@ class DescentMixtureSpec extends SparkSpec {
       (BigInt(n) * sg2 - sg * sg).toDouble / (n.toLong * (n - 1)))
   }
 
+  test("v31: signed permutation is an exact isometry; output well-formed") {
+    import graft.functions.VectorFunctions._
+    val (perm, signs) = signedPerm(64, seed = 42L)
+    assert(perm.sorted.toSeq === (0 until 64))
+    assert(signs.forall(s => s == 1 || s == -1))
+    // rotating both vectors leaves the exact integer L2 unchanged
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+      .select($"vec_id".cast("long").as("id"),
+        quantize($"embedding").as("qv"))
+    val r = e.select($"id", applySignedPerm($"qv", perm, signs).as("rv"),
+      $"qv")
+    val pairs = r.as("a").crossJoin(r.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select(intL2Sq($"a.qv", $"b.qv").as("d0"),
+        intL2Sq($"a.rv", $"b.rv").as("d1"))
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (d0, d1) => assert(d0 === d1) }
+    // the gated query itself: 5 ranked hits per query vector
+    val out = Queries.v31OpqPrerotate(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (_, hits) =>
+      assert(hits.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to 5L)) }
+  }
+
+  test("e15: transition mass = events minus one per user") {
+    val rows = Queries.e15Transitions(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val nUsers = ev.select(countDistinct($"user_id")).as[Long].head()
+    assert(rows.map(_.getAs[Long]("n")).sum === ev.count() - nUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") >= 1)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("p3: funnel is monotone and lands on p1's representative count") {
+    val r = Queries.p3CleanFunnel(spark, sf).collect()
+    assert(r.length === 1)
+    val f = r.head
+    val seqd = Seq("n_total", "n_lang", "n_quality", "n_exact", "n_final")
+      .map(f.getAs[Long](_))
+    assert(seqd === seqd.sorted.reverse)
+    assert(seqd.head ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(seqd.last === Queries.p1CorpusClean(spark, sf).count())
+  }
+
   test("e13: every event lands in exactly 3 windows; dau bounded") {
     val rows = Queries.e13SlidingDau(spark, sf).collect()
     val ev = spark.read.parquet(s"$sf/events.parquet")
