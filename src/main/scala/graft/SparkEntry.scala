@@ -47,6 +47,8 @@ object SparkEntry {
     "v29_nn_descent" -> (Queries.v29NnDescent _),
     "v30_mutual_knn_clusters" -> (Queries.v30MutualKnnClusters _),
     "v31_opq_prerotate" -> (Queries.v31OpqPrerotate _),
+    "v32_triplet_mine" -> (Queries.v32TripletMine _),
+    "v33_dim_stats" -> (Queries.v33DimStats _),
     // dedup
     "d1_dedup_exact" -> (Queries.d1DedupExact _),
     "d2_minhash_pairs" -> (Queries.d2MinhashPairs _),
@@ -79,8 +81,11 @@ object SparkEntry {
     "t12_gopher_quality" -> (Queries.t12GopherQuality _),
     "t13_novelty" -> (Queries.t13Novelty _),
     "t14_hapax" -> (Queries.t14Hapax _),
+    "t15_chunks" -> (Queries.t15Chunks _),
+    "t16_bigram_lm" -> (Queries.t16BigramLm _),
     "p2_mixture_weights" -> (Queries.p2MixtureWeights _),
     "p3_clean_funnel" -> (Queries.p3CleanFunnel _),
+    "p4_quota_sample" -> (Queries.p4QuotaSample _),
     "q10_small_qty_revenue" -> (Queries.q10SmallQtyRevenue _),
     "v15_filtered_knn" -> (Queries.v15FilteredKnn _),
     // multimodal
@@ -89,6 +94,7 @@ object SparkEntry {
     "m3_shard_assign" -> (Queries.m3ShardAssign _),
     "m4_modality_stats" -> (Queries.m4ModalityStats _),
     "m5_frame_sample" -> (Queries.m5FrameSample _),
+    "m6_pair_manifest" -> (Queries.m6PairManifest _),
     // relational analytics
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
@@ -110,6 +116,9 @@ object SparkEntry {
     "q20_top_supplier" -> (Queries.q20TopSupplier _),
     "q21_lonely_customers" -> (Queries.q21LonelyCustomers _),
     "q22_top_balance" -> (Queries.q22TopBalance _),
+    "q23_big_orders" -> (Queries.q23BigOrders _),
+    "q24_promo_share" -> (Queries.q24PromoShare _),
+    "q25_supplier_variety" -> (Queries.q25SupplierVariety _),
     // events
     "e1_event_window_agg" -> (Queries.e1EventWindowAgg _),
     "e2_sessionize" -> (Queries.e2Sessionize _),
@@ -125,7 +134,8 @@ object SparkEntry {
     "e12_top_spenders" -> (Queries.e12TopSpenders _),
     "e13_sliding_dau" -> (Queries.e13SlidingDau _),
     "e14_cadence" -> (Queries.e14Cadence _),
-    "e15_transitions" -> (Queries.e15Transitions _))
+    "e15_transitions" -> (Queries.e15Transitions _),
+    "e16_spike_days" -> (Queries.e16SpikeDays _))
 
   def oracleSql: Map[String, String] = Oracles.sql
 }

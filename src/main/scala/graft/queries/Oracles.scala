@@ -344,6 +344,46 @@ SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5"""
     },
 
+    // Triplet mining: hard positive / hard negative per anchor — the
+    // window twin of the Spark side's conditional min(struct) pair.
+    // LEFT joins keep anchors with no candidate on either side.
+    "v32_triplet_mine" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, CAST(label AS BIGINT) AS glabel,
+                  ${qv("embedding")} AS gvec FROM embeddings),
+q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(label AS BIGINT) AS qlabel,
+             ${qv("embedding")} AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+d AS (SELECT query_id, qlabel, gid, glabel, ${l2sq("gvec", "qvec")} AS d2
+      FROM g CROSS JOIN q),
+p AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rn
+      FROM d WHERE glabel = qlabel AND gid <> query_id),
+n AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rn
+      FROM d WHERE glabel <> qlabel)
+SELECT q.query_id, p.gid AS pos_id, sqrt(p.d2) / $vscale.0 AS pos_dist,
+       n.gid AS neg_id, sqrt(n.d2) / $vscale.0 AS neg_dist,
+       n.d2 - p.d2 AS margin_d2
+FROM q LEFT JOIN p ON p.query_id = q.query_id AND p.rn = 1
+       LEFT JOIN n ON n.query_id = q.query_id AND n.rn = 1""",
+
+    // Per-dimension stats: HUGEINT sums (the Decimal(38,0) twin),
+    // variance via the exact v19 identity, one division per dim.
+    "v33_dim_stats" -> s"""
+WITH e AS (SELECT ${qv("embedding")} AS v FROM embeddings),
+x AS (SELECT CAST(j AS BIGINT) AS dim, v[CAST(j AS INT) + 1] AS qx
+      FROM e, (SELECT unnest(range(64)) AS j)),
+a AS (SELECT dim, count(*) AS n, min(qx) AS min_q, max(qx) AS max_q,
+             sum(CAST(qx AS HUGEINT)) AS sx,
+             sum(CAST(qx AS HUGEINT) * CAST(qx AS HUGEINT)) AS sx2
+      FROM x GROUP BY 1)
+SELECT dim, n, min_q, max_q,
+       CAST(sx AS DOUBLE) / n AS mean_q,
+       CASE WHEN n >= 2
+            THEN CAST(n * sx2 - sx * sx AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE)
+            ELSE 0.0 END AS var_q
+FROM a""",
+
     // Two-stage retrieval: v11's ADC chain proposes rnk <= 20, then the
     // TRUE fixed-point L2 re-ranks the shortlist to top-5.
     "v16_rerank" -> s"""
@@ -1425,6 +1465,65 @@ SELECT from_type, to_type, count(*) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2""",
 
+    // Q18 shape: HAVING on the per-order quantity rollup, then
+    // attribute join-back. l_quantity is integral by schema.
+    "q23_big_orders" -> """
+WITH t AS (SELECT l_orderkey,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+       total_qty
+FROM t JOIN orders ON o_orderkey = t.l_orderkey
+       JOIN customer ON o_custkey = c_custkey""",
+
+    // Q14 shape: conditional exact-cents sums over ONE scan; the share
+    // is a single float division of exact integers.
+    "q24_promo_share" -> s"""
+WITH j AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                  CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT) AS disc_c,
+                  p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+a AS (SELECT ship_month,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc_c ELSE 0 END)
+               AS BIGINT) AS promo_c,
+             CAST(sum(disc_c) AS BIGINT) AS rev_c
+      FROM j GROUP BY 1)
+SELECT ship_month, promo_c / 10000.0 AS promo_revenue,
+       rev_c / 10000.0 AS total_revenue,
+       CAST(promo_c AS DOUBLE) / rev_c AS promo_share
+FROM a""",
+
+    // Q16 shape: two-phase distinct counts per brand in a size band.
+    "q25_supplier_variety" -> """
+SELECT p_brand,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 40
+GROUP BY 1""",
+
+    // Spike days: trailing-7-day RANGE frame over the daily rollup;
+    // the spike test is the exact cross-multiplied comparison.
+    "e16_spike_days" -> """
+WITH dly AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                      AS day,
+                    count(*) AS n
+             FROM events GROUP BY 1),
+w AS (SELECT day, n,
+             CAST(coalesce(sum(n) OVER pw, 0) AS BIGINT) AS sum_prior,
+             CAST(count(*) OVER pw AS BIGINT) AS n_prior
+      FROM dly
+      WINDOW pw AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT day * 86400 AS day_epoch, n, n_prior, sum_prior,
+       CAST(CASE WHEN n_prior > 0 AND n * n_prior > 2 * sum_prior
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM w""",
+
     "q14_balance_rank" -> """
 WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
                   rank() OVER w AS rnk,
@@ -1499,6 +1598,76 @@ b AS (SELECT asset_id, CAST(i % 8 AS BIGINT) AS dim,
 SELECT asset_id, dim,
        CAST(sum(code) AS BIGINT) / count(*) AS feature
 FROM b GROUP BY 1, 2""",
+
+    // Chunking: starts are multiples of the stride while start < n_tok;
+    // chunk_idx = start // stride exactly (starts are stride multiples).
+    "t15_chunks" -> """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(unnest(range(0, len(toks), 48)) AS BIGINT) AS tok_start
+      FROM d)
+SELECT doc_id, tok_start // 48 AS chunk_idx, tok_start,
+       least(64, n_tok - tok_start) AS n_chunk_toks,
+       md5(array_to_string(list_slice(toks, CAST(tok_start AS INT) + 1,
+         CAST(tok_start AS INT) + 64), ' ')) AS chunk_hash
+FROM c""",
+
+    // Bigram LM: positional pairs via two zipped unnests; per-head
+    // argmax mirrors the Spark max(struct(n, w2)) tie order
+    // (highest n, then lexicographically last continuation).
+    "t16_bigram_lm" -> """
+WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+bg AS (SELECT unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS w1,
+              unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS w2
+       FROM d),
+c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+h AS (SELECT w1, w2, n, sum(n) OVER (PARTITION BY w1) AS n_head,
+             row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2 DESC) AS rn
+      FROM c)
+SELECT w1, CAST(n_head AS BIGINT) AS n_head, w2 AS top_next, n AS n_top,
+       CAST(n AS DOUBLE) / n_head AS p_top
+FROM h WHERE rn = 1 AND n_head >= 10""",
+
+    // Quota sampling: exact basis-point thresholds from the per-source
+    // and total token masses; the keep rule is the v5/v9 congruent hash.
+    "p4_quota_sample" -> """
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+        FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+               count(*) AS n_sources FROM per),
+thr AS (SELECT source, src_tokens,
+               CAST(least(10000, (tot_tokens * 10000)
+                 // (n_sources * src_tokens)) AS BIGINT) AS thr_bp
+        FROM per, tot),
+kept AS (SELECT b.source, b.n_tok
+         FROM base b JOIN thr USING (source)
+         WHERE ((b.doc_id % 2147483647) * 2654435761) % 2147483647 % 10000
+               < thr.thr_bp)
+SELECT source, thr_bp, src_tokens,
+       count(*) AS n_docs_kept, CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept
+FROM kept JOIN thr USING (source) GROUP BY 1, 2, 3""",
+
+    // Image-text pairing: t2's quality formula + m1's byte length +
+    // the exact integer norm, inner-joined by id.
+    "m6_pair_manifest" -> s"""
+WITH caps AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(strlen(text) AS BIGINT) AS n_bytes,
+                     string_split(text, ' ') AS toks FROM documents),
+qd AS (SELECT doc_id, n_bytes, CAST(len(toks) AS BIGINT) AS n_tok,
+              (len(list_filter(toks, t -> t IN $stopList)) / len(toks)) * 0.4
+                + least(len(toks) / 100.0, 1.0) * 0.6 AS quality
+       FROM caps),
+ev AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, ${qv("embedding")} AS qvec
+       FROM embeddings),
+v AS (SELECT vec_id, ${idot("qvec", "qvec")} AS normsq FROM ev)
+SELECT qd.doc_id AS pair_id, qd.n_bytes, qd.n_tok, qd.quality,
+       sqrt(v.normsq) / $vscale.0 AS norm
+FROM qd JOIN v ON v.vec_id = qd.doc_id
+WHERE qd.quality >= 0.4 AND qd.n_tok >= 10""",
 
     "m1_binary_meta" -> """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,

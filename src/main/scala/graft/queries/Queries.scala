@@ -550,6 +550,69 @@ object Queries {
         (col("dist") / lit(10000.0)).as("dist"))
   }
 
+  /** Triplet mining — for each anchor, the nearest SAME-label vector
+    * (hard positive) and the nearest DIFFERENT-label vector (hard
+    * negative), the metric-learning batch-prep step behind the
+    * reference's fine-tune loop (train_model.py's contrastive twin).
+    * ONE pass over the gallery: the broadcast(anchors) crossjoin scores
+    * every candidate exactly once, and both extrema come from the SAME
+    * map-side-combined groupBy via conditional `min(struct(d2, gid))`
+    * aggregates (lexicographic struct min = smallest distance, ties to
+    * lowest id) — never two gallery scans, never a per-anchor sort
+    * window. Shuffle is O(anchors), independent of gallery size; the
+    * margin is an exact integer difference. */
+  def v32TripletMine(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val g = e.select(col("vec_id").cast("long").as("gid"),
+      col("label").cast("long").as("glabel"),
+      quantize(col("embedding")).as("gv"))
+    val q = queryVecs(e).select(col("vec_id").cast("long").as("query_id"),
+      col("label").cast("long").as("qlabel"),
+      quantize(col("embedding")).as("qv"))
+    g.join(broadcast(q))
+      .select(col("query_id"), col("gid"),
+        intL2Sq(col("gv"), col("qv")).as("d2"),
+        (col("glabel") === col("qlabel")).as("same"))
+      .groupBy("query_id")
+      .agg(
+        min(when(col("same") && col("gid") =!= col("query_id"),
+          struct(col("d2"), col("gid")))).as("pos"),
+        min(when(!col("same"), struct(col("d2"), col("gid")))).as("neg"))
+      .select(col("query_id"),
+        col("pos.gid").as("pos_id"),
+        distFromIntSq(col("pos.d2").cast("double")).as("pos_dist"),
+        col("neg.gid").as("neg_id"),
+        distFromIntSq(col("neg.d2").cast("double")).as("neg_dist"),
+        (col("neg.d2") - col("pos.d2")).as("margin_d2"))
+  }
+
+  /** Per-dimension embedding profile — count/min/max/mean/variance per
+    * coordinate, the feature-store health check that feeds SQ8 range
+    * selection (v17's (min,max) pass generalized) and PCA/OPQ
+    * diagnostics. The fan-out is a map-side `posexplode` of the
+    * quantized vector (generated inside codegen — the corpus never
+    * materializes a row per (vector, dim) beyond the map stage) into a
+    * groupBy(dim) with map-side combine: shuffle volume is
+    * O(partitions · dims), corpus-independent. Sums ride Decimal(38,0)
+    * (DuckDB HUGEINT: Σx² at 100 TB passes Long's 2⁶³); variance is
+    * v19's exact identity with one IEEE division per dim row. */
+  def v33DimStats(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    emb(s, d)
+      .select(posexplode(quantize(col("embedding"))).as(Seq("pos", "qx")))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        min("qx").as("min_q"), max("qx").as("max_q"),
+        sum(col("qx").cast(dec)).as("sx"),
+        sum(col("qx").cast(dec) * col("qx").cast(dec)).as("sx2"))
+      .select(col("dim"), col("n"), col("min_q"), col("max_q"),
+        (col("sx").cast("double") / col("n")).as("mean_q"),
+        when(col("n") >= 2,
+          (col("n").cast(dec) * col("sx2") - col("sx") * col("sx"))
+            .cast("double") / expr("n * (n - 1)").cast("double"))
+          .otherwise(lit(0.0)).as("var_q"))
+  }
+
   /** Incremental IVF maintenance — the ingest-time shape of a LIVE
     * vector index (the d9 seen-index pattern applied to the reference's
     * persisted FAISS index, faiss_utils.py:11-17): the assigned index
@@ -1172,6 +1235,67 @@ object Queries {
       .withColumn("hapax_frac", col("n_hapax") / col("n_tokens"))
   }
 
+  /** Sliding-window token chunking — the context-window prep step every
+    * embedding/RAG/training pipeline runs (64-token chunks, stride 48,
+    * 16-token overlap). MAP-ONLY: chunk starts are
+    * `posexplode(sequence(0, n_tok−1, 48))` — generated inside codegen,
+    * zero shuffle, no driver loop — and each chunk's token slice is
+    * hashed in place (`md5` over the joined slice, engine-portable).
+    * Output scales with Σ chunks, the partition count scales with the
+    * corpus, and a 100 TB corpus streams through at scan speed. The
+    * chunk CONTRACT (start multiples of the stride while start < n_tok;
+    * last chunk may be short) is mirrored literally by the oracle. */
+  def t15Chunks(s: SparkSession, d: String): DataFrame = {
+    val chunkTok = 64L
+    val stride = 48L
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        col("toks"),
+        posexplode(sequence(lit(0L), size(col("toks")).cast("long") - 1,
+          lit(stride))).as(Seq("chunk_idx", "tok_start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("tok_start"),
+        least(lit(chunkTok), col("n_tok") - col("tok_start"))
+          .as("n_chunk_toks"),
+        md5(array_join(
+          slice(col("toks"), (col("tok_start") + 1).cast("int"),
+            lit(chunkTok.toInt)), " ")).as("chunk_hash"))
+  }
+
+  /** Corpus bigram language model — per head token, the total
+    * continuation count and the modal next token with its conditional
+    * probability (the count-based LM / autocomplete primitive).
+    * Positional bigrams fan out map-side (a codegen'd `transform` over
+    * token positions — never a self-join of the token table on adjacent
+    * positions); the bigram rollup is one map-side-combined groupBy
+    * over O(vocab²ish) observed pairs; and the per-head argmax is the
+    * q22 `max(struct(n, w2))` aggregate — O(heads) rows, ties to the
+    * lexicographically LAST continuation, mirrored by the oracle's
+    * ORDER BY — never a window over a hot head's continuations (a stop
+    * word heads a large fraction of a web corpus's bigrams). Heads
+    * under 10 observations are dropped (both engines). */
+  def t16BigramLm(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = docs(s, d)
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .groupBy("w1")
+      .agg(sum("n").as("n_head"),
+        max(struct(col("n"), col("w2"))).as("top"))
+      .filter(col("n_head") >= 10L)
+      .select(col("w1"), col("n_head"),
+        col("top.w2").as("top_next"), col("top.n").as("n_top"),
+        (col("top.n") / col("n_head")).as("p_top"))
+  }
+
   /** Training-mix table — per-source document/token mass and the
     * α=1 (token-proportional) sampling share every data-mixing step
     * consumes. Two aggregates: a map-side-combined per-source rollup
@@ -1227,6 +1351,40 @@ object Queries {
     val nFinal = labels.filter(col("id") === col("cluster_id"))
       .agg(count(lit(1)).as("n_final"))
     stages.crossJoin(broadcast(nExact)).crossJoin(broadcast(nFinal))
+  }
+
+  /** Mixture-rebalancing sampler — APPLIES p2's mixture table: documents
+    * are down-sampled per source so every source contributes ~equal
+    * token mass (the uniform-mixture target), via a deterministic
+    * hash-threshold keep rule. The per-source threshold is EXACT integer
+    * arithmetic in basis points — floor(tot·10⁴ / (nSources·srcTokens)),
+    * capped at 10⁴ — computed from two tiny aggregates (per-source
+    * rollup + 1-row total, the q20 scalar-broadcast pattern); the keep
+    * decision `portableHash(doc_id) mod 10⁴ < thr` is map-only over the
+    * corpus, the same congruent hash family as v5/v9 (reproducible,
+    * engine-portable, no rand()). Shuffles: the per-source rollups only
+    * — the corpus itself streams through one scan. */
+  def p4QuotaSample(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
+      col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val per = base.groupBy("source").agg(sum("n_tok").as("src_tokens"))
+    val tot = per.agg(sum("src_tokens").as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    // threshold: floor(tot·10⁴ / (nSources·srcTokens)), all operands
+    // positive Longs so div IS floor division on both engines
+    val thr = per.join(broadcast(tot))
+      .select(col("source"), col("src_tokens"),
+        least(lit(10000L),
+          expr("(tot_tokens * 10000L) div (n_sources * src_tokens)"))
+          .as("thr_bp"))
+    base.join(broadcast(thr), "source")
+      .filter(pmod(Sampling.portableHash(col("doc_id")), lit(10000L))
+        < col("thr_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum("n_tok").as("n_tokens_kept"))
+      .join(thr, "source")
+      .select(col("source"), col("thr_bp"), col("src_tokens"),
+        col("n_docs_kept"), col("n_tokens_kept"))
   }
 
   /** Gopher-style quality rules — the heuristic document filter every
@@ -1376,6 +1534,34 @@ object Queries {
           .as(Seq("frame_idx", "offset_ms")))
       .select(col("asset_id"), col("duration_ms"),
         col("frame_idx").cast("long").as("frame_idx"), col("offset_ms"))
+  }
+
+  /** Image-text pair manifest — the LAION-style pairing pass that turns
+    * a raw multimodal lake into training samples: binary assets (m1's
+    * surface) equi-joined to their caption documents and to their
+    * embedding vectors by id, then quality-gated (t2's score ≥ 0.4 and
+    * ≥ 10 caption tokens). All three sides are scale-linear, so the
+    * joins are plain co-partitioned equi-joins on the id key (shuffle
+    * hash / SMJ — nothing here is broadcast-sized at 100 TB) with the
+    * quality predicate applied map-side BEFORE the join cuts fan-in.
+    * Output: one manifest row per surviving pair with the bytes, token
+    * count, quality and embedding norm a sampler needs. */
+  def m6PairManifest(s: SparkSession, d: String): DataFrame = {
+    val assets = BinaryPipeline.toAssets(docs(s, d), "doc_id", "text")
+      .select(col("asset_id"), col("n_bytes"))
+    val caps = docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= 0.4 && col("n_tok") >= 10L)
+    val vecs = emb(s, d)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        intNormSq(quantize(col("embedding"))).as("normsq"))
+    assets.join(caps, col("asset_id") === col("doc_id"))
+      .join(vecs, col("asset_id") === col("vec_id"))
+      .select(col("asset_id").as("pair_id"), col("n_bytes"), col("n_tok"),
+        col("quality"),
+        distFromIntSq(col("normsq").cast("double")).as("norm"))
   }
 
   // ---------- relational analytics ----------
@@ -1792,6 +1978,67 @@ object Queries {
         (col("bal_c") / lit(100.0)).as("acctbal"))
   }
 
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds 300, joined back to order/customer attributes.
+    * The per-order rollup is ONE map-side-combined groupBy on the fact
+    * table's natural key; the HAVING filter cuts it to O(big orders)
+    * rows BEFORE any join, so AQE broadcasts the tiny survivor set
+    * against orders and customer (the fact table itself is never on a
+    * build side). Quantities are integral by schema — the Long sum is
+    * exact. */
+  def q23BigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300L)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey").cast("long").as("c_custkey"),
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        (round(col("o_totalprice") * 100).cast("long") / lit(100.0))
+          .as("o_totalprice"),
+        col("total_qty"))
+  }
+
+  /** Promotion revenue share per ship month (TPC-H Q14 shape): the
+    * conditional-aggregate ratio over ONE scan of the lineitem×part
+    * join — numerator and denominator are exact-cents Longs from the
+    * same aggregate, never two scans diffed; the share is one IEEE
+    * division per month row. part joins WITHOUT a broadcast hint
+    * (scale-linear at 100 TB — AQE decides from the actual size, the
+    * q17/d12 precedent). */
+  def q24PromoShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")).otherwise(0L)).as("promo_c"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          10000).as("rev_c"))
+      .select(col("ship_month"),
+        (col("promo_c") / lit(10000.0)).as("promo_revenue"),
+        (col("rev_c") / lit(10000.0)).as("total_revenue"),
+        (col("promo_c") / col("rev_c")).as("promo_share"))
+
+  /** Supplier/part variety per brand (TPC-H Q16 shape): distinct
+    * suppliers and parts serving each brand within a size band. The two
+    * COUNT(DISTINCT)s expand to Spark's two-phase distinct aggregate
+    * (expand + partial-distinct per partition + merge) — intermediate
+    * volume is O(distinct pairs), never a per-group set collect; the
+    * size-band predicate prunes the part scan. */
+  def q25SupplierVariety(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_size").between(10, 40)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"))
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
@@ -2064,6 +2311,29 @@ object Queries {
         col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Day-over-day spike detection — days whose event count exceeds 2×
+    * the trailing-7-day mean (the volume-anomaly monitor every ingest
+    * pipeline runs). The corpus-sized work is ONE map-side-combined
+    * daily rollup (O(days) rows out); the trailing frame is a RANGE
+    * window over day numbers on that tiny frame (the q11 precedent:
+    * days don't scale with the fact table, so the single-partition
+    * window is safe by construction). The spike test cross-multiplies
+    * to exact integers — n·n_prior > 2·Σprior — never a float mean
+    * threshold a boundary day could flip across engines. */
+  def e16SpikeDays(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("day").rangeBetween(-7, -1)
+    Tables.events(s, d)
+      .groupBy(floorDiv("ts", 86400000000000L).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("sum_prior", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .select((col("day") * 86400).as("day_epoch"), col("n"),
+        col("n_prior"), col("sum_prior"),
+        when(col("n_prior") > 0 &&
+          col("n") * col("n_prior") > lit(2L) * col("sum_prior"), 1L)
+          .otherwise(0L).as("is_spike"))
   }
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {

@@ -36,7 +36,8 @@ object ExplainAudit {
     "v14_class_centroid", "v15_filtered_knn", "v16_rerank", "v17_sq8_knn",
     "v20_recall_eval", "v22_hamming_knn", "v23_mips", "v24_range_search",
     "v25_knn_classify", "t8_tfidf", "q20_top_supplier",
-    "q21_lonely_customers", "p2_mixture_weights", "p3_clean_funnel")
+    "q21_lonely_customers", "p2_mixture_weights", "p3_clean_funnel",
+    "v32_triplet_mine", "p4_quota_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
