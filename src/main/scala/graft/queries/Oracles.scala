@@ -384,6 +384,40 @@ SELECT dim, n, min_q, max_q,
             ELSE 0.0 END AS var_q
 FROM a""",
 
+    // Gram matrix: upper-triangle second moments in HUGEINT, one
+    // division per (i, j) cell.
+    "v34_gram_matrix" -> s"""
+WITH e AS (SELECT ${qv("embedding")} AS v FROM embeddings),
+x AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+             CAST(v[CAST(i AS INT) + 1] * v[CAST(j AS INT) + 1] AS HUGEINT)
+               AS xy
+      FROM e, (SELECT unnest(range(64)) AS i),
+              (SELECT unnest(range(64)) AS j)
+      WHERE j >= i)
+SELECT i, j, count(*) AS n, CAST(sum(xy) AS DOUBLE) / count(*) AS mean_xy
+FROM x GROUP BY 1, 2""",
+
+    // Label outliers: v14's exact A = Σ(n·x − S)² per member in
+    // HUGEINT; the flag is the exact cross-multiplied A·n > 4·ΣA.
+    "v35_label_outliers" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(label AS BIGINT) AS lab, ${qv("embedding")} AS v
+           FROM embeddings),
+cnt AS (SELECT lab, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+csum AS (SELECT lab, i, CAST(sum(v[CAST(i AS INT) + 1]) AS BIGINT) AS s
+         FROM g CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+av AS (SELECT g.vec_id, g.lab, cnt.n,
+              sum((cnt.n * g.v[CAST(c.i AS INT) + 1] - c.s)
+                    * (cnt.n * g.v[CAST(c.i AS INT) + 1] - c.s)) AS a
+       FROM g JOIN csum c ON c.lab = g.lab JOIN cnt ON cnt.lab = g.lab
+       GROUP BY 1, 2, 3),
+ca AS (SELECT lab, sum(a) AS sum_a FROM av GROUP BY 1)
+SELECT av.vec_id, av.lab AS label_id,
+       sqrt(av.a) / CAST(av.n * $vscale AS DOUBLE) AS dist,
+       CAST(CASE WHEN av.a * av.n > 4 * ca.sum_a THEN 1 ELSE 0 END
+         AS BIGINT) AS is_outlier
+FROM av JOIN ca ON ca.lab = av.lab""",
+
     // Two-stage retrieval: v11's ADC chain proposes rnk <= 20, then the
     // TRUE fixed-point L2 re-ranks the shortlist to top-5.
     "v16_rerank" -> s"""
@@ -802,6 +836,18 @@ WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 ${minhashPairCtes("d")}
 SELECT a_id, b_id, inter, uni, inter / uni AS jaccard
 FROM v WHERE inter / uni >= 0.5""",
+
+    // Cross-source near-dups: d2's verified pair chain + source labels
+    // joined back by id, keeping only pairs that span two sources.
+    "d16_cross_source_dup" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+${minhashPairCtes("d")},
+src AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents)
+SELECT a_id, b_id, sa.source AS a_source, sb.source AS b_source,
+       inter / uni AS jaccard
+FROM v JOIN src sa ON sa.doc_id = v.a_id
+       JOIN src sb ON sb.doc_id = v.b_id
+WHERE inter / uni >= 0.5 AND sa.source <> sb.source""",
 
     // d2's chain with a BINDING bucket cap (2 < the max bucket size of 3
     // at sf0.01): the guard's drop-the-bucket semantics are themselves
@@ -1523,6 +1569,40 @@ SELECT day * 86400 AS day_epoch, n, n_prior, sum_prior,
        CAST(CASE WHEN n_prior > 0 AND n * n_prior > 2 * sum_prior
                  THEN 1 ELSE 0 END AS BIGINT) AS is_spike
 FROM w""",
+
+    // t7's positional-selection twin on the relational surface: value
+    // at rank r in the per-priority cents sort order, exact ranks.
+    "q26_price_quantiles" -> """
+WITH o AS (SELECT o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+rk AS (SELECT o_orderpriority, cents,
+              row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY cents) AS rn,
+              count(*) OVER (PARTITION BY o_orderpriority) AS n
+       FROM o)
+SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+       max(CASE WHEN rn = (n + 1) // 2 THEN cents END) / 100.0 AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) / 100.0 AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) / 100.0 AS p99
+FROM rk GROUP BY 1""",
+
+    // Day-of-week profile: exact epoch-day arithmetic ((day+4) mod 7),
+    // conditional counts, two-phase distinct users.
+    "e17_dow_profile" -> s"""
+WITH x AS (SELECT (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 + 4)
+                    % 7 AS dow,
+                  event_type, CAST(user_id AS BIGINT) AS user_id,
+                  CAST(round("value" * 10000) AS BIGINT) AS val_c
+           FROM events)
+SELECT dow, count(*) AS n,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(val_c) AS BIGINT) / 10000.0 AS sum_value,
+       CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE) / count(*)
+         AS purchase_share
+FROM x GROUP BY 1""",
 
     "q14_balance_rank" -> """
 WITH r AS (SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,

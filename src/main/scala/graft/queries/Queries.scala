@@ -613,6 +613,67 @@ object Queries {
           .otherwise(lit(0.0)).as("var_q"))
   }
 
+  /** Exact Gram (second-moment) matrix over the embedding corpus — the
+    * input of PCA / OPQ rotation training and whitening (what the
+    * reference's scale path would feed an OPQ trainer; v31 consumes a
+    * rotation like the one this matrix trains). Upper triangle only:
+    * each row fans out map-side to its d·(d+1)/2 products (a codegen'd
+    * nested `transform`, zero shuffle at fan-out) and the rollup is one
+    * map-side-combined groupBy over O(d²) keys — shuffle volume
+    * O(partitions · d²), corpus-independent. Products sum in
+    * Decimal(38,0) (DuckDB HUGEINT — Σxᵢxⱼ at 100 TB passes 2⁶³); the
+    * emitted mean is one IEEE division of exact integers. */
+  def v34GramMatrix(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    emb(s, d)
+      .select(quantize(col("embedding")).as("v"))
+      .select(explode(flatten(transform(sequence(lit(0), lit(63)),
+        i => transform(sequence(i, lit(63)),
+          j => struct(i.as("i"), j.as("j"),
+            (element_at(col("v"), i + 1) * element_at(col("v"), j + 1))
+              .as("xy")))))).as("p"))
+      .groupBy(col("p.i").cast("long").as("i"),
+        col("p.j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p.xy").cast(dec)).as("sxy"))
+      .select(col("i"), col("j"), col("n"),
+        (col("sxy").cast("double") / col("n")).as("mean_xy"))
+  }
+
+  /** Label-outlier detection — vectors far from their own class
+    * centroid (mislabel / noise candidates, the embedding-space data-
+    * quality pass every labeled corpus runs before training). The
+    * centroid is never a float: v14's exact trick scores each member
+    * against its class as A = Σ_d (n·x_d − S_d)², accumulated in
+    * Decimal(38,0), and the outlier rule is the exact cross-multiplied
+    * comparison A·n > 4·ΣA (distance² above 4× the class mean — 2× the
+    * RMS radius) — no float threshold anywhere; the reported distance
+    * is the v14 `sqrt(A)/(n·scale)` IEEE pair. Two passes over the
+    * corpus (class sums, then score+flag), both map-side-combined
+    * aggregates; class stats are O(classes) rows and broadcast. */
+  def v35LabelOutliers(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = emb(s, d).select(col("vec_id").cast("long").as("vec_id"),
+      col("label").cast("long").as("label_id"),
+      quantize(col("embedding")).as("qv"))
+    val cs = Centroids.classSums(g, "label_id", "qv")
+    val a = aggregate(
+      zip_with(col("qv"), col("svec"), (xi, si) => {
+        val diff = (col("n") * xi - si).cast(dec) // widen BEFORE squaring
+        diff * diff
+      }),
+      lit(0L).cast(dec), (acc, x) => acc + x)
+    val scored = g.join(broadcast(cs), col("label_id") === col("lab"))
+      .select(col("vec_id"), col("label_id"), col("n"), a.as("a"))
+    val classAgg = scored.groupBy(col("label_id").as("lab2"))
+      .agg(sum(col("a")).as("sum_a"))
+    scored.join(broadcast(classAgg), col("label_id") === col("lab2"))
+      .select(col("vec_id"), col("label_id"),
+        (sqrt(col("a")) / (col("n") * lit(DefaultScale)).cast("double"))
+          .as("dist"),
+        when(col("a") * col("n").cast(dec) > lit(4).cast(dec) * col("sum_a"),
+          1L).otherwise(0L).as("is_outlier"))
+  }
+
   /** Incremental IVF maintenance — the ingest-time shape of a LIVE
     * vector index (the d9 seen-index pattern applied to the reference's
     * persisted FAISS index, faiss_utils.py:11-17): the assigned index
@@ -798,6 +859,27 @@ object Queries {
     * precedent), and the oracle mirrors that exactly. */
   def d13BandCap(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(docs(s, d), "doc_id", "text", maxBucket = 2L)
+
+  /** Cross-source near-duplicate pairs — syndicated/mirrored content
+    * spanning two sources (the contamination-adjacent signal a mixture
+    * designer needs: shared mass between supposedly-independent
+    * sources). Runs d2's guarded MinHash-LSH chain UNCHANGED, then
+    * joins each side's source label back by id and keeps only pairs
+    * whose sources differ — the verified pair set is O(pairs), so the
+    * two metadata joins broadcast the pairs against the column-pruned
+    * doc scan, adding zero corpus-sized shuffles to d2's plan. */
+  def d16CrossSourceDup(s: SparkSession, d: String): DataFrame = {
+    val src = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
+      col("source"))
+    val pairs = Dedup.minhashLsh(docs(s, d), "doc_id", "text")
+    val withA = src.join(broadcast(pairs), col("doc_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("source").as("a_source"),
+        col("jaccard"))
+    src.join(broadcast(withA), col("doc_id") === col("b_id"))
+      .filter(col("a_source") =!= col("source"))
+      .select(col("a_id"), col("b_id"), col("a_source"),
+        col("source").as("b_source"), col("jaccard"))
+  }
 
   def d3Simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d), "doc_id", "text")
@@ -2039,6 +2121,36 @@ object Queries {
         countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_lines"))
 
+  /** Exact per-priority order-value quantiles (p50/p90/p99) — t7's
+    * two-phase positional selection applied to the relational surface
+    * (the pricing-report shape): phase 1 is a map-side-combined
+    * groupBy(priority, cents) histogram — the only fact-sized shuffle,
+    * one row per DISTINCT value out; phase 2 ranks the histogram with
+    * a cumulative-count window over O(distinct prices) rows (bounded by
+    * the price domain, corpus-independent — never a per-priority row
+    * sort). Rank positions are exact integer arithmetic ((9n+9) div 10,
+    * never a float ceil); values are exact cents divided once for
+    * display. */
+  def q26PriceQuantiles(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_orderpriority", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("o_orderpriority").orderBy("cents")
+    val wAll = Window.partitionBy("o_orderpriority")
+    def pick(rank: String) =
+      max(when(expr(s"cum - cnt < $rank AND $rank <= cum"), col("cents")))
+    hist
+      .withColumn("cum", sum("cnt").over(wCum).cast("long"))
+      .withColumn("n", sum("cnt").over(wAll).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(max(col("n")).as("n_orders"),
+        (pick("(n + 1) div 2") / lit(100.0)).as("p50"),
+        (pick("(9 * n + 9) div 10") / lit(100.0)).as("p90"),
+        (pick("(99 * n + 99) div 100") / lit(100.0)).as("p99"))
+  }
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
@@ -2335,6 +2447,27 @@ object Queries {
           col("n") * col("n_prior") > lit(2L) * col("sum_prior"), 1L)
           .otherwise(0L).as("is_spike"))
   }
+
+  /** Day-of-week seasonality profile — the weekly-rhythm report behind
+    * capacity planning and anomaly baselines (e16's natural companion).
+    * ONE map-side-combined groupBy over 7 keys; day-of-week is exact
+    * integer arithmetic on the epoch-day number ((day + 4) mod 7 —
+    * 1970-01-01 was a Thursday), identical in both engines — never an
+    * engine-specific date function whose week-start convention could
+    * differ. Purchase share divides two exact Longs once per row;
+    * distinct users is the standard two-phase distinct aggregate. */
+  def e17DowProfile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(pmod(floorDiv("ts", 86400000000000L) + 4, lit(7L)).as("dow"),
+        col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("value"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        countDistinct(col("user_id")).as("n_users"),
+        (moneySum(col("value"), 10000) / lit(10000.0)).as("sum_value"))
+      .withColumn("purchase_share", col("n_purchase") / col("n"))
 
   def e2Sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
