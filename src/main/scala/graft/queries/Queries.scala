@@ -865,17 +865,20 @@ object Queries {
     * designer needs: shared mass between supposedly-independent
     * sources). Runs d2's guarded MinHash-LSH chain UNCHANGED, then
     * joins each side's source label back by id and keeps only pairs
-    * whose sources differ — the verified pair set is O(pairs), so the
-    * two metadata joins broadcast the pairs against the column-pruned
-    * doc scan, adding zero corpus-sized shuffles to d2's plan. */
+    * whose sources differ. The pair set is data-dependent and scales
+    * with the duplicate mass — at 100 TB it can be far past broadcast
+    * size — so the two metadata joins carry NO broadcast hint: they
+    * are plain doc_id equi-joins and AQE decides from the pair set's
+    * measured size (the d12/q17 precedent), adding zero corpus-sized
+    * shuffles to d2's plan beyond the id-keyed pair joins. */
   def d16CrossSourceDup(s: SparkSession, d: String): DataFrame = {
     val src = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
       col("source"))
     val pairs = Dedup.minhashLsh(docs(s, d), "doc_id", "text")
-    val withA = src.join(broadcast(pairs), col("doc_id") === col("a_id"))
+    val withA = src.join(pairs, col("doc_id") === col("a_id"))
       .select(col("a_id"), col("b_id"), col("source").as("a_source"),
         col("jaccard"))
-    src.join(broadcast(withA), col("doc_id") === col("b_id"))
+    src.join(withA, col("doc_id") === col("b_id"))
       .filter(col("a_source") =!= col("source"))
       .select(col("a_id"), col("b_id"), col("a_source"),
         col("source").as("b_source"), col("jaccard"))
