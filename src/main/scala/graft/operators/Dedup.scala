@@ -78,6 +78,34 @@ object Dedup {
     * (64² = 4096 candidates) is noise for a task. */
   val DefaultMaxBucket = 64L
 
+  /** Containment near-dup pairs — the ASYMMETRIC companion of
+    * [[minhashLsh]]: C(A,B) = |A∩B| / min(|A|,|B|) flags subset
+    * duplication (a short doc embedded verbatim inside a longer one)
+    * that symmetric Jaccard dilutes toward zero as the length gap
+    * grows. Shares the guarded LSH candidate front end, so the band
+    * semantics and the mega-bucket skew guard are identical to d2's;
+    * only the verify formula differs (one `least` instead of the union
+    * size). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, numHashes: Int = 12,
+                       bands: Int = 4, threshold: Double = 0.5,
+                       maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val (base, _, cand) =
+      lshCandidates(docs, idCol, textCol, shingleN, numHashes, bands,
+        maxBucket)
+    cand
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("n_a", size(col("sha")).cast("long"))
+      .withColumn("n_b", size(col("shb")).cast("long"))
+      .withColumn("containment",
+        col("inter") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "inter", "n_a", "n_b", "containment")
+  }
+
   /** Operational default for the SIMHASH band-bucket cap. SimHash
     * 16-bit bands are far less uniform than MinHash band hashes — band
     * bits are biased by corpus-wide token statistics, so the hottest

@@ -1987,5 +1987,141 @@ l AS (SELECT user_id, us,
       FROM x)
 SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events,
        CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-FROM l GROUP BY 1""")
+FROM l GROUP BY 1""",
+
+    // PQ-ADC recall vs the exact scan: both chains reuse their gated
+    // CTE text (pqAdcCtes / v1's exact ranking) so the eval can never
+    // drift from the operators it scores.
+    "v36_pq_recall" -> s"""
+WITH ${pqAdcCtes()},
+ha AS (SELECT query_id, gid FROM r WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+
+    // faiss's list-imbalance factor over v6's gated assignment chain.
+    "v37_ivf_balance" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+d AS (SELECT gid, cid, ${l2sq("gvec", "cvec")} AS d2 FROM g CROSS JOIN c),
+a AS (SELECT gid, cid, d2,
+             row_number() OVER (PARTITION BY gid ORDER BY d2, cid) AS rn
+      FROM d),
+cnt AS (SELECT cid, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS nlist,
+       CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(max(n) AS BIGINT) AS max_n, CAST(min(n) AS BIGINT) AS min_n,
+       CAST(count(*) * CAST(sum(n * n) AS BIGINT) AS BIGINT)
+         / CAST(CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) AS BIGINT)
+         AS imbalance
+FROM cnt""",
+
+    // Containment verify over d2's guarded candidate chain: only the
+    // formula after `v` differs (least() instead of the union size).
+    "d17_containment" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+${minhashPairCtes("d")}
+SELECT v.a_id, v.b_id, v.inter,
+       CAST(len(sa.sh) AS BIGINT) AS n_a,
+       CAST(len(sb.sh) AS BIGINT) AS n_b,
+       v.inter / least(CAST(len(sa.sh) AS BIGINT),
+                       CAST(len(sb.sh) AS BIGINT)) AS containment
+FROM v JOIN s sa ON sa.doc_id = v.a_id JOIN s sb ON sb.doc_id = v.b_id
+WHERE v.inter / least(CAST(len(sa.sh) AS BIGINT),
+                      CAST(len(sb.sh) AS BIGINT)) >= 0.5""",
+
+    "p5_source_dup_rate" -> """
+SELECT source, count(*) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) / count(*)
+         AS dup_rate
+FROM documents GROUP BY 1""",
+
+    "t17_source_vocab" -> """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       count(*) / CAST(sum(n) AS BIGINT) AS ttr
+FROM c GROUP BY 1""",
+
+    // Gaps-and-islands: consecutive days share day - row_number().
+    "e18_user_streaks" -> """
+WITH ad AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                     AS day
+            FROM events),
+r AS (SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM ad),
+g AS (SELECT user_id, day - rn AS grp, count(*) AS len
+      FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks
+FROM g GROUP BY 1""",
+
+    // TPC-H Q11 shape; the HAVING is the exact cross-multiplication.
+    "q27_part_value_share" -> s"""
+WITH pr AS (SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   ${moneySum(discPrice, 10000)} AS rev_c
+            FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM pr)
+SELECT l_partkey, rev_c / 10000.0 AS revenue, rev_c / tot_c AS share
+FROM pr CROSS JOIN t WHERE rev_c * 2000 > tot_c""",
+
+    // TPC-H Q12 shape.
+    "q28_priority_class" -> """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1""",
+
+    // TPC-H Q10 shape; aggregate before attributes, ties on custkey.
+    "q29_returned_customers" -> s"""
+WITH cr AS (SELECT o_custkey, ${moneySum(discPrice, 10000)} AS rev_c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       rev_c / 10000.0 AS revenue
+FROM cr JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev_c DESC, c_custkey LIMIT 20""",
+
+    // TPC-H Q7 shape: both nation dims, all pairs, per ship year.
+    "q30_nation_flow" -> s"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       ${moneySum(discPrice, 10000)} / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3""")
 }

@@ -741,6 +741,41 @@ object Queries {
         (col("n_hit") / col("k")).as("recall_at_5"))
   }
 
+  /** PQ-ADC retrieval quality — recall@5 of v11's 8-byte-code search
+    * vs v1's exact scan (the v20 recipe pointed at the PQ path): the
+    * number a deployment watches before swapping the exact scan for
+    * the quantized index at 100 TB. Both inputs are already-gated
+    * O(Q·k) results → broadcast join, tiny aggregate. */
+  def v36PqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v11PqAdc(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
+  /** IVF list-balance diagnostic — faiss's imbalance factor
+    * nlist·Σnᵢ²/(Σnᵢ)² over the coarse assignment (1.0 = perfectly
+    * balanced lists; the number that predicts probe-search tail
+    * latency, because a hot list serves every query routed to it).
+    * One O(nlist) aggregate over v6's gated assignment; numerator and
+    * denominator are exact Longs, ONE IEEE division at the end. */
+  def v37IvfBalance(s: SparkSession, d: String): DataFrame =
+    v6IvfAssign(s, d)
+      .agg(count(lit(1)).as("nlist"),
+        sum("n").cast("long").as("n_total"),
+        max("n").as("max_n"), min("n").as("min_n"),
+        sum(col("n") * col("n")).cast("long").as("sum_sq"))
+      .select(col("nlist"), col("n_total"), col("max_n"), col("min_n"),
+        ((col("nlist") * col("sum_sq")) /
+          (col("n_total") * col("n_total"))).as("imbalance"))
+
   /** Maximum-inner-product search (MIPS) — the faiss IndexFlatIP
     * metric, the retrieval mode recommendation/embedding-score systems
     * use where L2 is wrong (un-normalized vectors). Same harness as
@@ -849,6 +884,15 @@ object Queries {
 
   def d2MinhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(docs(s, d), "doc_id", "text")
+
+  /** Shingle-containment near-dup pairs — the asymmetric dedup signal
+    * (|A∩B| / min(|A|,|B|)) that catches a short doc embedded verbatim
+    * in a longer one, which symmetric Jaccard dilutes as the length
+    * gap grows. Same guarded LSH front end as d2 ([[Dedup
+    * .containmentPairs]]); only the verify formula differs, so the
+    * skew guard stays load-bearing here too. */
+  def d17Containment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d), "doc_id", "text")
 
   /** d2's MinHash-LSH pipeline with a BINDING mega-bucket cap
     * (maxBucket = 2 — sf0.01 has band buckets of size 3, so the guard
@@ -1471,6 +1515,44 @@ object Queries {
       .select(col("source"), col("thr_bp"), col("src_tokens"),
         col("n_docs_kept"), col("n_tokens_kept"))
   }
+
+  /** Per-source duplicate-rate observability — the corpus-health row a
+    * dedup pipeline publishes per ingest source: doc count, distinct
+    * content hashes, language spread, and the exact-dup rate. ONE
+    * map-side-combined groupBy; both distincts run as Spark's standard
+    * two-phase distinct aggregate (never a per-source set collect);
+    * the rate divides two exact Longs once per source row. */
+  def p5SourceDupRate(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"), col("n_distinct_texts"),
+        col("n_langs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_dups"),
+        ((col("n_docs") - col("n_distinct_texts")) / col("n_docs"))
+          .as("dup_rate"))
+
+  /** Per-source vocabulary profile (the Heaps-law corpus diagnostic):
+    * token mass, type count, hapax count, and type-token ratio per
+    * source — the signal that separates template-heavy sources (tiny
+    * vocabulary) from organic text. Plan is t8's df shape: one
+    * map-side-combined groupBy(source, token) — NEVER a per-source
+    * distinct-set collect or a source-partitioned window (a web-scale
+    * source's vocabulary would hit one task) — then an O(vocab)
+    * rollup per source; TTR divides two exact Longs once. */
+  def t17SourceVocab(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum("n").cast("long").as("n_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), (col("n_types") / col("n_tokens")).as("ttr"))
 
   /** Gopher-style quality rules — the heuristic document filter every
     * LLM training pipeline runs before tokenization (token-count
@@ -2154,6 +2236,103 @@ object Queries {
         (pick("(99 * n + 99) div 100") / lit(100.0)).as("p99"))
   }
 
+  /** Important-part report (TPC-H Q11 shape): parts whose revenue
+    * exceeds a fixed fraction (1/2000) of total revenue. Per-part
+    * exact-cents rollup (the only data-sized shuffle); the corpus
+    * total rides back as a broadcast 1-row aggregate (the q20/q21
+    * scalar pattern — never a whole-table window, never a driver
+    * collect); the HAVING is the exact cross-multiplication
+    * `rev·2000 > total`, not a float threshold. */
+  def q27PartValueShare(s: SparkSession, d: String): DataFrame = {
+    val dp = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val pr = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(moneySum(dp, 10000).as("rev_c"))
+    val tot = pr.agg(sum("rev_c").cast("long").as("tot_c"))
+    pr.crossJoin(broadcast(tot))
+      .filter(col("rev_c") * 2000 > col("tot_c"))
+      .select(col("l_partkey").cast("long").as("l_partkey"),
+        (col("rev_c") / lit(10000.0)).as("revenue"),
+        (col("rev_c") / col("tot_c")).as("share"))
+  }
+
+  /** Priority shipping report (TPC-H Q12 shape): per return flag, line
+    * counts split by order-priority class. The date filter pushes to
+    * the fact scan; orders projects two columns and joins on the
+    * orderkey equi-key (both sides scale-linear — no broadcast hint,
+    * AQE decides); conditional counts fold into ONE map-side-combined
+    * aggregate over O(flags) keys. */
+  def q28PriorityClass(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L).as("is_high"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("is_high")).as("high_line_count"),
+        sum(lit(1L) - col("is_high")).as("low_line_count"))
+  }
+
+  /** Returned-item revenue report (TPC-H Q10 shape): top-20 customers
+    * by revenue lost to returns in one year. Aggregates to O(active
+    * customers) rows BEFORE touching customer attributes (the Q10
+    * plan discipline — the top-k never sorts pre-agg fact rows), then
+    * equi-joins attributes (customer is scale-linear: no hint, AQE
+    * decides; nation is a true 25-row dim: broadcast). Ties break on
+    * custkey so the top-20 set is engine-independent. */
+  def q29ReturnedCustomers(s: SparkSession, d: String): DataFrame = {
+    val dp = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(dp, 10000).as("rev_c"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev_c").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("n_name"), (col("rev_c") / lit(10000.0)).as("revenue"))
+  }
+
+  /** Nation-flow volume report (TPC-H Q7 shape): revenue between every
+    * (supplier nation, customer nation) pair per ship year — the
+    * two-sided dimension join Q5's star doesn't exercise. nation (25
+    * rows) broadcasts onto customer and supplier; the fact joins
+    * orders→customer on their scale-linear equi-keys (AQE decides the
+    * strategy); the final aggregate is O(nations² · years) with
+    * map-side combine. */
+  def q30NationFlow(s: SparkSession, d: String): DataFrame = {
+    val dp = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val cn = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(moneySum(dp, 10000).as("rev_c"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (col("rev_c") / lit(10000.0)).as("revenue"))
+  }
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
@@ -2449,6 +2628,30 @@ object Queries {
         when(col("n_prior") > 0 &&
           col("n") * col("n_prior") > lit(2L) * col("sum_prior"), 1L)
           .otherwise(0L).as("is_spike"))
+  }
+
+  /** Longest-streak engagement profile — the gaps-and-islands shape:
+    * per user, the longest run of CONSECUTIVE active days (plus total
+    * active days and streak count). Islands via the classic
+    * day − row_number() group key: consecutive days share a constant
+    * difference, so one per-user window (per-key state, the e2
+    * sessionize shape — never a whole-stream sort) labels every run,
+    * and two map-side-combined aggregates finish it. Day numbers are
+    * exact floor-division epoch days, portable for pre-1970 too. */
+  def e18UserStreaks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, d)
+      .select(col("user_id").cast("long").as("user_id"),
+        floorDiv("ts", 86400000000000L).as("day"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", col("day") - col("rn"))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("max_streak"),
+        sum("len").cast("long").as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
   }
 
   /** Day-of-week seasonality profile — the weekly-rhythm report behind

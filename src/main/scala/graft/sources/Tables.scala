@@ -50,7 +50,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** Events with `ts` NORMALIZED to exact nanosecond Longs regardless
+    * of how the parquet encodes it. The driver's generator has shipped
+    * the column both as TIMESTAMP(NANOS) (read as Long under
+    * `nanosAsLong`) and as timestamp[us] (read as TIMESTAMP_NTZ) —
+    * every downstream operator does exact integer time math on ns (a
+    * 1.7e18 ns epoch exceeds double's 2^53 exact range, so timestamp
+    * arithmetic must never round-trip through floats). µs → ns is the
+    * exact multiply by 1000; the NTZ cast is naive-UTC under the
+    * session's pinned UTC zone, matching DuckDB's epoch_us on the same
+    * naive column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.LongType
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

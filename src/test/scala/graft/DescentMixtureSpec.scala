@@ -131,7 +131,7 @@ class DescentMixtureSpec extends SparkSpec {
 
   test("e14: user-0 replay matches mean and exact variance") {
     val rows = Queries.e14Cadence(spark, sf).collect()
-    val us = spark.read.parquet(s"$sf/events.parquet")
+    val us = graft.sources.Tables.events(spark, sf)
       .filter($"user_id" === 0)
       .select(expr("ts div 1000").as("us"), $"event_id".cast("long"))
       .as[(Long, Long)].collect().sortBy(identity).map(_._1)

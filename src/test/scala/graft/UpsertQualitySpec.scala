@@ -63,7 +63,7 @@ class UpsertQualitySpec extends SparkSpec {
       maxLate.foreach(m => assert(m.asInstanceOf[Long] > 3600000000L))
     }
     // replay one user's arrival order in plain Scala and compare
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.Tables.events(spark, sf)
       .filter($"user_id" === 0)
       .select($"event_id".cast("long"),
         expr("ts div 1000").as("us")) // ns are non-negative: div = floor
