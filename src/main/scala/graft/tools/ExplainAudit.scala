@@ -37,7 +37,10 @@ object ExplainAudit {
     "v20_recall_eval", "v22_hamming_knn", "v23_mips", "v24_range_search",
     "v25_knn_classify", "t8_tfidf", "q20_top_supplier",
     "q21_lonely_customers", "p2_mixture_weights", "p3_clean_funnel",
-    "v32_triplet_mine", "p4_quota_sample")
+    "v32_triplet_mine", "p4_quota_sample",
+    // v36 composes v1's and v11's gated KNN crossjoin chains; q27's
+    // BNLJ is the broadcast 1-row scalar-total crossjoin (q20/q21).
+    "v36_pq_recall", "q27_part_value_share")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
