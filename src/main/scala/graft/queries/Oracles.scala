@@ -2123,5 +2123,77 @@ JOIN nation cn ON c_nationkey = cn.n_nationkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY 1, 2, 3""")
+GROUP BY 1, 2, 3""",
+
+    // Centroid shift after one Lloyd round: sqrt(Σ(n·cv_i − s_i)²)
+    // / (n·scale) — the v18 chain's (n, sum) vs the seed position.
+    "v38_centroid_shift" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
+asn AS (SELECT gid, cid AS c0 FROM (
+          SELECT g.gid, c.cid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+cnt AS (SELECT c0, CAST(count(*) AS BIGINT) AS n FROM asn GROUP BY 1),
+cm AS (SELECT a.c0, i, sum(g.v[CAST(i AS INT)+1]) AS s
+       FROM asn a JOIN g ON g.gid = a.gid
+       CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+sh AS (SELECT c.cid, cnt.n,
+              sum((cnt.n * c.cv[CAST(m.i AS INT)+1] - m.s)
+                    * (cnt.n * c.cv[CAST(m.i AS INT)+1] - m.s)) AS a2
+       FROM c JOIN cnt ON cnt.c0 = c.cid JOIN cm m ON m.c0 = c.cid
+       GROUP BY 1, 2)
+SELECT cid AS centroid_id, n,
+       sqrt(a2) / CAST(n * $vscale AS DOUBLE) AS shift
+FROM sh""",
+
+    // Exact p99 threshold on the per-user count distribution
+    // (positional selection on the count histogram, the q26 idiom).
+    "e19_power_users" -> """
+WITH u AS (SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events
+           FROM events GROUP BY 1),
+h AS (SELECT n_events, count(*) AS cnt FROM u GROUP BY 1),
+w AS (SELECT n_events, cnt,
+             CAST(sum(cnt) OVER (ORDER BY n_events) AS BIGINT) AS cum
+      FROM h),
+nu AS (SELECT CAST(sum(cnt) AS BIGINT) AS nu FROM h),
+thr AS (SELECT n_events AS thr FROM w CROSS JOIN nu
+        WHERE cum - cnt < (99 * nu + 99) // 100
+          AND (99 * nu + 99) // 100 <= cum)
+SELECT u.user_id, u.n_events, thr.thr
+FROM u CROSS JOIN thr WHERE u.n_events >= thr.thr""",
+
+    "q31_repeat_customers" -> """
+WITH oc AS (SELECT o_custkey, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1)
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS repeat_rate
+FROM oc JOIN customer ON o_custkey = c_custkey
+GROUP BY 1""",
+
+    // Top-10-by-df coverage per source over distinct doc shingles.
+    "t18_ngram_coverage" -> s"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+s2 AS (SELECT doc_id, source, unnest(${shingleSql("toks", 3)}) AS sh
+       FROM d),
+c AS (SELECT source, sh, count(*) AS df FROM s2 GROUP BY 1, 2),
+r AS (SELECT source, sh, df,
+             row_number() OVER (PARTITION BY source
+               ORDER BY df DESC, sh) AS rnk
+      FROM c),
+tot AS (SELECT source, CAST(sum(df) AS BIGINT) AS n_incidences
+        FROM c GROUP BY 1),
+top AS (SELECT source, CAST(sum(df) AS BIGINT) AS top_mass
+        FROM r WHERE rnk <= 10 GROUP BY 1)
+SELECT source, n_incidences, top_mass,
+       top_mass / n_incidences AS coverage
+FROM tot JOIN top USING (source)""")
 }

@@ -414,6 +414,33 @@ object Queries {
   def v18LloydRound(s: SparkSession, d: String): DataFrame =
     lloydStats(lloydRound(lloydSeedAssign(emb(s, d))))
 
+  /** Centroid-shift convergence monitor — per centroid, the exact
+    * distance the mean moved in one Lloyd round (the quantity a
+    * training loop thresholds to declare convergence). No float
+    * centroid exists on either engine: the shift is
+    * `sqrt(Σ(n·cv_i − s_i)²)/(n·scale)` over the seed position (cv)
+    * and the round's (n, sum) — the v18/v14 scaled-distance trick —
+    * with the Σ in Decimal(38,0) ≡ HUGEINT. One (cluster, dim)-keyed
+    * map-side-combined aggregate; output is O(nlist) rows. */
+  def v38CentroidShift(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sums = Centroids.classSums(lloydSeedAssign(e), "c", "qv")
+    val seedQ = seedCentroids(e)
+      .select(col("cid"), quantize(col("embedding")).as("cv"))
+    sums.join(broadcast(seedQ), col("lab") === col("cid"))
+      .select(col("cid").as("centroid_id"), col("n"),
+        aggregate(
+          zip_with(col("cv"), col("svec"), (ci, si) => {
+            val diff = col("n").cast(dec) * ci.cast(dec) - si.cast(dec)
+            diff * diff
+          }),
+          lit(0L).cast(dec), (acc, x) => acc + x).as("a2"))
+      .select(col("centroid_id"), col("n"),
+        (sqrt(col("a2")) /
+          (col("n") * lit(DefaultScale.toLong)).cast("double")).as("shift"))
+  }
+
   /** FULL Lloyd TRAINING under the hard gate — the convergence loop the
     * IVF coarse quantizer actually trains with (v18 gates one round;
     * this chains three). Each round re-collects the broadcast-sized
@@ -1554,6 +1581,39 @@ object Queries {
       .select(col("source"), col("n_tokens"), col("n_types"),
         col("n_hapax"), (col("n_types") / col("n_tokens")).as("ttr"))
 
+  /** Head-coverage profile — per source, the fraction of (doc,
+    * distinct-trigram) incidences covered by the source's top-10
+    * trigrams by document frequency: the boilerplate-concentration
+    * signal (template-heavy sources concentrate mass in few shingles)
+    * that sizes stop-shingle lists for d2/d11's caps. Plan composes
+    * the de-skew patterns: df via ONE map-side-combined
+    * groupBy(source, shingle); top-10 through t5's SALTED two-phase
+    * rank (a web-scale source's shingle vocabulary never sorts on one
+    * task); totals as an O(sources) rollup equi-joined back; coverage
+    * divides two exact Longs. */
+  def t18NgramCoverage(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("sh"))
+      .groupBy("source", "sh")
+      .agg(count(lit(1)).as("df"))
+    val w1 = Window.partitionBy(col("source"), col("_salt"))
+      .orderBy(col("df").desc, col("sh"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("df").desc, col("sh"))
+    val top = df
+      .withColumn("_salt", pmod(hash(col("sh")), lit(8)))
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= 10)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .groupBy("source")
+      .agg(sum("df").cast("long").as("top_mass"))
+    df.groupBy("source")
+      .agg(sum("df").cast("long").as("n_incidences"))
+      .join(top, "source")
+      .withColumn("coverage", col("top_mass") / col("n_incidences"))
+  }
+
   /** Gopher-style quality rules — the heuristic document filter every
     * LLM training pipeline runs before tokenization (token-count
     * bounds, mean-word-length band, stopword presence, repetition cap).
@@ -2333,6 +2393,26 @@ object Queries {
         (col("rev_c") / lit(10000.0)).as("revenue"))
   }
 
+  /** Repeat-customer report: per market segment, active customers in
+    * one year and the share who ordered more than once (the retention
+    * KPI on the relational schema). Per-customer counts first (the
+    * only data-sized shuffle, map-side combined), then the customer
+    * attribute equi-join (scale-linear — no hint, AQE decides), then
+    * an O(segments) conditional rollup; the rate divides two exact
+    * Longs. */
+  def q31RepeatCustomers(s: SparkSession, d: String): DataFrame = {
+    val oc = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    oc.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .withColumn("repeat_rate", col("n_repeat") / col("n_customers"))
+  }
+
   // ---------- events (batch twins of the streaming ops) ----------
 
   // events.ts arrives as Long nanoseconds (nanosAsLong — Spark 4 has no
@@ -2628,6 +2708,31 @@ object Queries {
         when(col("n_prior") > 0 &&
           col("n") * col("n_prior") > lit(2L) * col("sum_prior"), 1L)
           .otherwise(0L).as("is_spike"))
+  }
+
+  /** Power-user report — users at or above the exact p99 of the
+    * per-user event-count distribution (the heavy-account signal
+    * behind rate limits and bot review). The threshold comes from
+    * q26/t7's TWO-PHASE positional selection applied to a DERIVED
+    * distribution: per-user counts (the only data-sized shuffle) →
+    * distinct-count histogram → cumulative-count window over O(max
+    * events/user) rows (corpus-independent, never a whole-population
+    * sort); rank position is exact integer arithmetic ((99n+99) div
+    * 100); the 1-row threshold broadcasts back. */
+  def e19PowerUsers(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val hist = u.groupBy("n_events").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("n_events")
+    val thr = hist
+      .withColumn("cum", sum("cnt").over(wCum).cast("long"))
+      .crossJoin(broadcast(hist.agg(sum("cnt").cast("long").as("nu"))))
+      .filter(expr(
+        "cum - cnt < (99 * nu + 99) div 100 AND (99 * nu + 99) div 100 <= cum"))
+      .select(col("n_events").as("thr"))
+    u.crossJoin(broadcast(thr)).filter(col("n_events") >= col("thr"))
+      .select(col("user_id"), col("n_events"), col("thr"))
   }
 
   /** Longest-streak engagement profile — the gaps-and-islands shape:

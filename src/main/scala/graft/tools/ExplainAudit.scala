@@ -39,8 +39,9 @@ object ExplainAudit {
     "q21_lonely_customers", "p2_mixture_weights", "p3_clean_funnel",
     "v32_triplet_mine", "p4_quota_sample",
     // v36 composes v1's and v11's gated KNN crossjoin chains; q27's
-    // BNLJ is the broadcast 1-row scalar-total crossjoin (q20/q21).
-    "v36_pq_recall", "q27_part_value_share")
+    // and e19's BNLJs are broadcast 1-row scalar crossjoins (q20/q21
+    // pattern: corpus total / p99 threshold riding back).
+    "v36_pq_recall", "q27_part_value_share", "e19_power_users")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -126,6 +126,46 @@ class Round6OpsSpec extends SparkSpec {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("v38: one row per seed centroid, shifts non-negative, " +
+    "occupancy covers the gallery") {
+    val rows = Queries.v38CentroidShift(spark, sf).collect()
+    assert(rows.length == 10)
+    val gallery = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == gallery)
+    rows.foreach(r => assert(r.getAs[Double]("shift") >= 0.0))
+  }
+
+  test("e19: every reported user clears the threshold, and the " +
+    "threshold is attained by some user") {
+    val rows = Queries.e19PowerUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val thr = rows.head.getAs[Long]("thr")
+    rows.foreach(r => assert(r.getAs[Long]("n_events") >= thr))
+    assert(rows.exists(_.getAs[Long]("n_events") == thr) ||
+      rows.forall(_.getAs[Long]("n_events") > thr))
+  }
+
+  test("q31: repeat counts bounded and rates exact") {
+    val rows = Queries.q31RepeatCustomers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("n_customers"); val rep = r.getAs[Long]("n_repeat")
+      assert(rep <= c)
+      assert(r.getAs[Double]("repeat_rate") === rep.toDouble / c)
+    }
+  }
+
+  test("t18: top-10 mass bounded by total incidences") {
+    val rows = Queries.t18NgramCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getAs[Long]("top_mass")
+      val tot = r.getAs[Long]("n_incidences")
+      assert(top <= tot && top > 0)
+      assert(r.getAs[Double]("coverage") === top.toDouble / tot)
+    }
+  }
+
   test("q30: nation-pair revenue reconciles with the filtered total") {
     val rows = Queries.q30NationFlow(spark, sf).collect()
     assert(rows.nonEmpty)
