@@ -111,6 +111,85 @@ object StreamingOps {
       col("rts") < col("lts"))
   }
 
+  case class StreakState(lastDay: Long, cur: Long, best: Long,
+                         nDays: Long, nStreaks: Long)
+  case class StreakUpdate(user_id: Long, max_streak: Long,
+                          n_active_days: Long, n_streaks: Long)
+
+  /** Continuous consecutive-day streak tracking (streaming twin of the
+    * gated e18 gaps-and-islands op): per user, `mapGroupsWithState`
+    * maintains (lastDay, current run, best run, active days, streak
+    * count) — O(1) state per key, every micro-batch emits the user's
+    * refreshed stats. Day numbers are exact floor-division epoch days
+    * (the batch op's arithmetic). Contract: per-user days arrive
+    * non-decreasing ACROSS micro-batches (the watermark's delivery
+    * order); in-batch disorder is sorted out locally, a day below the
+    * high-water mark is dropped exactly as the watermark would drop
+    * it. On a bounded in-order stream the final per-user rows equal
+    * e18's batch output. */
+  def streaks(events: Dataset[Event]): Dataset[StreakUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[StreakState, StreakUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[StreakState]) =>
+          val days = batch.map(e => Math.floorDiv(e.ts.getTime, 86400000L))
+            .toSeq.distinct.sorted
+          var s = state.getOption
+            .getOrElse(StreakState(Long.MinValue, 0L, 0L, 0L, 0L))
+          days.foreach { d =>
+            if (s.lastDay == Long.MinValue)
+              s = StreakState(d, 1L, 1L, 1L, 1L)
+            else if (d == s.lastDay + 1)
+              s = StreakState(d, s.cur + 1, math.max(s.best, s.cur + 1),
+                s.nDays + 1, s.nStreaks)
+            else if (d > s.lastDay)
+              s = StreakState(d, 1L, s.best, s.nDays + 1, s.nStreaks + 1)
+            // d <= lastDay: duplicate day or late-beyond-contract — dropped
+          }
+          state.update(s)
+          StreakUpdate(uid, s.best, s.nDays, s.nStreaks)
+      }
+  }
+
+  case class CadenceState(lastUs: Long, nGaps: Long, sumG: Long,
+                          sumG2: String)
+  case class CadenceUpdate(user_id: Long, n_gaps: Long, sum_gap_us: Long,
+                           sum_gap2: String)
+
+  /** Continuous inter-event cadence stats (streaming twin of the gated
+    * e14 bot-detection signal): per user, O(1) state carries
+    * (last event time, gap count, Σgap, Σgap²) so mean and the exact
+    * v19-identity variance are computable at any moment without
+    * replaying history. Σgap² exceeds Long (a month-scale gap squared
+    * is ~10²⁵), so it rides as an exact BigInt serialized in the state
+    * row — the streaming mirror of the batch op's Decimal(38,0).
+    * Same ordering contract as [[streaks]]; on a bounded in-order
+    * stream the final sums equal the batch aggregate exactly. */
+  def cadence(events: Dataset[Event]): Dataset[CadenceUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CadenceState, CadenceUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[CadenceState]) =>
+          val times = batch.map(e => e.ts.getTime * 1000L).toSeq.sorted
+          var s = state.getOption
+            .getOrElse(CadenceState(Long.MinValue, 0L, 0L, "0"))
+          times.foreach { t =>
+            if (s.lastUs == Long.MinValue) s = s.copy(lastUs = t)
+            else if (t >= s.lastUs) {
+              val g = t - s.lastUs
+              s = CadenceState(t, s.nGaps + 1, s.sumG + g,
+                (BigInt(s.sumG2) + BigInt(g) * BigInt(g)).toString)
+            } // t < lastUs: late-beyond-contract — dropped
+          }
+          state.update(s)
+          CadenceUpdate(uid, s.nGaps, s.sumG, s.sumG2)
+      }
+  }
+
   /** Tumbling 1-hour windowed counts per event type with a 30-min
     * watermark (streaming twin of e1). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -209,4 +209,58 @@ class StreamingSpec extends SparkSpec {
         SessionUpdate(7, ts(130).getTime, 1)))
     } finally q.stop()
   }
+
+  test("streaks: cross-batch state matches the e18 gaps-and-islands " +
+    "semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    def day(d: Long, u: Long, id: Long) =
+      Event(id, new Timestamp(d * 86400000L + 3600000L), u, "view", 0.0)
+    // user 1: days 10,11,12 then 15,16 → best 3, 5 active, 2 streaks
+    // user 2: days 10, 13, 20 → best 1, 3 active, 3 streaks
+    // split across micro-batches to exercise state carry-over
+    mem.addData(day(10, 1, 1), day(11, 1, 2), day(10, 2, 3))
+    val q = StreamingOps.streaks(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("streaks").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(day(12, 1, 4), day(13, 2, 5), day(12, 1, 6)) // dup day
+      q.processAllAvailable()
+      mem.addData(day(15, 1, 7), day(16, 1, 8), day(20, 2, 9))
+      q.processAllAvailable()
+      val fin = spark.table("streaks")
+        .as[StreamingOps.StreakUpdate].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(_.n_active_days) }
+      assert(fin(1L) === StreamingOps.StreakUpdate(1, 3, 5, 2))
+      assert(fin(2L) === StreamingOps.StreakUpdate(2, 1, 3, 3))
+    } finally q.stop()
+  }
+
+  test("cadence: exact cross-batch gap sums match a replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val times = Seq(0L, 7L, 19L, 40L, 100L) // minutes, user 9
+    mem.addData(Event(1, ts(times(0)), 9, "view", 0.0),
+      Event(2, ts(times(1)), 9, "view", 0.0))
+    val q = StreamingOps.cadence(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cad").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(times(2)), 9, "view", 0.0),
+        Event(4, ts(times(3)), 9, "view", 0.0),
+        Event(5, ts(times(4)), 9, "view", 0.0))
+      q.processAllAvailable()
+      val fin = spark.table("cad").as[StreamingOps.CadenceUpdate]
+        .collect().maxBy(_.n_gaps)
+      val us = times.map(m => ts(m).getTime * 1000L)
+      val gaps = us.sliding(2).map(w => w(1) - w(0)).toSeq
+      assert(fin.n_gaps === gaps.size.toLong)
+      assert(fin.sum_gap_us === gaps.sum)
+      assert(BigInt(fin.sum_gap2) ===
+        gaps.map(g => BigInt(g) * BigInt(g)).sum)
+    } finally q.stop()
+  }
 }
