@@ -294,6 +294,39 @@ r AS (SELECT query_id, gid, d2,
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM r WHERE rnk <= 3""",
 
+    // IVF recall@3: v7's probe chain vs the exact top-3 ranking.
+    "v39_ivf_recall" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+asn AS (SELECT gid, cid, rn FROM (
+          SELECT gid, cid, row_number() OVER (PARTITION BY gid ORDER BY ${l2sq("gvec", "cvec")}, cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+      FROM embeddings WHERE vec_id % 100 = 0),
+probe AS (SELECT query_id, cid FROM (
+            SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY ${l2sq("qvec", "cvec")}, cid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 2),
+cand AS (SELECT p.query_id, a.gid, ${l2sq("gvec", "qvec")} AS d2
+         FROM probe p JOIN asn a ON p.cid = a.cid
+         JOIN g ON g.gid = a.gid JOIN q ON q.query_id = p.query_id),
+r AS (SELECT query_id, gid,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM cand),
+ha AS (SELECT query_id, gid FROM r WHERE rnk <= 3),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.gvec", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 3)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_3
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+
     "v8_knn_join_meta" -> s"""
 WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
            FROM embeddings WHERE vec_id % 100 = 0),
@@ -943,6 +976,27 @@ ${reachCtes("f", "p")}
 SELECT id AS doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
 FROM res""",
+
+    // Dedup-yield report: d7's full chain + two rollups.
+    "d18_cluster_sizes" -> s"""
+WITH RECURSIVE $simhashFpCtes,
+rp0 AS (SELECT simhash, CAST(min(doc_id) AS BIGINT) AS rep
+        FROM f GROUP BY simhash),
+star AS (SELECT r.rep AS a_id, f.doc_id AS b_id
+         FROM f JOIN rp0 r USING (simhash) WHERE f.doc_id <> r.rep),
+rf AS (SELECT rep AS doc_id, simhash FROM rp0),
+${simhashBandCtes("rf", graft.operators.Dedup.SimhashMaxBucket)},
+rpair AS (SELECT sc.a_id, sc.b_id
+          FROM sc JOIN rf fa ON fa.doc_id = sc.a_id
+          JOIN rf fb ON fb.doc_id = sc.b_id
+          WHERE ${hammingSql("fa.simhash", "fb.simhash")} <= 3),
+p AS (SELECT a_id, b_id FROM star
+      UNION ALL SELECT a_id, b_id FROM rpair),
+${reachCtes("f", "p")},
+cs AS (SELECT cluster_id, count(*) AS n_members FROM res GROUP BY 1)
+SELECT n_members, count(*) AS n_clusters,
+       CAST(n_members * count(*) AS BIGINT) AS n_docs
+FROM cs GROUP BY 1""",
 
     // Cross-source 5-gram overlap vs the 'src0' benchmark set; distinct
     // shingles per doc make the join count the exact intersection size.

@@ -803,6 +803,29 @@ object Queries {
         ((col("nlist") * col("sum_sq")) /
           (col("n_total") * col("n_total"))).as("imbalance"))
 
+  /** IVF-path retrieval quality — recall@3 of v7's nprobe=2 probe
+    * search vs the exact top-3 scan: one point on the nprobe/recall
+    * tuning curve (v36's recipe pointed at the partition-pruned
+    * index). The recall an operator loses to probe pruning is the
+    * engine's core speed/quality dial at 100 TB; both inputs are
+    * gated O(Q·k) results → broadcast join, tiny aggregate. */
+  def v39IvfRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val exact = KnnJoin.knnL2(e, queryVecs(e),
+        "vec_id", "embedding", "vec_id", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = v7IvfSearch(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_3"))
+  }
+
   /** Maximum-inner-product search (MIPS) — the faiss IndexFlatIP
     * metric, the retrieval mode recommendation/embedding-score systems
     * use where L2 is wrong (un-normalized vectors). Same harness as
@@ -1002,6 +1025,22 @@ object Queries {
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
       .select(col("id").as("doc_id"), col("cluster_id"), col("n_members"))
   }
+
+  /** Cluster-size distribution over d7's near-dup components — the
+    * dedup-YIELD report a pipeline publishes before committing a
+    * representative-selection policy (how much mass sits in large
+    * boilerplate families vs pairs). Reuses the gated clustering
+    * chain, then two O(clusters) map-side-combined rollups; output is
+    * O(distinct sizes) rows. */
+  def d18ClusterSizes(s: SparkSession, d: String): DataFrame =
+    Clustering.connectedComponents(
+        Dedup.simhashDupEdges(docs(s, d), "doc_id", "text"), "a_id", "b_id",
+        docs(s, d).select(col("doc_id")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .groupBy("n_members")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("n_members") * col("n_clusters"))
 
   /** Incremental (seen-index) dedup — the ingest-time shape: a new
     * batch of documents anti-joined against the accumulated content-hash

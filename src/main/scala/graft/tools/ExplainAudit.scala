@@ -41,7 +41,9 @@ object ExplainAudit {
     // v36 composes v1's and v11's gated KNN crossjoin chains; q27's
     // and e19's BNLJs are broadcast 1-row scalar crossjoins (q20/q21
     // pattern: corpus total / p99 threshold riding back).
-    "v36_pq_recall", "q27_part_value_share", "e19_power_users")
+    "v36_pq_recall", "q27_part_value_share", "e19_power_users",
+    // v39 composes v1's exact and v7's probe chains (both allowlisted).
+    "v39_ivf_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

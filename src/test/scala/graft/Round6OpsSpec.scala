@@ -166,6 +166,26 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("v39: IVF recall bounded, one row per query") {
+    val rows = Queries.v39IvfRecall(spark, sf).collect()
+    val nQueries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 100 === 0).count()
+    assert(rows.length == nQueries)
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0 && hit <= 3)
+      assert(r.getAs[Double]("recall_at_3") === hit / 3.0)
+    }
+  }
+
+  test("d18: cluster sizes partition the corpus") {
+    val rows = Queries.d18ClusterSizes(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") ==
+      r.getAs[Long]("n_members") * r.getAs[Long]("n_clusters")))
+  }
+
   test("q30: nation-pair revenue reconciles with the filtered total") {
     val rows = Queries.q30NationFlow(spark, sf).collect()
     assert(rows.nonEmpty)
