@@ -69,6 +69,50 @@ object LshIndex {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** MULTI-PROBE approximate KNN (Lv et al., VLDB'07): each query
+    * probes its own bucket PLUS every bucket at Hamming distance 1
+    * (one sign bit flipped) — the standard recall lever that buys
+    * near-neighbor coverage without more hash tables or a bigger
+    * broadcast. A true near neighbor that disagrees on exactly one
+    * hyperplane sign (the dominant miss mode as nPlanes grows) is
+    * recovered at the cost of probing nPlanes extra buckets.
+    *
+    * Only the QUERY side fans out (×(nPlanes+1) rows in the broadcast
+    * frame — still tiny); the gallery keeps one bucket per row and
+    * streams through the same bucket-key hash join, so the 100 TB
+    * side's plan is IDENTICAL to [[search]]. Probed buckets are
+    * distinct, so a (query, gallery) pair scores at most once and no
+    * dedup pass is needed before the top-k. */
+  def searchMultiProbe(gallery: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, qidCol: String,
+                       dim: Int, k: Int, nPlanes: Int = 12,
+                       seed: Long = 42L,
+                       scale: Int = DefaultScale): DataFrame = {
+    val qplanes = quantizePlanes(hyperplanes(dim, nPlanes, seed))
+    val g = gallery
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantize(col(vecCol), scale).as("gv"))
+      .withColumn("bucket", bucketKeyQ(col("gv"), qplanes))
+    val flips = (0 until nPlanes).map { i =>
+      concat(substring(col("bucket0"), 1, i),
+        when(substring(col("bucket0"), i + 1, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        substring(col("bucket0"), i + 2, nPlanes - i - 1))
+    }
+    val q = queries
+      .select(col(qidCol).cast("long").as("query_id"),
+        quantize(col(vecCol), scale).as("qv"))
+      .withColumn("bucket0", bucketKeyQ(col("qv"), qplanes))
+      .withColumn("bucket", explode(array(col("bucket0") +: flips: _*)))
+    val scored = g.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "d2", k,
+        ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
+  }
+
   /** Approximate KNN: candidates restricted to the query's bucket, then
     * exact ranking within it. Queries are broadcast; the gallery-side
     * bucket join prunes the scan to colliding rows only. */

@@ -355,6 +355,27 @@ r AS (SELECT query_id, gid, d2,
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5""",
 
+    // Multi-probe LSH: the query probes its bucket + every Hamming-1
+    // flip; gallery side identical to v10's chain.
+    "v40_multiprobe_lsh" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+q0 AS (SELECT gid AS query_id, v AS qvec, bucket AS b0 FROM b WHERE gid % 100 = 0),
+qp AS (SELECT query_id, qvec,
+              unnest(list_prepend(b0, list_transform(range(6), i ->
+                substr(b0, 1, CAST(i AS INT))
+                  || (CASE WHEN substr(b0, CAST(i AS INT) + 1, 1) = '1'
+                           THEN '0' ELSE '1' END)
+                  || substr(b0, CAST(i AS INT) + 2)))) AS bucket
+       FROM q0),
+cand AS (SELECT qp.query_id, b.gid, ${l2sq("b.v", "qp.qvec")} AS d2
+         FROM b JOIN qp ON b.bucket = qp.bucket),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM cand)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
+FROM r WHERE rnk <= 5""",
+
     "v11_pq_adc" -> s"""
 WITH ${pqAdcCtes()}
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist

@@ -116,6 +116,18 @@ object Queries {
       dim = 64, k = 5, nPlanes = 6)
   }
 
+  /** Multi-probe LSH search (Lv et al., VLDB'07) — v10's bucket search
+    * probing the Hamming-1 shell too: the standard recall lever at
+    * fixed table count. Gallery-side plan identical to v10 (one
+    * bucket key, one hash join); only the tiny broadcast query frame
+    * fans out ×(nPlanes+1). Candidate supersets v10's, so recall can
+    * only improve — the spec asserts exactly that. */
+  def v40MultiprobeLsh(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    LshIndex.searchMultiProbe(e, queryVecs(e), "vec_id", "embedding",
+      "vec_id", dim = 64, k = 5, nPlanes = 6)
+  }
+
   /** PQ asymmetric-distance search under the hard gate. Codebooks are
     * SEEDED (sub-slices of the first `ksub` gallery vectors — the same
     * derive-from-data trick as v6's seed centroids) rather than Lloyd-

@@ -178,6 +178,24 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("v40: multi-probe candidates superset the single-bucket path — " +
+    "per-query recall vs exact never drops") {
+    def hitSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hitSet(Queries.v1KnnL2(spark, sf))
+    val single = hitSet(Queries.v10LshSearch(spark, sf))
+    val multi = hitSet(Queries.v40MultiprobeLsh(spark, sf))
+    val queries = exact.map(_._1)
+    queries.foreach { q =>
+      val e = exact.filter(_._1 == q)
+      val s1 = (single.filter(_._1 == q) & e).size
+      val sm = (multi.filter(_._1 == q) & e).size
+      assert(sm >= s1, s"query $q: multi-probe recall $sm < single $s1")
+    }
+    assert(multi.nonEmpty)
+  }
+
   test("d18: cluster sizes partition the corpus") {
     val rows = Queries.d18ClusterSizes(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
