@@ -200,6 +200,20 @@ r AS (SELECT query_id, gid, adc,
              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
       FROM adc)"""
 
+  /** CTE chain producing m6's pair-manifest inputs (`qd` quality-scored
+    * captions, `v` vector norms) — shared by m6 and m7 so the manifest
+    * and its split can never drift. */
+  private val pairManifestCtes: String = s"""caps AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(strlen(text) AS BIGINT) AS n_bytes,
+                     string_split(text, ' ') AS toks FROM documents),
+qd AS (SELECT doc_id, n_bytes, CAST(len(toks) AS BIGINT) AS n_tok,
+              (len(list_filter(toks, t -> t IN $stopList)) / len(toks)) * 0.4
+                + least(len(toks) / 100.0, 1.0) * 0.6 AS quality
+       FROM caps),
+ev AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, ${qv("embedding")} AS qvec
+       FROM embeddings),
+v AS (SELECT vec_id, ${idot("qvec", "qvec")} AS normsq FROM ev)"""
+
   /** Cents-exact money sum: CAST(round(expr*scale)) summed as BIGINT. */
   private def moneySum(e: String, scale: Int): String =
     s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT)"
@@ -1809,20 +1823,30 @@ FROM kept JOIN thr USING (source) GROUP BY 1, 2, 3""",
     // Image-text pairing: t2's quality formula + m1's byte length +
     // the exact integer norm, inner-joined by id.
     "m6_pair_manifest" -> s"""
-WITH caps AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                     CAST(strlen(text) AS BIGINT) AS n_bytes,
-                     string_split(text, ' ') AS toks FROM documents),
-qd AS (SELECT doc_id, n_bytes, CAST(len(toks) AS BIGINT) AS n_tok,
-              (len(list_filter(toks, t -> t IN $stopList)) / len(toks)) * 0.4
-                + least(len(toks) / 100.0, 1.0) * 0.6 AS quality
-       FROM caps),
-ev AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, ${qv("embedding")} AS qvec
-       FROM embeddings),
-v AS (SELECT vec_id, ${idot("qvec", "qvec")} AS normsq FROM ev)
+WITH $pairManifestCtes
 SELECT qd.doc_id AS pair_id, qd.n_bytes, qd.n_tok, qd.quality,
        sqrt(v.normsq) / $vscale.0 AS norm
 FROM qd JOIN v ON v.vec_id = qd.doc_id
 WHERE qd.quality >= 0.4 AND qd.n_tok >= 10""",
+
+    // Dataset-publishing split: m6's manifest stratified by modality,
+    // v9's portable mod-first hash deciding train/val.
+    "m7_stratified_split" -> s"""
+WITH $pairManifestCtes,
+pairs AS (SELECT qd.doc_id AS pair_id, qd.n_bytes, qd.n_tok
+          FROM qd JOIN v ON v.vec_id = qd.doc_id
+          WHERE qd.quality >= 0.4 AND qd.n_tok >= 10),
+lab AS (SELECT pair_id, n_bytes, n_tok,
+               CASE pair_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               CASE WHEN ((pair_id % 2147483647) * 2654435761)
+                         % 2147483647 % 5 = 0
+                    THEN 'val' ELSE 'train' END AS split
+        FROM pairs)
+SELECT modality, split, count(*) AS n_pairs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM lab GROUP BY 1, 2""",
 
     "m1_binary_meta" -> """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,

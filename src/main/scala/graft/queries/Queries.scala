@@ -1842,6 +1842,25 @@ object Queries {
         distFromIntSq(col("normsq").cast("double")).as("norm"))
   }
 
+  /** Dataset-publishing split — m6's pair manifest stratified by
+    * modality and split train/val by the portable mod-first hash (v9's
+    * split applied to the multimodal surface): the row a dataset card
+    * reports per (modality, split). Map-only labeling over the
+    * manifest, then ONE map-side-combined rollup over O(modalities·2)
+    * keys. */
+  def m7StratifiedSplit(s: SparkSession, d: String): DataFrame =
+    m6PairManifest(s, d)
+      .withColumn("modality",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("pair_id"), lit(3)) + 1).cast("int")))
+      .withColumn("split",
+        when(Sampling.portableHash(col("pair_id")) % 5 === 0, "val")
+          .otherwise("train"))
+      .groupBy("modality", "split")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("n_bytes").cast("long").as("total_bytes"),
+        sum("n_tok").cast("long").as("total_tokens"))
+
   // ---------- relational analytics ----------
 
   /** Cents-exact money aggregate: round(expr * scale) summed as Long. */

@@ -204,6 +204,16 @@ class Round6OpsSpec extends SparkSpec {
       r.getAs[Long]("n_members") * r.getAs[Long]("n_clusters")))
   }
 
+  test("m7: split rows partition the m6 manifest") {
+    val rows = Queries.m7StratifiedSplit(spark, sf).collect()
+    val manifest = Queries.m6PairManifest(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == manifest)
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val")))
+    assert(rows.map(_.getAs[String]("modality")).toSet.subsetOf(
+      Set("image", "audio", "video")))
+  }
+
   test("q30: nation-pair revenue reconciles with the filtered total") {
     val rows = Queries.q30NationFlow(spark, sf).collect()
     assert(rows.nonEmpty)
