@@ -1033,6 +1033,126 @@ SELECT n_members, count(*) AS n_clusters,
        CAST(n_members * count(*) AS BIGINT) AS n_docs
 FROM cs GROUP BY 1""",
 
+    // Representative selection over d7's component chain: keep the
+    // longest doc per cluster (ties to min doc_id) via rank-1 rows.
+    "d19_rep_pick" -> s"""
+WITH RECURSIVE $simhashFpCtes,
+rp0 AS (SELECT simhash, CAST(min(doc_id) AS BIGINT) AS rep
+        FROM f GROUP BY simhash),
+star AS (SELECT r.rep AS a_id, f.doc_id AS b_id
+         FROM f JOIN rp0 r USING (simhash) WHERE f.doc_id <> r.rep),
+rf AS (SELECT rep AS doc_id, simhash FROM rp0),
+${simhashBandCtes("rf", graft.operators.Dedup.SimhashMaxBucket)},
+rpair AS (SELECT sc.a_id, sc.b_id
+          FROM sc JOIN rf fa ON fa.doc_id = sc.a_id
+          JOIN rf fb ON fb.doc_id = sc.b_id
+          WHERE ${hammingSql("fa.simhash", "fb.simhash")} <= 3),
+p AS (SELECT a_id, b_id FROM star
+      UNION ALL SELECT a_id, b_id FROM rpair),
+${reachCtes("f", "p")},
+jm AS (SELECT res.id, res.cluster_id, CAST(d0.n_chars AS BIGINT) AS n_chars
+       FROM res JOIN documents d0 ON d0.doc_id = res.id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         ORDER BY n_chars DESC, id) AS rk FROM jm)
+SELECT cluster_id, count(*) AS n_members,
+       CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS keep_id,
+       CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+         AS keep_n_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM rk GROUP BY 1""",
+
+    // Farthest-point sampling: four chained argmax CTEs (maximin
+    // integer distance, ties to min vec_id) — the Spark side's driver
+    // loop unrolled into SQL.
+    "v41_maximin_seeds" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, ${qv("embedding")} AS v
+           FROM embeddings),
+s1 AS (SELECT vec_id, v FROM g ORDER BY vec_id LIMIT 1),
+c2 AS (SELECT g.vec_id, g.v, ${l2sq("g.v", "s1.v")} AS md FROM g, s1),
+s2 AS (SELECT vec_id, v, md FROM c2 ORDER BY md DESC, vec_id LIMIT 1),
+c3 AS (SELECT g.vec_id, g.v,
+              least(${l2sq("g.v", "s1.v")}, ${l2sq("g.v", "s2.v")}) AS md
+       FROM g, s1, s2),
+s3 AS (SELECT vec_id, v, md FROM c3 ORDER BY md DESC, vec_id LIMIT 1),
+c4 AS (SELECT g.vec_id, g.v,
+              least(${l2sq("g.v", "s1.v")}, ${l2sq("g.v", "s2.v")},
+                    ${l2sq("g.v", "s3.v")}) AS md
+       FROM g, s1, s2, s3),
+s4 AS (SELECT vec_id, v, md FROM c4 ORDER BY md DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS seed_rank, vec_id, CAST(0 AS BIGINT) AS d2
+FROM s1
+UNION ALL SELECT 2, vec_id, CAST(md AS BIGINT) FROM s2
+UNION ALL SELECT 3, vec_id, CAST(md AS BIGINT) FROM s3
+UNION ALL SELECT 4, vec_id, CAST(md AS BIGINT) FROM s4""",
+
+    // Rocchio expansion: v1's exact top-5 per query summed (integers)
+    // with the query itself, re-ranked by the scale-free form
+    // ||6g - e||^2 — identical ordering to distance-to-mean, no
+    // division anywhere.
+    "v42_query_expansion" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec
+      FROM embeddings),
+d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM d),
+nb AS (SELECT r.query_id, g.gvec AS v FROM r JOIN g ON g.gid = r.gid
+       WHERE r.rnk <= 5
+       UNION ALL SELECT query_id, qvec FROM q),
+ex AS (SELECT query_id, j AS dim,
+              CAST(sum(v[CAST(j AS INT) + 1]) AS BIGINT) AS exv
+       FROM nb, (SELECT unnest(range(64)) AS j) GROUP BY 1, 2),
+ev AS (SELECT query_id, list(exv ORDER BY dim) AS evec FROM ex GROUP BY 1),
+d2 AS (SELECT e2.query_id, g.gid,
+              CAST(list_sum(list_transform(range(64),
+                i -> (6 * g.gvec[i + 1] - e2.evec[i + 1])
+                   * (6 * g.gvec[i + 1] - e2.evec[i + 1]))) AS BIGINT) AS d2s
+       FROM g CROSS JOIN ev e2),
+rr AS (SELECT query_id, gid, d2s,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2s, gid)
+                AS rnk
+       FROM d2)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, gid AS neighbor_id, d2s
+FROM rr WHERE rnk <= 5""",
+
+    // Good-Turing count-of-counts spectrum; r+1 alignment via a
+    // self-join of the tiny spectrum, one IEEE division at the end.
+    "t19_good_turing" -> """
+WITH tk AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, count(*) AS r0 FROM tk GROUP BY 1),
+spec AS (SELECT r0 AS r, count(*) AS n_r FROM tf GROUP BY 1),
+nx AS (SELECT r - 1 AS r, n_r AS n_r1 FROM spec)
+SELECT CAST(spec.r AS BIGINT) AS r, CAST(spec.n_r AS BIGINT) AS n_r,
+       CAST(coalesce((spec.r + 1) * nx.n_r1, 0) AS BIGINT) AS gt_num,
+       CAST(coalesce((spec.r + 1) * nx.n_r1, 0) AS BIGINT)
+         / CAST(spec.n_r AS BIGINT) AS gt_star
+FROM spec LEFT JOIN nx ON nx.r = spec.r""",
+
+    // e2's sessions carried to per-session rows (running-sum ids over
+    // the same per-user order), rolled into a duration histogram.
+    "e20_session_stats" -> """
+WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM x),
+f AS (SELECT user_id, us,
+             sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM l),
+sess AS (SELECT user_id, sess_id, count(*) AS n_ev,
+                max(us) - min(us) AS dur_us
+         FROM f GROUP BY 1, 2)
+SELECT CAST(dur_us // 60000000 AS BIGINT) AS dur_min,
+       count(*) AS n_sessions,
+       CAST(sum(n_ev) AS BIGINT) AS sum_events,
+       CAST(max(n_ev) AS BIGINT) AS max_len,
+       CAST(sum(n_ev) AS BIGINT) / count(*) AS avg_len
+FROM sess GROUP BY 1""",
+
     // Cross-source 5-gram overlap vs the 'src0' benchmark set; distinct
     // shingles per doc make the join count the exact intersection size.
     "d8_contamination" -> s"""

@@ -128,6 +128,71 @@ object Queries {
       "vec_id", dim = 64, k = 5, nPlanes = 6)
   }
 
+  /** Farthest-point (maximin) sampling, k=4 seeds — the k-center
+    * coreset / k-means++-style initializer a training pipeline uses to
+    * pick maximally-diverse exemplars. Inherently k sequential rounds;
+    * each round is a MAP-ONLY pass over the gallery (chosen seeds ride
+    * along as literal arrays — never a join) feeding a top-1
+    * TakeOrdered reduce, so per-round cost is O(N·k·dim) perfectly
+    * parallel work plus a one-row collect. All distances are exact
+    * integer squared-L2 on the quantized vectors; argmax ties break on
+    * min vec_id, so the chosen set is bit-deterministic. */
+  def v41MaximinSeeds(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("vec_id").cast("long").as("vec_id"),
+      quantize(col("embedding")).as("qv"))
+    val first = e.orderBy(col("vec_id")).limit(1).collect()(0)
+    var seeds = Vector((first.getLong(0), first.getSeq[Long](1), 0L))
+    while (seeds.size < 4) {
+      val minD = seeds.map { case (_, sv, _) =>
+        intL2Sq(col("qv"), typedLit(sv)) }.reduce(least(_, _))
+      val nxt = e.select(col("vec_id"), col("qv"), minD.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+      seeds = seeds :+ ((nxt.getLong(0), nxt.getSeq[Long](1),
+        nxt.getLong(2)))
+    }
+    import s.implicits._
+    seeds.zipWithIndex
+      .map { case ((id, _, d2), i) => (i + 1L, id, d2) }
+      .toDF("seed_rank", "vec_id", "d2")
+  }
+
+  /** Rocchio pseudo-relevance feedback (query expansion): each query is
+    * replaced by itself plus its v1 top-5 neighbors and re-searched.
+    * The expanded vector is the exact INTEGER SUM e = q + Σnᵢ (six
+    * quantized vectors — no division anywhere), and the re-search
+    * ranks by ‖6g − e‖², which orders identically to distance-to-mean
+    * ‖g − e/6‖² but stays in exact Long arithmetic. Expansion frame is
+    * Q·6 rows (broadcast-sized by the batch-KNN contract); the gallery
+    * streams once through the codegen'd kernel into the partial top-k
+    * aggregate — same O(Q·k·partitions) shuffle as v1. */
+  def v42QueryExpansion(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("vec_id").cast("long").as("vec_id"),
+      quantize(col("embedding")).as("qv"))
+    val hits = v1KnnL2(s, d).select("query_id", "neighbor_id")
+    val nb = e.join(broadcast(hits), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("qv").as("v"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("v"))
+    val exp = nb.unionByName(q)
+      .select(col("query_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("query_id", "dim").agg(sum("x").as("ex"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("ex"))))
+        .as("pairs"))
+      .select(col("query_id"),
+        transform(col("pairs"), p => p.getField("ex")).as("evec"))
+    val scored = e.join(broadcast(exp))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("qv"), col("evec"),
+            (g, x) => (g * lit(6L) - x) * (g * lit(6L) - x)),
+          lit(0L), (a, b) => a + b).as("d2s"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "d2s", k = 5,
+        ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("d2s").cast("long").as("d2s"))
+  }
+
   /** PQ asymmetric-distance search under the hard gate. Codebooks are
     * SEEDED (sub-slices of the first `ksub` gallery vectors — the same
     * derive-from-data trick as v6's seed centroids) rather than Lloyd-
@@ -1054,6 +1119,30 @@ object Queries {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("n_members") * col("n_clusters"))
 
+  /** Canonical-representative selection — the "which copy do we keep"
+    * step a dedup pipeline runs after clustering: per near-dup cluster,
+    * keep the longest document (n_chars, ties to min doc_id). Reuses
+    * d7's gated component chain; the pick is ONE aggregation using
+    * lexicographic struct-max (n_chars, −id) — no per-cluster window,
+    * no shuffle beyond the cluster groupBy, and cluster sizes are
+    * bounded by the simhash band guard so no group is degenerate. */
+  def d19RepPick(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val labels = Clustering.connectedComponents(
+      Dedup.simhashDupEdges(dd, "doc_id", "text"), "a_id", "b_id",
+      dd.select(col("doc_id")), "doc_id")
+    val meta = dd.select(col("doc_id").cast("long").as("id"),
+      col("n_chars").cast("long").as("n_chars"))
+    labels.join(meta, "id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("id")).as("nid"))).as("m"),
+        sum("n_chars").as("total_chars"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("m.nid")).as("keep_id"),
+        col("m.n_chars").as("keep_n_chars"), col("total_chars"))
+  }
+
   /** Incremental (seen-index) dedup — the ingest-time shape: a new
     * batch of documents anti-joined against the accumulated content-hash
     * index, so only never-seen content survives. The batch here is the
@@ -1663,6 +1752,26 @@ object Queries {
       .agg(sum("df").cast("long").as("n_incidences"))
       .join(top, "source")
       .withColumn("coverage", col("top_mass") / col("n_incidences"))
+  }
+
+  /** Good-Turing frequency spectrum — the count-of-counts table
+    * (r → N_r) plus the adjusted-count numerator (r+1)·N_{r+1} that LM
+    * smoothing (Katz/GT) reads off it. Two map-side-combined groupBys
+    * collapse the corpus to O(distinct frequencies) rows; the r+1
+    * alignment is a self-join of that tiny frame (AQE broadcasts it) —
+    * never a global-sort window. gt_star is one IEEE division of two
+    * exact Longs, bit-identical across engines. */
+  def t19GoodTuring(s: SparkSession, d: String): DataFrame = {
+    val spec = docs(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r0"))
+      .groupBy(col("r0").as("r")).agg(count(lit(1)).as("n_r"))
+    val next = spec.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    spec.join(next, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        coalesce((col("r") + 1) * col("n_r1"), lit(0L)).as("gt_num"),
+        (coalesce((col("r") + 1) * col("n_r1"), lit(0L)) / col("n_r"))
+          .as("gt_star"))
   }
 
   /** Gopher-style quality rules — the heuristic document filter every
@@ -2861,5 +2970,33 @@ object Queries {
           .otherwise(0L))
       .groupBy(col("user_id").cast("long").as("user_id"))
       .agg(count(lit(1)).as("n_events"), sum("new_sess").as("n_sessions"))
+  }
+
+  /** Session-shape distribution — e2's sessionization carried one step
+    * further to per-session rows (running-sum session ids over the SAME
+    * per-user windows e2 already uses — parallel across users, never a
+    * global sort), then rolled up into a duration histogram: sessions
+    * per whole-minute duration bucket with exact size stats. The
+    * histogram groupBy is map-side combined; output is O(distinct
+    * durations) rows. avg_len is one IEEE division of exact Longs. */
+  def e20SessionStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), floorDiv("ts", 1000L).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_ev"), (max("us") - min("us")).as("dur_us"))
+    sess
+      .groupBy(floorDiv("dur_us", 60000000L).as("dur_min"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_ev").cast("long").as("sum_events"),
+        max("n_ev").cast("long").as("max_len"))
+      .withColumn("avg_len", col("sum_events") / col("n_sessions"))
   }
 }

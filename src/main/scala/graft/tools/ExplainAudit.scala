@@ -43,7 +43,10 @@ object ExplainAudit {
     // pattern: corpus total / p99 threshold riding back).
     "v36_pq_recall", "q27_part_value_share", "e19_power_users",
     // v39 composes v1's exact and v7's probe chains (both allowlisted).
-    "v39_ivf_recall")
+    "v39_ivf_recall",
+    // v42 composes v1's chain and its own broadcast(expanded-queries)
+    // crossjoin — the same batch-KNN scoring shape as v1.
+    "v42_query_expansion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.{Clustering, Dedup}
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-6 continuation batch: farthest-point
+  * seeds (v41), Rocchio query expansion (v42), representative pick
+  * (d19), Good-Turing spectrum (t19), session-shape stats (e20).
+  * Exact value parity is covered by the DuckDB oracle gate; these
+  * assert the semantic properties the oracle can't name.
+  */
+class Round6cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quantized: Map[Long, Array[Long]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long"),
+        graft.functions.VectorFunctions.quantize($"embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+  private def l2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("v41: four distinct seeds; each d2 is the exact maximin " +
+    "distance to the prior seeds; gaps are non-increasing") {
+    val rows = Queries.v41MaximinSeeds(spark, sf)
+      .orderBy("seed_rank").collect()
+    assert(rows.length == 4)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 4)
+    val vecs = quantized
+    assert(ids(0) == vecs.keys.min)
+    // replay the maximin selection in plain Scala
+    (1 until 4).foreach { i =>
+      val chosen = ids.take(i).map(vecs)
+      val best = vecs.toSeq
+        .map { case (id, v) => (chosen.map(l2(v, _)).min, id) }
+        .minBy { case (md, id) => (-md, id) }
+      assert(best._2 == ids(i), s"seed ${i + 1}")
+      assert(best._1 == rows(i).getAs[Long]("d2"), s"d2 of seed ${i + 1}")
+    }
+    // FPS maximin radii never increase as the chosen set grows
+    val d2s = rows.drop(1).map(_.getAs[Long]("d2"))
+    assert(d2s.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("v42: 5 ranked hits per query; replay of query 0's expanded " +
+    "search agrees exactly") {
+    val out = Queries.v42QueryExpansion(spark, sf).collect()
+    val vecs = quantized
+    val nQ = vecs.keys.count(_ % 100 == 0)
+    assert(out.length == nQ * 5)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to 5L))
+      val ds = sorted.map(_.getAs[Long]("d2s"))
+      assert(ds.sliding(2).forall(w => w(0) <= w(1)))
+    }
+    // scala replay for query 0: v1 top-5 + self, summed, re-ranked
+    val q0 = vecs(0L)
+    val top5 = vecs.toSeq
+      .map { case (id, v) => (l2(v, q0), id) }.sorted.take(5).map(_._2)
+    val e = (top5.map(vecs) :+ q0)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val expect = vecs.toSeq
+      .map { case (id, g) =>
+        (g.zip(e).map { case (gj, ej) =>
+          (6 * gj - ej) * (6 * gj - ej) }.sum, id) }
+      .sorted.take(5)
+    val got = out.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rnk"))
+      .map(r => (r.getAs[Long]("d2s"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSeq == expect)
+  }
+
+  test("d19: one row per cluster, members partition the corpus, and " +
+    "the kept doc is the cluster's longest (ties to min id)") {
+    val picks = Queries.d19RepPick(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(picks.map(_.getAs[Long]("n_members")).sum == docs.count())
+    val labels = Clustering.connectedComponents(
+        Dedup.simhashDupEdges(docs, "doc_id", "text"), "a_id", "b_id",
+        docs.select(col("doc_id")), "doc_id")
+      .join(docs.select(col("doc_id").cast("long").as("id"),
+        col("n_chars").cast("long").as("n_chars")), "id")
+      .collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    assert(picks.length == labels.size)
+    picks.foreach { p =>
+      val members = labels(p.getAs[Long]("cluster_id"))
+        .map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("id")))
+      val best = members.minBy { case (n, id) => (-n, id) }
+      assert(p.getAs[Long]("keep_id") == best._2)
+      assert(p.getAs[Long]("keep_n_chars") == best._1)
+      assert(p.getAs[Long]("total_chars") == members.map(_._1).sum)
+    }
+  }
+
+  test("t19: spectrum mass equals the token count and the GT " +
+    "numerators reconcile against N_1") {
+    val rows = Queries.t19GoodTuring(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    assert(rows.map(r => r.getAs[Long]("r") * r.getAs[Long]("n_r")).sum
+      == total)
+    // gt_num(r) = (r+1) * N_{r+1}, reading N from the sparse spectrum
+    val spectrum = rows
+      .map(r => r.getAs[Long]("r") -> r.getAs[Long]("n_r")).toMap
+    rows.foreach { r =>
+      val rv = r.getAs[Long]("r")
+      assert(r.getAs[Long]("gt_num")
+        == (rv + 1) * spectrum.getOrElse(rv + 1, 0L))
+      assert(r.getAs[Double]("gt_star")
+        === r.getAs[Long]("gt_num").toDouble / r.getAs[Long]("n_r"))
+    }
+  }
+
+  test("e20: histogram reconciles with e2's session and event totals") {
+    val hist = Queries.e20SessionStats(spark, sf).collect()
+    val e2 = Queries.e2Sessionize(spark, sf).collect()
+    assert(hist.map(_.getAs[Long]("n_sessions")).sum
+      == e2.map(_.getAs[Long]("n_sessions")).sum)
+    assert(hist.map(_.getAs[Long]("sum_events")).sum
+      == e2.map(_.getAs[Long]("n_events")).sum)
+    hist.foreach { h =>
+      assert(h.getAs[Long]("dur_min") >= 0L)
+      assert(h.getAs[Long]("max_len") <= h.getAs[Long]("sum_events"))
+      assert(h.getAs[Double]("avg_len") === h.getAs[Long]("sum_events")
+        .toDouble / h.getAs[Long]("n_sessions"))
+    }
+  }
+}
