@@ -1117,6 +1117,50 @@ rr AS (SELECT query_id, gid, d2s,
 SELECT query_id, CAST(rnk AS BIGINT) AS rnk, gid AS neighbor_id, d2s
 FROM rr WHERE rnk <= 5""",
 
+    // Two matrix-free power-iteration steps: y = Gᵀ(G·1) in BIGINT,
+    // x2 = Gᵀ(G·y) in HUGEINT (≡ Spark's Decimal(38,0)), emitted as
+    // the deterministic nearest-double.
+    "v43_power_iteration" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, ${qv("embedding")} AS v
+           FROM embeddings),
+sn AS (SELECT vec_id, v, CAST(list_sum(v) AS BIGINT) AS sn FROM g),
+yv AS (SELECT j AS dim,
+              CAST(sum(v[CAST(j AS INT) + 1] * sn) AS BIGINT) AS y1
+       FROM sn, (SELECT unnest(range(64)) AS j) GROUP BY 1),
+tn AS (SELECT s2.vec_id,
+              sum(CAST(s2.v[CAST(y.dim AS INT) + 1] AS HUGEINT) * y.y1)
+                AS tn
+       FROM sn s2, yv y GROUP BY 1),
+x2 AS (SELECT j AS dim,
+              sum(CAST(g.v[CAST(j AS INT) + 1] AS HUGEINT) * t.tn) AS x2
+       FROM g JOIN tn t USING (vec_id),
+            (SELECT unnest(range(64)) AS j) GROUP BY 1)
+SELECT y.dim, y.y1, CAST(x2.x2 AS DOUBLE) AS x2
+FROM yv y JOIN x2 USING (dim)""",
+
+    // First-touch attribution: argmin by (us, event_id) per user via a
+    // rank-1 row, purchase cents pre-aggregated per user, LEFT JOIN so
+    // never-converting first-touch types still report.
+    "e21_attribution" -> """
+WITH x AS (SELECT user_id, event_id, event_type, "value", epoch_us(ts) AS us
+           FROM events),
+fr AS (SELECT user_id, event_type AS first_type FROM
+        (SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) AS rn
+         FROM x) WHERE rn = 1),
+b AS (SELECT user_id,
+             CAST(sum(CAST(round("value" * 10000) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM x WHERE event_type = 'purchase' GROUP BY 1)
+SELECT first_type, count(*) AS n_users,
+       CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_buyers,
+       CAST(coalesce(sum(b.cents), 0) AS BIGINT) / 10000.0 AS attr_value,
+       CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) / count(*) AS conv_rate
+FROM fr LEFT JOIN b USING (user_id) GROUP BY 1""",
+
     // Good-Turing count-of-counts spectrum; r+1 alignment via a
     // self-join of the tiny spectrum, one IEEE division at the end.
     "t19_good_turing" -> """

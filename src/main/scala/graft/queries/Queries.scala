@@ -743,6 +743,35 @@ object Queries {
         (col("sxy").cast("double") / col("n")).as("mean_xy"))
   }
 
+  /** Two exact power-iteration steps toward the corpus's dominant PCA
+    * direction, in the MATRIX-FREE form x_{k+1} = Gᵀ(G·x_k): the d×d
+    * Gram matrix is never materialized (at d=4096 it would be, but G is
+    * N×d with N→10⁹ — each step is two map passes over the gallery plus
+    * one d-row reduce). Step 1 (y = A·1) stays in Long (bound
+    * N·maxq²·d < 2⁶³ at any tested scale); step 2 rides Decimal(38,0)
+    * ≡ HUGEINT (x2 ≤ ~10³⁵ at the data-bound point), emitted as the
+    * deterministic nearest-double. The 64-long y literal is a
+    * centroid-sized driver collect by contract. */
+  def v43PowerIteration(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = emb(s, d).select(quantize(col("embedding")).as("v"))
+    val y = g
+      .select(col("v"), aggregate(col("v"), lit(0L), _ + _).as("sn"))
+      .select(posexplode(col("v")).as(Seq("dim", "x")), col("sn"))
+      .groupBy("dim").agg(sum(col("x") * col("sn")).as("y1"))
+      .orderBy("dim").collect().map(_.getAs[Long]("y1")).toSeq
+    val ylit = typedLit(y)
+    g.select(col("v"),
+        aggregate(zip_with(col("v"), ylit, (gj, yj) => gj.cast(dec) * yj),
+          lit(0).cast(dec), (a, b) => a + b).as("tn"))
+      .select(posexplode(col("v")).as(Seq("dim", "x")), col("tn"))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(col("x").cast(dec) * col("tn")).as("x2d"))
+      .select(col("dim"),
+        element_at(ylit, col("dim").cast("int") + 1).as("y1"),
+        col("x2d").cast("double").as("x2"))
+  }
+
   /** Label-outlier detection — vectors far from their own class
     * centroid (mislabel / noise candidates, the embedding-space data-
     * quality pass every labeled corpus runs before training). The
@@ -2970,6 +2999,33 @@ object Queries {
           .otherwise(0L))
       .groupBy(col("user_id").cast("long").as("user_id"))
       .agg(count(lit(1)).as("n_events"), sum("new_sess").as("n_sessions"))
+  }
+
+  /** First-touch attribution — the product-analytics revenue split: each
+    * user's purchases credit the event type that FIRST brought them in.
+    * First touch per user is ONE aggregation via lexicographic
+    * `min(struct(us, event_id, type))` — never a per-user sort window —
+    * and the purchase rollup pre-aggregates per user BEFORE the join,
+    * so the attribution join moves two O(users) frames hash-joined on
+    * user_id (both sides already combined map-side). Cents-exact money
+    * sums; the two rates are IEEE divisions of exact Longs. */
+  def e21Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), floorDiv("ts", 1000L).as("us"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+        .as("f"))
+      .select(col("user_id"), col("f.event_type").as("first_type"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(moneySum(col("value"), 10000).as("cents"))
+    first.join(buys, Seq("user_id"), "left")
+      .groupBy("first_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("cents").isNotNull, 1L).otherwise(0L)).as("n_buyers"),
+        (coalesce(sum("cents"), lit(0L)) / lit(10000.0)).as("attr_value"))
+      .withColumn("conv_rate", col("n_buyers") / col("n_users"))
   }
 
   /** Session-shape distribution — e2's sessionization carried one step

@@ -117,6 +117,44 @@ class Round6cOpsSpec extends SparkSpec {
     }
   }
 
+  test("v43: both power-iteration steps replay exactly in BigInt") {
+    val rows = Queries.v43PowerIteration(spark, sf)
+      .orderBy("dim").collect()
+    assert(rows.length == 64)
+    val vecs = quantized.values.toSeq
+    val y = (0 until 64).map(i =>
+      vecs.map(v => v(i) * v.sum).sum)
+    assert(rows.map(_.getAs[Long]("y1")).toSeq == y)
+    val x2 = (0 until 64).map { i =>
+      vecs.map { v =>
+        val tn = v.zip(y).map { case (gj, yj) =>
+          BigInt(gj) * BigInt(yj) }.sum
+        BigInt(v(i)) * tn
+      }.sum
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("x2") === x2(i).toDouble, s"dim $i")
+    }
+  }
+
+  test("e21: attribution groups partition the user base and credited " +
+    "revenue never exceeds total purchase revenue") {
+    val rows = Queries.e21Attribution(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_users")).sum
+      == ev.select("user_id").distinct().count())
+    val totalCents = ev.filter(col("event_type") === "purchase")
+      .select(sum(round(col("value") * 10000).cast("long")))
+      .collect()(0).getLong(0)
+    val attributed = rows.map(_.getAs[Double]("attr_value")).sum
+    assert(math.abs(attributed - totalCents / 10000.0) < 1e-6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buyers") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Double]("conv_rate")
+        === r.getAs[Long]("n_buyers").toDouble / r.getAs[Long]("n_users"))
+    }
+  }
+
   test("e20: histogram reconciles with e2's session and event totals") {
     val hist = Queries.e20SessionStats(spark, sf).collect()
     val e2 = Queries.e2Sessionize(spark, sf).collect()
