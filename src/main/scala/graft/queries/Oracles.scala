@@ -1117,6 +1117,26 @@ rr AS (SELECT query_id, gid, d2s,
 SELECT query_id, CAST(rnk AS BIGINT) AS rnk, gid AS neighbor_id, d2s
 FROM rr WHERE rnk <= 5""",
 
+    // PQ reconstruction error over the shared v11 seeded chain: each
+    // vector scored against its OWN codes' centroids, rolled to one row.
+    "v44_pq_error" -> s"""
+WITH ${pqAdcCtes()},
+er AS (SELECT e.gid,
+              CAST(sum(${subL2("g.v", "cb.cv", "e.j", 8)}) AS BIGINT) AS err
+       FROM enc e JOIN cb ON cb.cid = e.code JOIN g ON g.gid = e.gid
+       GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(err) AS BIGINT) AS sum_err,
+       CAST(max(err) AS BIGINT) AS max_err,
+       CAST(sum(err) AS BIGINT) / count(*) AS mean_err
+FROM er""",
+
+    // Asset-layer exact dedup by payload digest (m1's sha256).
+    "m8_asset_dedup" -> """
+SELECT sha256(text) AS sha256, count(*) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+FROM documents GROUP BY 1""",
+
     // Two matrix-free power-iteration steps: y = Gᵀ(G·1) in BIGINT,
     // x2 = Gᵀ(G·y) in HUGEINT (≡ Spark's Decimal(38,0)), emitted as
     // the deterministic nearest-double.

@@ -224,6 +224,37 @@ object Queries {
     (codes, g.filter(col("id") % 100 === 0), book)
   }
 
+  /** PQ reconstruction-error report — the quantization-quality metric a
+    * deployment reads before committing an m/ksub config (how much L2
+    * mass the codes destroy). Per-vector error is join-free after one
+    * id-keyed SMJ of codes back to vectors: per subspace, the selected
+    * centroid comes from a ksub-sized positional literal (codebooks are
+    * centroid-sized by contract) and the slice-vs-centroid square sum
+    * runs in integer-valued doubles (< 2⁵³, exact); the corpus rollup
+    * sums exact Longs. Output is ONE row. */
+  def v44PqError(s: SparkSession, d: String): DataFrame = {
+    val (codes, _, book) = seededPqIndex(s, d)
+    val sub = PqDim / PqM
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      transform(quantize(col("embedding")), x => x.cast("double"))
+        .as("qemb"))
+    val cbTables = book.groupBy(_.sub).map { case (j, entries) =>
+      val arr = Array.fill(entries.map(_.cid).max + 1)(Seq.empty[Double])
+      entries.foreach(e => arr(e.cid) = e.centroid)
+      j -> typedLit(arr.toSeq)
+    }
+    val err = (0 until PqM).map { j =>
+      val cent = element_at(cbTables(j), col("codes")(j) + 1)
+      aggregate(zip_with(slice(col("qemb"), j * sub + 1, sub), cent,
+        (x, c) => (x - c) * (x - c)), lit(0.0), (a, b) => a + b)
+    }.reduce(_ + _)
+    codes.join(g, "id")
+      .select(err.cast("long").as("err"))
+      .agg(count(lit(1)).as("n"), sum("err").as("sum_err"),
+        max("err").as("max_err"))
+      .withColumn("mean_err", col("sum_err") / col("n"))
+  }
+
   /** Two-stage retrieval — the canonical production ANN serving shape:
     * a cheap quantized index (v11's seeded PQ-ADC) proposes a top-20
     * shortlist per query, then the TRUE distance re-ranks the shortlist
@@ -1866,6 +1897,17 @@ object Queries {
       .select(col("asset_id"), col("dim").cast("long").as("dim"),
         col("feature"))
   }
+
+  /** Binary-content dedup manifest — d1's exact dedup at the ASSET
+    * layer: group by the payload's sha256 (the checksum every object
+    * store already carries), keep the min asset id. One hash-shuffled
+    * map-side-combined aggregate; at 100 TB the grouping key is the
+    * 32-byte digest, never the payload. */
+  def m8AssetDedup(s: SparkSession, d: String): DataFrame =
+    BinaryPipeline.toAssets(docs(s, d), "doc_id", "text")
+      .groupBy("sha256")
+      .agg(count(lit(1)).as("n_copies"), min("asset_id").as("keep_id"),
+        min("n_bytes").as("n_bytes"))
 
   /** WebDataset-style shard packing — the multimodal EXPORT shape: per
     * source, assets in id order pack greedily into ~8 KiB shards

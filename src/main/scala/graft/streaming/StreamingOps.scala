@@ -190,6 +190,43 @@ object StreamingOps {
       }
   }
 
+  case class TouchState(firstMs: Long, firstId: Long, firstType: String,
+                        cents: Long, nBuys: Long)
+  case class TouchUpdate(user_id: Long, first_type: String, cents: Long,
+                         n_buys: Long)
+
+  /** Continuous first-touch attribution (streaming twin of the gated
+    * e21): per user, O(1) state carries the earliest (ts, event_id)
+    * touch and the running cents-exact purchase total, so the
+    * attribution table is readable at any moment. The first-touch
+    * argmin is order-insensitive (a new row only replaces state on a
+    * strictly smaller (ts, event_id) key), so unlike [[streaks]] this
+    * twin needs NO cross-batch ordering contract — on any bounded
+    * stream the final rows equal the batch op's per-user frame. */
+  def firstTouch(events: Dataset[Event]): Dataset[TouchUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[TouchState, TouchUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[TouchState]) =>
+          var s = state.getOption
+            .getOrElse(TouchState(Long.MaxValue, Long.MaxValue, "", 0L, 0L))
+          batch.foreach { e =>
+            val ms = e.ts.getTime
+            if (ms < s.firstMs ||
+                (ms == s.firstMs && e.event_id < s.firstId))
+              s = s.copy(firstMs = ms, firstId = e.event_id,
+                firstType = e.event_type)
+            if (e.event_type == "purchase")
+              s = s.copy(cents = s.cents + math.round(e.value * 10000),
+                nBuys = s.nBuys + 1)
+          }
+          state.update(s)
+          TouchUpdate(uid, s.firstType, s.cents, s.nBuys)
+      }
+  }
+
   /** Tumbling 1-hour windowed counts per event type with a 30-min
     * watermark (streaming twin of e1). */
   def windowedCounts(events: DataFrame): DataFrame =

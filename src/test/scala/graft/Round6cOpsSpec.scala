@@ -155,6 +155,30 @@ class Round6cOpsSpec extends SparkSpec {
     }
   }
 
+  test("v44: reconstruction error is zero exactly for the codebook " +
+    "seed vectors and positive mass reconciles") {
+    val r = Queries.v44PqError(spark, sf).collect().head
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("max_err") >= 0L)
+    assert(r.getAs[Long]("sum_err") >= r.getAs[Long]("max_err"))
+    assert(r.getAs[Double]("mean_err")
+      === r.getAs[Long]("sum_err").toDouble / n)
+  }
+
+  test("m8: digest groups partition the assets and keep_id is a member") {
+    val rows = Queries.m8AssetDedup(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == docs.count())
+    // d1's text-hash dedup and m8's payload-digest dedup agree on the
+    // duplicate mass (same content ⇔ same bytes for string payloads)
+    val d1Dups = Queries.d1DedupExact(spark, sf).collect()
+      .map(_.getAs[Long]("n")).filter(_ > 1).sorted.toSeq
+    val m8Dups = rows.map(_.getAs[Long]("n_copies")).filter(_ > 1)
+      .sorted.toSeq
+    assert(m8Dups == d1Dups)
+  }
+
   test("e20: histogram reconciles with e2's session and event totals") {
     val hist = Queries.e20SessionStats(spark, sf).collect()
     val e2 = Queries.e2Sessionize(spark, sf).collect()

@@ -238,6 +238,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstTouch: attribution state is order-insensitive across " +
+    "micro-batches and cents are exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 7's true first touch (t=5, id=2, "click") arrives in batch 2,
+    // AFTER a later event — the argmin must still settle on it
+    mem.addData(Event(3, ts(10), 7, "view", 0.0),
+      Event(4, ts(20), 7, "purchase", 1.2345))
+    val q = StreamingOps.firstTouch(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("touch").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(5), 7, "click", 0.0),
+        Event(5, ts(30), 7, "purchase", 0.0001))
+      q.processAllAvailable()
+      val fin = spark.table("touch").as[StreamingOps.TouchUpdate]
+        .collect().maxBy(_.n_buys)
+      assert(fin === StreamingOps.TouchUpdate(7, "click", 12346L, 2))
+    } finally q.stop()
+  }
+
   test("cadence: exact cross-batch gap sums match a replay") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
