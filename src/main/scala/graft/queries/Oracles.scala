@@ -1033,6 +1033,54 @@ SELECT n_members, count(*) AS n_clusters,
        CAST(n_members * count(*) AS BIGINT) AS n_docs
 FROM cs GROUP BY 1""",
 
+    // Threshold-tuning curve over d10's guarded chain: exact integer
+    // Jaccard deciles, cumulative over the <=11 decile rows.
+    "d20_threshold_curve" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+${minhashPairCtes("d")},
+c AS (SELECT (inter * 10) // uni AS bucket, count(*) AS n_pairs
+      FROM v WHERE uni > 0 GROUP BY 1)
+SELECT bucket, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_pairs
+FROM c""",
+
+    // RAKE: stopword-free phrase islands via the pos - row_number key,
+    // word score = degree/frequency.
+    "t20_rake_keywords" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(list_transform(range(len(toks)),
+         i -> {'pos': i, 'term': toks[CAST(i AS INT) + 1]})) AS u
+       FROM d),
+ns AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tk
+       WHERE u.term NOT IN $stopList),
+ph AS (SELECT doc_id, pos, term,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                AS phrase_id
+       FROM ns),
+pl AS (SELECT doc_id, phrase_id, count(*) AS plen FROM ph GROUP BY 1, 2)
+SELECT term, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg,
+       CAST(sum(plen) AS BIGINT) / count(*) AS score
+FROM ph JOIN pl USING (doc_id, phrase_id) GROUP BY 1""",
+
+    // DAU over trailing-7-day WAU; the window replicates each event
+    // onto the 7 window-days it serves (the e13 sliding-distinct form).
+    "e22_stickiness" -> """
+WITH x AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+             AS day,
+                  CAST(user_id AS BIGINT) AS user_id
+           FROM events),
+dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM x GROUP BY 1),
+w AS (SELECT day + off AS day, user_id
+      FROM x, (SELECT unnest(range(7)) AS off)),
+wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM w GROUP BY 1)
+SELECT CAST(dau.day * 86400 AS BIGINT) AS day_epoch, dau.dau, wau.wau,
+       dau.dau / wau.wau AS stickiness
+FROM dau JOIN wau ON wau.day = dau.day""",
+
     // Representative selection over d7's component chain: keep the
     // longest doc per cluster (ties to min doc_id) via rank-1 rows.
     "d19_rep_pick" -> s"""

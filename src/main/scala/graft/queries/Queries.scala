@@ -1179,6 +1179,25 @@ object Queries {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("n_members") * col("n_clusters"))
 
+  /** Dedup threshold-tuning curve — pairs per Jaccard decile with the
+    * cumulative count at-or-above each decile: the yield table a
+    * pipeline reads to pick its near-dup threshold before committing a
+    * d2 run. Rides d10's guarded candidate+verify chain; the decile is
+    * EXACT integer floor((10·inter)/uni) — never a float-boundary
+    * bucket; the cumulative window runs over ≤11 rows (decile-bounded
+    * by construction, never corpus-scale). */
+  def d20ThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    // threshold 0.0 keeps every verified candidate (a null-jaccard
+    // empty-shingle pair drops on both engines: uni = 0 ⇒ no decile)
+    val counts = Dedup.minhashLsh(docs(s, d), "doc_id", "text",
+        threshold = 0.0)
+      .select(expr("(inter * 10) div uni").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.withColumn("cum_pairs", sum("n_pairs").over(w))
+  }
+
   /** Canonical-representative selection — the "which copy do we keep"
     * step a dedup pipeline runs after clustering: per near-dup cluster,
     * keep the longest document (n_chars, ties to min doc_id). Reuses
@@ -1812,6 +1831,28 @@ object Queries {
       .agg(sum("df").cast("long").as("n_incidences"))
       .join(top, "source")
       .withColumn("coverage", col("top_mass") / col("n_incidences"))
+  }
+
+  /** RAKE keyword scores (Rose et al. 2010) — candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * degree/frequency where degree sums the lengths of the phrases it
+    * appears in. Phrase islands come from the pos − row_number
+    * constant-difference key over PER-DOC windows (doc-length bounded,
+    * the e18 gaps-and-islands shape — never a corpus sort); freq and
+    * deg are exact Longs from map-side-combined aggregates; score is
+    * one IEEE division. */
+  def t20RakeKeywords(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val ph = toks.filter(!col("term").isInCollection(stopwords))
+      .withColumn("phrase_id", col("pos") - row_number().over(w))
+    val plen = ph.groupBy("doc_id", "phrase_id")
+      .agg(count(lit(1)).as("plen"))
+    ph.join(plen, Seq("doc_id", "phrase_id"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"), sum("plen").cast("long").as("deg"))
+      .withColumn("score", col("deg") / col("freq"))
   }
 
   /** Good-Turing frequency spectrum — the count-of-counts table
@@ -2889,6 +2930,28 @@ object Queries {
       .groupBy((col("win_day") * 86400).as("window_epoch"))
       .agg(countDistinct(col("user_id")).as("dau"),
         count(lit(1)).as("n_events"))
+
+  /** DAU/WAU stickiness — per day, daily actives over trailing-7-day
+    * actives (the engagement ratio product analytics tracks). Sliding
+    * DISTINCT can't pre-aggregate, so the window replicates each event
+    * onto the 7 window-days it serves (e13's trade: ×7 fixed-width
+    * rows beats a per-day 7-way distinct-set union) and both counts
+    * are two-phase hash countDistincts; the day-keyed join moves two
+    * O(days) frames. stickiness is one IEEE division of exact Longs. */
+  def e22Stickiness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(floorDiv("ts", 86400000000000L).as("day"),
+        col("user_id").cast("long").as("user_id"))
+    val dau = ev.groupBy(col("day"))
+      .agg(countDistinct("user_id").as("dau"))
+    val wau = ev
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("user_id"))
+      .groupBy(col("day")).agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select((col("day") * 86400).as("day_epoch"), col("dau"), col("wau"),
+        (col("dau") / col("wau")).as("stickiness"))
+  }
 
   /** Per-user event cadence — inter-event gap count/mean/variance in
     * exact arithmetic (the metronome signal bot detection keys on: a

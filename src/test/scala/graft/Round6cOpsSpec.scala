@@ -179,6 +179,57 @@ class Round6cOpsSpec extends SparkSpec {
     assert(m8Dups == d1Dups)
   }
 
+  test("d20: deciles bounded, cumulative counts are a running total, " +
+    "and the >=0.5 mass covers d2's pair count") {
+    val rows = Queries.d20ThresholdCurve(spark, sf).collect()
+      .sortBy(-_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= 10L)
+    }
+    val running = rows.map(_.getAs[Long]("n_pairs")).scanLeft(0L)(_ + _)
+    assert(rows.map(_.getAs[Long]("cum_pairs")).toSeq ==
+      running.drop(1).toSeq)
+    // every d2 pair (jaccard >= 0.5) sits in deciles 5..10
+    val d2Count = Queries.d2MinhashPairs(spark, sf).count()
+    val highMass = rows.filter(_.getAs[Long]("bucket") >= 5L)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(highMass >= d2Count)
+  }
+
+  test("t20: RAKE degree >= frequency (every occurrence adds >= 1) " +
+    "and stopwords never score") {
+    val rows = Queries.t20RakeKeywords(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val stops = graft.functions.TextFunctions.stopwords.toSet
+    rows.foreach { r =>
+      assert(!stops.contains(r.getAs[String]("term")))
+      assert(r.getAs[Long]("deg") >= r.getAs[Long]("freq"))
+      assert(r.getAs[Double]("score") === r.getAs[Long]("deg").toDouble
+        / r.getAs[Long]("freq"))
+    }
+    // total degree mass = sum over phrases of plen^2; freq mass = tokens
+    val nonStopTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(!col("t").isInCollection(stops.toSeq)).count()
+    assert(rows.map(_.getAs[Long]("freq")).sum == nonStopTokens)
+  }
+
+  test("e22: stickiness in (0,1], wau >= dau, every active day reports") {
+    val rows = Queries.e22Stickiness(spark, sf).collect()
+    val nDays = graft.sources.Tables.events(spark, sf)
+      .select((col("ts") - pmod(col("ts"), lit(86400000000000L)))
+        .as("d")).distinct().count()
+    assert(rows.length == nDays)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"))
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+      assert(s === r.getAs[Long]("dau").toDouble / r.getAs[Long]("wau"))
+    }
+  }
+
   test("e20: histogram reconciles with e2's session and event totals") {
     val hist = Queries.e20SessionStats(spark, sf).collect()
     val e2 = Queries.e2Sessionize(spark, sf).collect()
