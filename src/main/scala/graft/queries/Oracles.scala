@@ -357,6 +357,50 @@ FROM hits h
 JOIN embeddings em ON em.vec_id = h.neighbor_id
 JOIN embeddings eq ON eq.vec_id = h.query_id""",
 
+    // LSH bucket-occupancy histogram over v10's bucket chain.
+    "v45_lsh_bucket_stats" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, ${lshBucket("v")} AS bucket FROM g),
+occ AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+SELECT n AS bucket_size, count(*) AS n_buckets,
+       CAST(n * count(*) AS BIGINT) AS n_vectors
+FROM occ GROUP BY 1""",
+
+    // nprobe/recall curve: v39's chain at nprobe 1/2/4, shared exact
+    // ranking and assignment CTEs, one aggregate row per point.
+    "v46_probe_curve" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+asn AS (SELECT gid, cid, rn FROM (
+          SELECT gid, cid, row_number() OVER (PARTITION BY gid ORDER BY ${l2sq("gvec", "cvec")}, cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+      FROM embeddings WHERE vec_id % 100 = 0),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.gvec", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 3),
+${Seq(1, 2, 4).map(np => s"""probe$np AS (SELECT query_id, cid FROM (
+            SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY ${l2sq("qvec", "cvec")}, cid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= $np),
+cand$np AS (SELECT p.query_id, a.gid, ${l2sq("gvec", "qvec")} AS d2
+         FROM probe$np p JOIN asn a ON p.cid = a.cid
+         JOIN g ON g.gid = a.gid JOIN q ON q.query_id = p.query_id),
+ha$np AS (SELECT query_id, gid FROM (
+        SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM cand$np) WHERE rnk <= 3)""").mkString(",\n")}
+${Seq(1, 2, 4).map(np => s"""SELECT CAST($np AS BIGINT) AS nprobe,
+       CAST(sum(CASE WHEN ha$np.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN ha$np.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall
+FROM hx LEFT JOIN ha$np ON ha$np.query_id = hx.query_id AND ha$np.gid = hx.gid""")
+  .mkString("\nUNION ALL\n")}""",
+
     "v10_lsh_search" -> s"""
 WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
 b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),

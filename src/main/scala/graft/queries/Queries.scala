@@ -181,12 +181,17 @@ object Queries {
         .as("pairs"))
       .select(col("query_id"),
         transform(col("pairs"), p => p.getField("ex")).as("evec"))
-    val scored = e.join(broadcast(exp))
+    // ||6g - e||^2 expanded to 36||g||^2 - 12 g·e + ||e||^2: identical
+    // exact Longs, but the hot per-(row, query) work is ONE codegen'd
+    // intDot kernel — the zip_with/aggregate HOF form allocates a
+    // 64-element array per pair and was measured 12x slower at the
+    // 100k-gallery data-bound point (86.7 s vs the v1-class floor).
+    val expN = exp.withColumn("ensq", intNormSq(col("evec")))
+    val scored = e.withColumn("gnsq", intNormSq(col("qv")))
+      .join(broadcast(expN))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("qv"), col("evec"),
-            (g, x) => (g * lit(6L) - x) * (g * lit(6L) - x)),
-          lit(0L), (a, b) => a + b).as("d2s"))
+        (lit(36L) * col("gnsq") - lit(12L) * intDot(col("qv"), col("evec"))
+          + col("ensq")).cast("double").as("d2s"))
     TopK.perGroup(scored, "query_id", "neighbor_id", "d2s", k = 5,
         ascending = true)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
@@ -961,6 +966,47 @@ object Queries {
         sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
       .select(col("query_id"), col("n_hit"),
         (col("n_hit") / col("k")).as("recall_at_3"))
+  }
+
+  /** LSH bucket-occupancy histogram — v37's imbalance diagnostic for
+    * the hyperplane index: how many buckets hold how many vectors (the
+    * number that decides between more planes and multi-probe). Two
+    * map-side-combined rollups collapse the corpus to O(2^planes) then
+    * O(distinct sizes) rows. */
+  def v45LshBucketStats(s: SparkSession, d: String): DataFrame =
+    LshIndex.bucketed(emb(s, d), "vec_id", "embedding", dim = 64,
+        nPlanes = 6)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("n_vectors", col("bucket_size") * col("n_buckets"))
+
+  /** The nprobe/recall tuning CURVE (v39 is one point of it): overall
+    * recall@3 of the IVF probe search at nprobe ∈ {1,2,4} — the table
+    * a deployment reads to trade scan fraction against recall. The
+    * assignment index builds ONCE and is reused by all three searches;
+    * each curve point joins two O(Q·k) frames and reduces to one row,
+    * so the whole curve costs three probe searches, not three index
+    * builds. Exact-integer hit counts; ONE IEEE division per row. */
+  def v46ProbeCurve(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = seedCentroids(e)
+    val index = IvfIndex.assign(e, cents, "vec_id", "embedding", "cid")
+    val exact = KnnJoin.knnL2(e, queryVecs(e),
+        "vec_id", "embedding", "vec_id", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    Seq(1, 2, 4).map { np =>
+      val approx = IvfIndex.search(index, cents, queryVecs(e),
+          "vec_id", "embedding", "cid", "vec_id", k = 3, nprobe = np)
+        .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+      exact.join(broadcast(approx),
+          col("query_id") === col("qa") &&
+            col("neighbor_id") === col("na"), "left")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hit"), col("n_total"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall", col("n_hit") / col("n_total"))
   }
 
   /** Maximum-inner-product search (MIPS) — the faiss IndexFlatIP

@@ -46,7 +46,10 @@ object ExplainAudit {
     "v39_ivf_recall",
     // v42 composes v1's chain and its own broadcast(expanded-queries)
     // crossjoin — the same batch-KNN scoring shape as v1.
-    "v42_query_expansion")
+    "v42_query_expansion",
+    // v46 composes v1's exact and v7's probe chains three times (the
+    // v39 class).
+    "v46_probe_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -230,6 +230,35 @@ class Round6cOpsSpec extends SparkSpec {
     }
   }
 
+  test("v45: occupancy histogram partitions the gallery and buckets " +
+    "are bounded by the bit width") {
+    val rows = Queries.v45LshBucketStats(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == n)
+    assert(rows.map(r => r.getAs[Long]("bucket_size")
+      * r.getAs[Long]("n_buckets")).sum == n)
+    // at most 2^6 distinct buckets exist
+    assert(rows.map(_.getAs[Long]("n_buckets")).sum <= 64L)
+  }
+
+  test("v46: recall is monotone non-decreasing in nprobe and v39's " +
+    "point sits on the curve") {
+    val rows = Queries.v46ProbeCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.sliding(2).forall(w => w(0) <= w(1) + 1e-12))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Double]("recall") === r.getAs[Long]("n_hit").toDouble
+        / r.getAs[Long]("n_total"))
+    }
+    // nprobe=2 point equals the aggregate of v39's per-query rows
+    val v39Hits = Queries.v39IvfRecall(spark, sf).collect()
+      .map(_.getAs[Long]("n_hit")).sum
+    assert(rows(1).getAs[Long]("n_hit") == v39Hits)
+  }
+
   test("e20: histogram reconciles with e2's session and event totals") {
     val hist = Queries.e20SessionStats(spark, sf).collect()
     val e2 = Queries.e2Sessionize(spark, sf).collect()
