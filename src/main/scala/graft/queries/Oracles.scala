@@ -1273,6 +1273,53 @@ SELECT first_type, count(*) AS n_users,
          AS BIGINT) / count(*) AS conv_rate
 FROM fr LEFT JOIN b USING (user_id) GROUP BY 1""",
 
+    // Chi-squared keyness: term-vs-rest 2x2 contingency per source,
+    // chi2 in a FIXED left-associated double expression over exact
+    // integer cells (mirrors the Spark expression tree bit-for-bit).
+    "t21_chi2_keywords" -> """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+cells AS (SELECT source, term, count(*) AS a FROM t GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(a) AS BIGINT) AS ts FROM cells GROUP BY 1),
+tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM cells),
+sc AS (SELECT cells.source, cells.term, CAST(cells.a AS BIGINT) AS a,
+              CAST(cells.a * (tot.n - st.ts - (tt.ct - cells.a))
+                   - (tt.ct - cells.a) * (st.ts - cells.a) AS DOUBLE) AS x,
+              tt.ct AS ct, st.ts AS ts, tot.n AS n
+       FROM cells JOIN st USING (source) JOIN tt USING (term), tot),
+ch AS (SELECT source, term, a,
+              (CAST(n AS DOUBLE) * x * x)
+                / (CAST(ct AS DOUBLE) * CAST(n - ct AS DOUBLE)
+                   * CAST(ts AS DOUBLE) * CAST(n - ts AS DOUBLE)) AS chi2
+       FROM sc),
+r AS (SELECT source, term, a, chi2,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY chi2 DESC, term) AS BIGINT) AS rnk
+      FROM ch)
+SELECT source, term, a, chi2, rnk FROM r WHERE rnk <= 5""",
+
+    // TPC-H Q2 shape from lineitem: exact integer micro-scaled unit
+    // cost, per-part argmin via the rank-1 row.
+    "q32_cheapest_supplier" -> """
+WITH ps AS (SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                     * 10000) AS BIGINT)) AS BIGINT) AS cents,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                     AS BIGINT) AS qty_c
+            FROM lineitem GROUP BY 1, 2),
+u AS (SELECT l_partkey, l_suppkey,
+             (cents * 1000000) // qty_c AS unit_c
+      FROM ps),
+rk AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+         ORDER BY unit_c, l_suppkey) AS rk FROM u)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, count(*) AS n_suppliers,
+       CAST(max(CASE WHEN rk = 1 THEN l_suppkey END) AS BIGINT)
+         AS best_suppkey,
+       max(CASE WHEN rk = 1 THEN unit_c END) / 100000000.0
+         AS best_unit_price
+FROM rk GROUP BY 1""",
+
     // Good-Turing count-of-counts spectrum; r+1 alignment via a
     // self-join of the tiny spectrum, one IEEE division at the end.
     "t19_good_turing" -> """

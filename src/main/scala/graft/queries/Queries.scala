@@ -1901,6 +1901,47 @@ object Queries {
       .withColumn("score", col("deg") / col("freq"))
   }
 
+  /** χ²-keyness — the top-5 most source-DISTINCTIVE terms per source
+    * (term-vs-rest 2×2 contingency χ², the corpus-comparison statistic
+    * keyword/domain analysis uses). All contingency cells are exact
+    * Longs from two map-side-combined rollups plus two tiny joined-back
+    * total frames; χ² is computed in a FIXED left-associated double
+    * expression over exactly-representable ints (every cell ≤ N < 2⁵³),
+    * so both engines land on identical bits and the (χ² desc, term)
+    * ranking can never diverge. Top-5 per source via t5's SALTED
+    * two-phase rank — never a one-task vocabulary sort. */
+  def t21Chi2Keywords(s: SparkSession, d: String): DataFrame = {
+    val cells = docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val srcTot = cells.groupBy("source").agg(sum("a").as("ts"))
+    val termTot = cells.groupBy("term").agg(sum("a").as("ct"))
+    val total = cells.agg(sum("a").as("n"))
+    val scored = cells
+      .join(srcTot, "source").join(termTot, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("b", col("ct") - col("a"))
+      .withColumn("c", col("ts") - col("a"))
+      .withColumn("dd", col("n") - col("ts") - col("b"))
+      .withColumn("x",
+        (col("a") * col("dd") - col("b") * col("c")).cast("double"))
+      .withColumn("chi2",
+        col("n").cast("double") * col("x") * col("x")
+          / (col("ct").cast("double") * (col("n") - col("ct")).cast("double")
+            * col("ts").cast("double") * (col("n") - col("ts")).cast("double")))
+    val w1 = Window.partitionBy(col("source"), col("_salt"))
+      .orderBy(col("chi2").desc, col("term"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("chi2").desc, col("term"))
+    scored
+      .withColumn("_salt", pmod(hash(col("term")), lit(8)))
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= 5)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("source", "term", "a", "chi2", "rnk")
+  }
+
   /** Good-Turing frequency spectrum — the count-of-counts table
     * (r → N_r) plus the adjusted-count numerator (r+1)·N_{r+1} that LM
     * smoothing (Katz/GT) reads off it. Two map-side-combined groupBys
@@ -2486,6 +2527,30 @@ object Queries {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
         (col("rev_c") / lit(10000.0)).as("total_revenue"))
+  }
+
+  /** Cheapest supplier per part — the TPC-H Q2 shape without a partsupp
+    * table: supply cost derived from lineitem's observed discounted
+    * unit economics. Per (part, supplier) the cents-exact revenue and
+    * centi-quantity aggregate map-side; the per-part winner is ONE
+    * lexicographic `min(struct(unit_c, suppkey))` aggregation — no
+    * per-part window — where unit_c = (cents·10⁶) div qty_c is an
+    * exact integer micro-scaled unit-cost floor, identical on both
+    * engines (operands non-negative, so div ≡ floor division). */
+  def q32CheapestSupplier(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          10000).as("cents"),
+        sum(round(col("l_quantity") * lit(100)).cast("long")).as("qty_c"))
+      .withColumn("unit_c", expr("(cents * 1000000L) div qty_c"))
+    ps.groupBy(col("l_partkey").cast("long").as("p_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(struct(col("unit_c"), col("l_suppkey").cast("long").as("sk")))
+          .as("m"))
+      .select(col("p_partkey"), col("n_suppliers"),
+        col("m.sk").as("best_suppkey"),
+        (col("m.unit_c") / lit(100000000.0)).as("best_unit_price"))
   }
 
   /** Dormant high-balance customers (TPC-H Q22 shape): customers with

@@ -49,7 +49,9 @@ object ExplainAudit {
     "v42_query_expansion",
     // v46 composes v1's exact and v7's probe chains three times (the
     // v39 class).
-    "v46_probe_curve")
+    "v46_probe_curve",
+    // t21's corpus-total 1-row crossjoin (the q20/t8 scalar pattern).
+    "t21_chi2_keywords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

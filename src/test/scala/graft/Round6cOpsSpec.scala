@@ -259,6 +259,44 @@ class Round6cOpsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_hit") == v39Hits)
   }
 
+  test("t21: five ranked keywords per source, chi2 non-negative and " +
+    "non-increasing with rank") {
+    val rows = Queries.t21Chi2Keywords(spark, sf).collect()
+    val sources = rows.map(_.getAs[String]("source")).distinct
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to 5L))
+      val chis = sorted.map(_.getAs[Double]("chi2"))
+      assert(chis.forall(_ >= 0.0))
+      assert(chis.sliding(2).forall(w => w(0) >= w(1)))
+    }
+    assert(rows.length == sources.length * 5)
+  }
+
+  test("q32: the kept supplier has the exact minimum unit cost among " +
+    "the part's suppliers") {
+    val rows = Queries.q32CheapestSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPair = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("cents"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty"))
+      .collect()
+      .groupBy(_.getAs[Long]("pk"))
+    rows.foreach { r =>
+      val members = byPair(r.getAs[Long]("p_partkey")).map { m =>
+        (Math.floorDiv(m.getAs[Long]("cents") * 1000000L,
+          m.getAs[Long]("qty")), m.getAs[Long]("sk"))
+      }
+      assert(r.getAs[Long]("n_suppliers") == members.length)
+      assert((members.min._1 / 1e8, members.min._2)
+        == (r.getAs[Double]("best_unit_price"),
+            r.getAs[Long]("best_suppkey")))
+    }
+  }
+
   test("e20: histogram reconciles with e2's session and event totals") {
     val hist = Queries.e20SessionStats(spark, sf).collect()
     val e2 = Queries.e2Sessionize(spark, sf).collect()
