@@ -1320,6 +1320,113 @@ SELECT CAST(l_partkey AS BIGINT) AS p_partkey, count(*) AS n_suppliers,
          AS best_unit_price
 FROM rk GROUP BY 1""",
 
+    // SQ8 reconstruction error: residual = ((x-mn)*255) mod rng at
+    // scale 255, squared and rolled up — v17's encode CTEs, no decode.
+    "v47_sq8_error" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+mm AS (SELECT i, CAST(min(v[CAST(i AS INT)+1]) AS BIGINT) AS mn,
+               CAST(max(v[CAST(i AS INT)+1]) AS BIGINT) AS mx
+       FROM g CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1),
+mma AS (SELECT list(mn ORDER BY i) AS mns,
+               list(greatest(mx - mn, 1) ORDER BY i) AS rgs FROM mm),
+res AS (SELECT gid, CAST(list_sum(list_transform(range(64),
+          i -> (((v[i+1] - mns[i+1]) * 255) % rgs[i+1])
+             * (((v[i+1] - mns[i+1]) * 255) % rgs[i+1]))) AS BIGINT) AS err
+        FROM g CROSS JOIN mma)
+SELECT count(*) AS n, CAST(sum(err) AS BIGINT) AS sum_err,
+       CAST(max(err) AS BIGINT) AS max_err,
+       CAST(sum(err) AS BIGINT) / count(*) AS mean_err
+FROM res""",
+
+    // TPC-H Q9 shape (retail-price cost basis): both money terms on the
+    // 1e-4 fixed-point scale, one division at the end.
+    "q33_product_profit" -> """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS year,
+       count(*) AS n_lines,
+       (CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT)) AS BIGINT)
+        - CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)
+              * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT))
+         / 10000.0 AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2""",
+
+    // PMI collocations: score = (N*c_xy)/(c_x*c_y), one IEEE division
+    // of exact integers (the t21 fixed-shape rule); top-10 global.
+    "t22_pmi_bigrams" -> """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS term FROM d),
+uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+b AS (SELECT unnest(list_transform(range(len(toks) - 1),
+        i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+      FROM d WHERE len(toks) >= 2),
+bc AS (SELECT bigram, count(*) AS c_xy FROM b GROUP BY 1
+       HAVING count(*) >= 5),
+sc AS (SELECT bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+              CAST(nn.n * c_xy AS DOUBLE) / (ux.c * uy.c) AS score
+       FROM bc
+       JOIN uc ux ON ux.term = string_split(bigram, ' ')[1]
+       JOIN uc uy ON uy.term = string_split(bigram, ' ')[2], nn),
+r AS (SELECT bigram, c_xy, c_x, c_y, score,
+             CAST(row_number() OVER (ORDER BY score DESC, bigram)
+               AS BIGINT) AS rnk
+      FROM sc)
+SELECT rnk, bigram, c_xy, c_x, c_y, score FROM r WHERE rnk <= 10""",
+
+    // RFM quartile grid: exact positional thresholds over value-domain
+    // histograms; membership by 1 + sum(v > t_p).
+    "e23_rfm" -> """
+WITH nw AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS now FROM events),
+u AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+             count(*) AS freq,
+             CAST(coalesce(sum(CAST(round("value" * 100) AS BIGINT))
+               FILTER (event_type = 'purchase'), 0) AS BIGINT) AS mon_c
+      FROM events GROUP BY 1),
+m AS (SELECT user_id, freq, mon_c,
+             (nw.now - last_us) // 86400000000 AS rec_d,
+             mon_c // 100 AS mon_dollars
+      FROM u, nw),
+rh AS (SELECT rec_d AS v, count(*) AS cnt FROM m GROUP BY 1),
+rw AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+              CAST(sum(cnt) OVER () AS BIGINT) AS nu FROM rh),
+rt AS (SELECT max(CASE WHEN cum - cnt < (25*nu+99)//100 AND (25*nu+99)//100 <= cum THEN v END) AS t25,
+              max(CASE WHEN cum - cnt < (50*nu+99)//100 AND (50*nu+99)//100 <= cum THEN v END) AS t50,
+              max(CASE WHEN cum - cnt < (75*nu+99)//100 AND (75*nu+99)//100 <= cum THEN v END) AS t75
+       FROM rw),
+fh AS (SELECT freq AS v, count(*) AS cnt FROM m GROUP BY 1),
+fw AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+              CAST(sum(cnt) OVER () AS BIGINT) AS nu FROM fh),
+ft AS (SELECT max(CASE WHEN cum - cnt < (25*nu+99)//100 AND (25*nu+99)//100 <= cum THEN v END) AS t25,
+              max(CASE WHEN cum - cnt < (50*nu+99)//100 AND (50*nu+99)//100 <= cum THEN v END) AS t50,
+              max(CASE WHEN cum - cnt < (75*nu+99)//100 AND (75*nu+99)//100 <= cum THEN v END) AS t75
+       FROM fw),
+mh AS (SELECT mon_dollars AS v, count(*) AS cnt FROM m GROUP BY 1),
+mw AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+              CAST(sum(cnt) OVER () AS BIGINT) AS nu FROM mh),
+mt AS (SELECT max(CASE WHEN cum - cnt < (25*nu+99)//100 AND (25*nu+99)//100 <= cum THEN v END) AS t25,
+              max(CASE WHEN cum - cnt < (50*nu+99)//100 AND (50*nu+99)//100 <= cum THEN v END) AS t50,
+              max(CASE WHEN cum - cnt < (75*nu+99)//100 AND (75*nu+99)//100 <= cum THEN v END) AS t75
+       FROM mw),
+seg AS (SELECT m.user_id, m.mon_c,
+               1 + CAST(m.rec_d > rt.t25 AS BIGINT)
+                 + CAST(m.rec_d > rt.t50 AS BIGINT)
+                 + CAST(m.rec_d > rt.t75 AS BIGINT) AS r_q,
+               1 + CAST(m.freq > ft.t25 AS BIGINT)
+                 + CAST(m.freq > ft.t50 AS BIGINT)
+                 + CAST(m.freq > ft.t75 AS BIGINT) AS f_q,
+               1 + CAST(m.mon_dollars > mt.t25 AS BIGINT)
+                 + CAST(m.mon_dollars > mt.t50 AS BIGINT)
+                 + CAST(m.mon_dollars > mt.t75 AS BIGINT) AS m_q
+        FROM m, rt, ft, mt)
+SELECT r_q, f_q, m_q, count(*) AS n_users,
+       CAST(sum(mon_c) AS BIGINT) / 100.0 AS total_monetary
+FROM seg GROUP BY 1, 2, 3""",
+
     // Good-Turing count-of-counts spectrum; r+1 alignment via a
     // self-join of the tiny spectrum, one IEEE division at the end.
     "t19_good_turing" -> """

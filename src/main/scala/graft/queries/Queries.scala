@@ -260,6 +260,38 @@ object Queries {
       .withColumn("mean_err", col("sum_err") / col("n"))
   }
 
+  /** SQ8 reconstruction-error report — v44's quality metric for the
+    * scalar quantizer (v17's index): how much L2 mass the 8-bit codes
+    * destroy, the number a deployment compares against v44's PQ error
+    * when choosing between the two layouts. The per-dimension residual
+    * needs NO decode step: code = ((x−mn)·255) div rng means the
+    * scale-255 reconstruction error is exactly `((x−mn)·255) mod rng`
+    * (non-negative since mn is the min), so the whole report is one
+    * map-only pass over the gallery after the same broadcast-sized
+    * (min,max) stats pass v17 runs — zero joins, one O(1)-row
+    * aggregate. Exact-Long headroom: residual < rng ≤ data range, so
+    * per-vector error < 64·rng² (~2·10¹¹ here) and the corpus sum
+    * stays inside Long to ~10⁷ vectors per report partition — at
+    * larger corpora roll up per-shard reports. */
+  def v47Sq8Error(s: SparkSession, d: String): DataFrame = {
+    val g = emb(s, d).select(col("vec_id").cast("long").as("gid"),
+      quantize(col("embedding")).as("v"))
+    val stats = g.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    val mns = stats.map(_.getLong(1))
+    val rngs = stats.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    val mnLit = array(mns.map(lit(_)).toIndexedSeq: _*)
+    val rgLit = array(rngs.map(lit(_)).toIndexedSeq: _*)
+    val resid = zip_with(
+      zip_with(col("v"), mnLit, (x, mn) => (x - mn) * lit(255L)), rgLit,
+      (num, rg) => pmod(num, rg))
+    g.select(aggregate(resid, lit(0L), (a, b) => a + b * b).as("err"))
+      .agg(count(lit(1)).as("n"), sum("err").cast("long").as("sum_err"),
+        max("err").as("max_err"))
+      .withColumn("mean_err", col("sum_err") / col("n"))
+  }
+
   /** Two-stage retrieval — the canonical production ANN serving shape:
     * a cheap quantized index (v11's seeded PQ-ADC) proposes a top-20
     * shortlist per query, then the TRUE distance re-ranks the shortlist
@@ -1942,6 +1974,45 @@ object Queries {
       .select("source", "term", "a", "chi2", "rnk")
   }
 
+  /** PMI collocation mining — the top-10 corpus bigrams by pointwise
+    * mutual information (min support 5), the standard phrase-detection
+    * pass (word2vec's phrase step, topic-model preprocessing) that
+    * decides which token pairs merge before training. Bigrams come
+    * from a map-only zip of each token array with its own tail (no
+    * positional explode self-join); unigram and bigram counts are the
+    * only data-sized shuffles; the score
+    * `(N·c_xy) / (c_x·c_y)` — rank-equivalent to PMI without the log —
+    * is ONE IEEE division of exact-Long operands in a fixed shape
+    * (the t21 chi² rule), so the ranking can never diverge across
+    * engines. The global top-10 is a distributed TakeOrdered (partial
+    * top-k per partition, never a full sort), and the rnk window runs
+    * over exactly 10 rows. */
+  def t22PmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val uni = dd.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").cast("long").as("n"))
+    val t = tokens(col("text"))
+    val bigramArr = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val bi = dd.select(explode(bigramArr).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    val ord = Seq(col("score").desc, col("bigram"))
+    bi.withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("term").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("term").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("n") * col("c_xy")).cast("double") / (col("c_x") * col("c_y")))
+      .orderBy(ord: _*).limit(10)
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("rnk", "bigram", "c_xy", "c_x", "c_y", "score")
+  }
+
   /** Good-Turing frequency spectrum — the count-of-counts table
     * (r → N_r) plus the adjusted-count numerator (r+1)·N_{r+1} that LM
     * smoothing (Katz/GT) reads off it. Two map-side-combined groupBys
@@ -2553,6 +2624,35 @@ object Queries {
         (col("m.unit_c") / lit(100000000.0)).as("best_unit_price"))
   }
 
+  /** Product-profit by supplier nation and ship year — the TPC-H Q9
+    * shape on this schema (no partsupp table, so unit cost is the
+    * part's retail price: profit = Σ extprice·(1−disc) −
+    * retail·qty). The classic multi-fact star: lineitem shuffles on
+    * partkey then suppkey for the two dimension hash joins (both
+    * dimensions scale with SF → NO broadcast hints, AQE decides — the
+    * q17/d12 rule), the 25-row nation table broadcasts, and the rollup
+    * is one map-side-combined aggregate to O(nations·years) rows. Both
+    * money terms land on the same 10⁻⁴ fixed-point scale (cents×cents
+    * for the cost product), so the subtraction is exact-Long and ONE
+    * final division renders the dollars. */
+  def q33ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+      col("l_shipdate"), col("l_extendedprice"), col("l_discount"),
+      col("l_quantity"))
+    val p = Tables.part(s, d).select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("retail_c"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("year"))
+      .agg(count(lit(1)).as("n_lines"),
+        ((moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+          - sum(col("retail_c") * round(col("l_quantity") * 100).cast("long")))
+          / lit(10000.0)).as("profit"))
+  }
+
   /** Dormant high-balance customers (TPC-H Q22 shape): customers with
     * above-average positive balance and NO RECENT orders (none since
     * 1998-06-01). The scalar average rides as a broadcast 1-row
@@ -3062,6 +3162,62 @@ object Queries {
     dau.join(wau, "day")
       .select((col("day") * 86400).as("day_epoch"), col("dau"), col("wau"),
         (col("dau") / col("wau")).as("stickiness"))
+  }
+
+  /** RFM customer segmentation — the classic recency / frequency /
+    * monetary quartile grid marketing and churn models consume. Per-user
+    * R/F/M metrics are ONE map-side-combined aggregate (recency in
+    * whole days from the corpus max-ts scalar, monetary in exact
+    * purchase cents); each quartile threshold then comes from e19's
+    * TWO-PHASE positional selection over a value-DOMAIN histogram —
+    * recency lives in O(days), frequency in O(max events/user), and
+    * monetary is deliberately bucketed to whole dollars so its domain
+    * is bounded by the spend range, NOT the user count (the t7 rule:
+    * the cumulative window runs over domain-sized frames, never a
+    * whole-population sort). Threshold position is exact integer
+    * ceil-arithmetic `(p·n + 99) div 100`; quartile membership is
+    * `1 + Σ(v > t_p)` against the three broadcast 1-row thresholds, so
+    * boundary users can never flip across engines. Output: the
+    * 4×4×4 segment grid with user counts and exact dollar totals. */
+  def e23Rfm(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val now = ev.agg(max("ts").as("now"))
+    val u = ev
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(max("ts").as("last_ts"), count(lit(1)).as("freq"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("mon_c"))
+      .crossJoin(broadcast(now))
+      .select(col("user_id"), col("freq"), col("mon_c"),
+        expr("(now - last_ts) div 86400000000000").as("rec_d"),
+        expr("mon_c div 100").as("mon_dollars"))
+    // exact quartile thresholds by positional selection over the value
+    // DOMAIN (distinct-value histogram + cumulative window), e19-style
+    def thresholds(metric: String): DataFrame = {
+      val hist = u.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(Window.orderBy("v")).cast("long"))
+        .crossJoin(broadcast(hist.agg(sum("cnt").cast("long").as("nu"))))
+      def thr(p: Int): DataFrame = cum.filter(expr(
+        s"cum - cnt < ($p * nu + 99) div 100 AND ($p * nu + 99) div 100 <= cum"))
+        .select(col("v").as(s"${metric}_t$p"))
+      thr(25).crossJoin(thr(50)).crossJoin(thr(75))
+    }
+    def quart(v: Column, m: String): Column =
+      lit(1L) + (v > col(s"${m}_t25")).cast("long") +
+        (v > col(s"${m}_t50")).cast("long") +
+        (v > col(s"${m}_t75")).cast("long")
+    u.crossJoin(broadcast(thresholds("rec_d")))
+      .crossJoin(broadcast(thresholds("freq")))
+      .crossJoin(broadcast(thresholds("mon_dollars")))
+      .select(col("user_id"), col("mon_c"),
+        quart(col("rec_d"), "rec_d").as("r_q"),
+        quart(col("freq"), "freq").as("f_q"),
+        quart(col("mon_dollars"), "mon_dollars").as("m_q"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"),
+        (sum("mon_c") / lit(100.0)).as("total_monetary"))
   }
 
   /** Per-user event cadence — inter-event gap count/mean/variance in

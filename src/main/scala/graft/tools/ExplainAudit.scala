@@ -51,7 +51,10 @@ object ExplainAudit {
     // v39 class).
     "v46_probe_curve",
     // t21's corpus-total 1-row crossjoin (the q20/t8 scalar pattern).
-    "t21_chi2_keywords")
+    "t21_chi2_keywords",
+    // t22's corpus-total and e23's max-ts/quartile-threshold 1-row
+    // scalar crossjoins (the q20/e19 class).
+    "t22_pmi_bigrams", "e23_rfm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

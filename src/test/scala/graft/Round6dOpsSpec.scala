@@ -1,0 +1,94 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-6d batch: SQ8 reconstruction error
+  * (v47), product profit (q33), PMI collocations (t22), RFM segments
+  * (e23). Exact value parity is covered by the DuckDB oracle gate;
+  * these assert the semantic properties the oracle can't name.
+  */
+class Round6dOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("v47: one row; sum_err matches an exact Scala replay of the " +
+    "SQ8 residuals; mean = sum/n") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(graft.functions.VectorFunctions.quantize($"embedding"))
+      .as[Seq[Long]].collect().map(_.toArray)
+    val dim = vecs.head.length
+    val mns = (0 until dim).map(i => vecs.map(_(i)).min).toArray
+    val rgs = (0 until dim).map(i =>
+      math.max(vecs.map(_(i)).max - mns(i), 1L)).toArray
+    val errs = vecs.map { v =>
+      (0 until dim).map { i =>
+        val r = ((v(i) - mns(i)) * 255L) % rgs(i)
+        r * r
+      }.sum
+    }
+    val row = Queries.v47Sq8Error(spark, sf).collect().head
+    assert(row.getAs[Long]("n") == vecs.length)
+    assert(row.getAs[Long]("sum_err") == errs.sum)
+    assert(row.getAs[Long]("max_err") == errs.max)
+    assert(row.getAs[Double]("mean_err") ==
+      errs.sum.toDouble / vecs.length)
+  }
+
+  test("q33: line counts partition lineitem; nations and years come " +
+    "from the dimensions") {
+    val out = Queries.q33ProductProfit(spark, sf).collect()
+    val nLines = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(out.map(_.getAs[Long]("n_lines")).sum == nLines)
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .select($"n_name".as[String]).collect().toSet
+    assert(out.map(_.getAs[String]("n_name")).toSet.subsetOf(nations))
+    assert(out.map(_.getAs[Long]("year")).forall(y => y >= 1992 && y <= 2005))
+  }
+
+  test("t22: 10 rows ranked 1..10 by non-increasing score; every " +
+    "score replays exactly from the corpus counts") {
+    val out = Queries.t22PmiBigrams(spark, sf).orderBy("rnk").collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("rnk")).toSeq == (1L to 10L))
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall(w => w(0) >= w(1)))
+    assert(out.forall(_.getAs[Long]("c_xy") >= 5))
+    // replay the count arithmetic from the raw corpus
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text".as[String]).collect()
+      .filter(_ != null).map(_.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val n = uni.values.sum
+    val big = toks.filter(_.length >= 2)
+      .flatMap(ts => ts.zip(ts.tail).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    out.foreach { r =>
+      val Array(x, y) = r.getAs[String]("bigram").split(" ")
+      assert(r.getAs[Long]("c_xy") == big(r.getAs[String]("bigram")))
+      assert(r.getAs[Long]("c_x") == uni(x))
+      assert(r.getAs[Long]("c_y") == uni(y))
+      assert(r.getAs[Double]("score") ==
+        (n * r.getAs[Long]("c_xy")).toDouble
+          / (uni(x) * uni(y)))
+    }
+  }
+
+  test("e23: segments partition the user population; quartile labels " +
+    "stay in 1..4; monetary total is the exact purchase sum") {
+    val out = Queries.e23Rfm(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    val nUsers = ev.select($"user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == nUsers)
+    Seq("r_q", "f_q", "m_q").foreach { c =>
+      assert(out.forall(r => {
+        val v = r.getAs[Long](c); v >= 1 && v <= 4
+      }))
+    }
+    val totCents = ev.filter($"event_type" === "purchase")
+      .select(sum(round($"value" * 100).cast("long")))
+      .as[Long].collect().head
+    val got = out.map(_.getAs[Double]("total_monetary")).sum
+    assert(math.abs(got - totCents / 100.0) < 1e-6)
+  }
+}
