@@ -1427,6 +1427,78 @@ SELECT r_q, f_q, m_q, count(*) AS n_users,
        CAST(sum(mon_c) AS BIGINT) / 100.0 AS total_monetary
 FROM seg GROUP BY 1, 2, 3""",
 
+    // Inter-class centroid margins on (sum, n) pairs — HUGEINT
+    // numerators, one double division per pair, argmin by rank-1 row.
+    "v48_centroid_margin" -> s"""
+WITH g AS (SELECT CAST(label AS BIGINT) AS lab, ${qv("embedding")} AS v
+           FROM embeddings),
+cnt AS (SELECT lab, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+sums AS (SELECT lab, i, CAST(sum(v[CAST(i AS INT)+1]) AS BIGINT) AS sv
+         FROM g CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+a AS (SELECT sums.lab, i, sv, n FROM sums JOIN cnt USING (lab)),
+p AS (SELECT a.lab, b.lab AS lab_b, a.n, b.n AS n_b,
+             sum((CAST(a.sv AS HUGEINT) * b.n - CAST(b.sv AS HUGEINT) * a.n)
+               * (CAST(a.sv AS HUGEINT) * b.n - CAST(b.sv AS HUGEINT) * a.n))
+               AS num
+      FROM a JOIN a b ON b.i = a.i AND b.lab <> a.lab
+      GROUP BY 1, 2, 3, 4),
+dd AS (SELECT lab, lab_b, n,
+              CAST(num AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * n * n_b * n_b AS DOUBLE) AS d2
+       FROM p),
+r AS (SELECT lab, n, lab_b, d2,
+             row_number() OVER (PARTITION BY lab ORDER BY d2, lab_b) AS rk
+      FROM dd)
+SELECT lab AS label_id, n, lab_b AS nearest_label, d2 AS margin_d2
+FROM r WHERE rk = 1""",
+
+    // Ship-latency SLA by priority: exact whole-day floor-division on
+    // epoch micros, one IEEE division for the mean.
+    "q34_ship_latency" -> """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+         // 86400000000) AS BIGINT) AS sum_delay,
+       CAST(max((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+         // 86400000000) AS BIGINT) AS max_delay,
+       CAST(sum((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+         // 86400000000) AS BIGINT) / count(*) AS mean_delay
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1""",
+
+    // Normalization-aware exact dedup: t11's canonical form, groups >= 2.
+    "d21_normalized_dedup" -> """
+WITH n AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents)
+SELECT md5(norm) AS norm_hash, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc
+FROM n GROUP BY 1""",
+
+    // Per-modality exact p50/p90 byte sizes via positional selection
+    // over (modality, size) histograms.
+    "m9_size_quantiles" -> """
+WITH a AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                  CAST(strlen(text) AS BIGINT) AS n_bytes,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS modality
+           FROM documents WHERE text IS NOT NULL),
+h AS (SELECT modality, n_bytes, count(*) AS cnt FROM a GROUP BY 1, 2),
+c AS (SELECT modality, n_bytes, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY modality ORDER BY n_bytes)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY modality) AS BIGINT) AS nu,
+             CAST(max(n_bytes) OVER (PARTITION BY modality) AS BIGINT)
+               AS max_bytes
+      FROM h),
+p50 AS (SELECT modality, n_bytes AS p50_bytes FROM c
+        WHERE cum - cnt < (50*nu+99)//100 AND (50*nu+99)//100 <= cum),
+p90 AS (SELECT modality, n_bytes AS p90_bytes FROM c
+        WHERE cum - cnt < (90*nu+99)//100 AND (90*nu+99)//100 <= cum),
+t AS (SELECT DISTINCT modality, nu, max_bytes FROM c)
+SELECT t.modality, t.nu AS n_assets, p50_bytes, p90_bytes, t.max_bytes
+FROM t JOIN p50 USING (modality) JOIN p90 USING (modality)""",
+
     // Good-Turing count-of-counts spectrum; r+1 alignment via a
     // self-join of the tiny spectrum, one IEEE division at the end.
     "t19_good_turing" -> """

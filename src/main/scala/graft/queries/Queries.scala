@@ -292,6 +292,41 @@ object Queries {
       .withColumn("mean_err", col("sum_err") / col("n"))
   }
 
+  /** Inter-class centroid margins — per label, the nearest OTHER class
+    * centroid and the squared distance to it (the class-separability
+    * report read next to v19's compactness: margin ≪ compactness means
+    * the labels aren't linearly separable in embedding space). All
+    * arithmetic runs on (Σ, n) pairs so no float centroid ever exists:
+    * d²(a,b) = Σ_i (s_ai·n_b − s_bi·n_a)² / (n_a·n_b)², numerator in
+    * Decimal(38,0) ≡ HUGEINT (s·n ~ 10¹⁰ squares past Long), ONE
+    * double division per pair at the end. The corpus collapses to an
+    * O(L·dim) frame in one map-side-combined pass; the L² pair join
+    * and the min(struct) argmin touch only label-sized frames. */
+  def v48CentroidMargin(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = emb(s, d).select(col("label").cast("long").as("lab"),
+      posexplode(quantize(col("embedding"))).as(Seq("i", "x")))
+    val sums = g.groupBy("lab", "i").agg(sum("x").as("sv"))
+    val cnt = emb(s, d).groupBy(col("label").cast("long").as("lab"))
+      .agg(count(lit(1)).as("n"))
+    val a = sums.join(cnt, "lab")
+    val b = a.select(col("lab").as("lab_b"), col("i"),
+      col("sv").as("sv_b"), col("n").as("n_b"))
+    val diff = col("sv").cast(dec) * col("n_b").cast(dec) -
+      col("sv_b").cast(dec) * col("n").cast(dec)
+    val pairs = a.join(b, Seq("i"))
+      .filter(col("lab") =!= col("lab_b"))
+      .groupBy(col("lab"), col("lab_b"), col("n"), col("n_b"))
+      .agg(sum(diff * diff).as("num"))
+      .withColumn("d2", col("num").cast("double") /
+        (col("n").cast(dec) * col("n").cast(dec) *
+          col("n_b").cast(dec) * col("n_b").cast(dec)).cast("double"))
+    pairs.groupBy(col("lab").as("label_id"), col("n"))
+      .agg(min(struct(col("d2"), col("lab_b"))).as("m"))
+      .select(col("label_id"), col("n"),
+        col("m.lab_b").as("nearest_label"), col("m.d2").as("margin_d2"))
+  }
+
   /** Two-stage retrieval — the canonical production ANN serving shape:
     * a cheap quantized index (v11's seeded PQ-ADC) proposes a top-20
     * shortlist per query, then the TRUE distance re-ranks the shortlist
@@ -1191,6 +1226,26 @@ object Queries {
       .filter(col("a_source") =!= col("source"))
       .select(col("a_id"), col("b_id"), col("a_source"),
         col("source").as("b_source"), col("jaccard"))
+  }
+
+  /** Normalization-aware exact dedup — d1 run AFTER t11's text
+    * canonicalization (casefold, punctuation strip, whitespace
+    * collapse): the cheap middle rung between byte-exact and MinHash
+    * dedup that catches re-encoded/re-cased copies at exact-dedup
+    * cost. One map-only normalize+hash pass, one hash-keyed groupBy
+    * (map-side combined). Emits the full group manifest (d1's
+    * contract — `n_docs` > 1 marks the collapsed groups) so the
+    * downstream keep-filter is a trivial predicate; the md5 group key
+    * is what ships at 100 TB — the normalized text itself never
+    * shuffles. */
+  def d21NormalizedDedup(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(norm).as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
   }
 
   def d3Simhash(s: SparkSession, d: String): DataFrame =
@@ -2173,6 +2228,38 @@ object Queries {
         countDistinct(col("sha256")).as("n_distinct_payloads"))
       .withColumn("avg_bytes", col("total_bytes") / col("n_assets"))
 
+  /** Per-modality payload-size quantiles — the shard-planning input
+    * (what batch size fits which modality): exact p50/p90 byte sizes
+    * via e19's TWO-PHASE positional selection PER MODALITY — a
+    * (modality, size) histogram first (the only data-sized shuffle,
+    * map-side combined), then the cumulative window runs over
+    * O(distinct sizes) rows per modality (size-range bounded, never
+    * an asset-count sort); threshold positions are exact integer
+    * ceil-arithmetic. NULL payloads are excluded by contract (their
+    * size is undefined — and a null sort key would order differently
+    * across engines). */
+  def m9SizeQuantiles(s: SparkSession, d: String): DataFrame = {
+    val a = docs(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("asset_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("modality",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("asset_id"), lit(3)) + 1).cast("int")))
+    val hist = a.groupBy("modality", "n_bytes").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("modality").orderBy("n_bytes")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w).cast("long"))
+      .join(hist.groupBy("modality").agg(sum("cnt").cast("long").as("nu"),
+        max("n_bytes").as("max_bytes")), "modality")
+    def pick(p: Int): DataFrame = cum.filter(expr(
+      s"cum - cnt < ($p * nu + 99) div 100 AND ($p * nu + 99) div 100 <= cum"))
+      .select(col("modality"), col("n_bytes").as(s"p${p}_bytes"))
+    cum.select("modality", "nu", "max_bytes").distinct()
+      .join(pick(50), "modality").join(pick(90), "modality")
+      .select(col("modality"), col("nu").as("n_assets"),
+        col("p50_bytes"), col("p90_bytes"), col("max_bytes"))
+  }
+
   /** Frame-sampling manifest — the video-ingest planning pass: each
     * asset fans out to the frame offsets a decoder would extract (every
     * `frameStepMs`, duration derived 1 ms/byte from the payload — the
@@ -2651,6 +2738,33 @@ object Queries {
         ((moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
           - sum(col("retail_c") * round(col("l_quantity") * 100).cast("long")))
           / lit(10000.0)).as("profit"))
+  }
+
+  /** Order-to-ship latency profile by order priority — the fulfillment
+    * SLA report (TPC-H Q4's commit-date semantics on this schema's
+    * columns: shipdate − orderdate in whole days). ONE scale-linear
+    * equi-join (lineitem ⋈ orders on orderkey, unhinted — AQE decides)
+    * feeding an O(priorities) map-side-combined rollup; day deltas are
+    * exact integer division on epoch microseconds under the pinned UTC
+    * zone. Both date columns are midnight-aligned (spec-asserted), so
+    * every delta is an exact multiple of a day and Spark's
+    * truncating `div` agrees with DuckDB's flooring `//` even on the
+    * NEGATIVE deltas this synthetic data contains (ship before order);
+    * the mean is ONE IEEE division of exact Longs. */
+  def q34ShipLatency(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+    Tables.lineitem(s, d).select(col("l_orderkey"),
+      unix_micros(col("l_shipdate").cast("timestamp")).as("sus"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("(sus - ous) div 86400000000").as("delay_d"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("delay_d").cast("long").as("sum_delay"),
+        max("delay_d").as("max_delay"))
+      .withColumn("mean_delay", col("sum_delay") / col("n_lines"))
   }
 
   /** Dormant high-balance customers (TPC-H Q22 shape): customers with

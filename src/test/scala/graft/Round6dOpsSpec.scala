@@ -74,6 +74,91 @@ class Round6dOpsSpec extends SparkSpec {
     }
   }
 
+  test("v48: one row per label; margin replays exactly from BigInt " +
+    "(sum, n) arithmetic; nearest label differs from the label") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"label".cast("long"),
+        graft.functions.VectorFunctions.quantize($"embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val byLab = rows.groupBy(_._1)
+    val sums = byLab.map { case (l, vs) =>
+      l -> (vs.map(_._2).transpose.map(_.map(BigInt(_)).sum).toArray,
+        BigInt(vs.length))
+    }
+    def d2(a: Long, b: Long): Double = {
+      val (sa, na) = sums(a); val (sb, nb) = sums(b)
+      val num = sa.zip(sb).map { case (x, y) =>
+        val t = x * nb - y * na; t * t }.sum
+      num.toDouble / (na * na * nb * nb).toDouble
+    }
+    val out = Queries.v48CentroidMargin(spark, sf).collect()
+    assert(out.length == sums.size)
+    out.foreach { r =>
+      val l = r.getAs[Long]("label_id")
+      val best = sums.keys.filter(_ != l)
+        .map(o => (d2(l, o), o)).minBy(identity)
+      assert(r.getAs[Long]("nearest_label") == best._2)
+      assert(r.getAs[Double]("margin_d2") == best._1)
+      assert(r.getAs[Long]("n") == sums(l)._2.toLong)
+    }
+  }
+
+  test("q34: both date columns are midnight-aligned so trunc/floor " +
+    "division agree even on negative deltas; counts partition " +
+    "lineitem; mean = sum/n") {
+    val out = Queries.q34ShipLatency(spark, sf).collect()
+    val nLines = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(out.map(_.getAs[Long]("n_lines")).sum == nLines)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_delay") ==
+        r.getAs[Long]("sum_delay").toDouble / r.getAs[Long]("n_lines"))
+    }
+    // midnight alignment makes every µs delta an exact day multiple,
+    // which is what keeps Spark's `div` == DuckDB's `//` for negatives
+    val misaligned = graft.sources.Tables.lineitem(spark, sf)
+      .filter(pmod(unix_micros($"l_shipdate".cast("timestamp")),
+        lit(86400000000L)) =!= 0)
+      .count() +
+      graft.sources.Tables.orders(spark, sf)
+        .filter(pmod(unix_micros($"o_orderdate".cast("timestamp")),
+          lit(86400000000L)) =!= 0)
+        .count()
+    assert(misaligned == 0)
+  }
+
+  test("d21: manifest partitions the corpus; reps are group minima") {
+    val out = Queries.d21NormalizedDedup(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(out.forall(_.getAs[Long]("n_docs") >= 1))
+    assert(out.map(_.getAs[String]("norm_hash")).distinct.length ==
+      out.length)
+  }
+
+  test("m9: p50 <= p90 <= max per modality; medians replay from a " +
+    "sorted positional pick") {
+    val out = Queries.m9SizeQuantiles(spark, sf).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("p50_bytes") <= r.getAs[Long]("p90_bytes"))
+      assert(r.getAs[Long]("p90_bytes") <= r.getAs[Long]("max_bytes"))
+    }
+    val sizes = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"doc_id".cast("long"), octet_length($"text").cast("long"))
+      .collect().map(r => (r.getLong(0) % 3, r.getLong(1)))
+      .groupBy { case (m, _) => Seq("image", "audio", "video")(m.toInt) }
+    out.foreach { r =>
+      val xs = sizes(r.getAs[String]("modality")).map(_._2).sorted
+      val n = xs.length
+      assert(r.getAs[Long]("n_assets") == n)
+      def pick(p: Int): Long = xs(((p * n + 99) / 100 - 1).toInt)
+      assert(r.getAs[Long]("p50_bytes") == pick(50))
+      assert(r.getAs[Long]("p90_bytes") == pick(90))
+      assert(r.getAs[Long]("max_bytes") == xs.max)
+    }
+  }
+
   test("e23: segments partition the user population; quartile labels " +
     "stay in 1..4; monetary total is the exact purchase sum") {
     val out = Queries.e23Rfm(spark, sf).collect()
