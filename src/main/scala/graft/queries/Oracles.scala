@@ -1499,6 +1499,74 @@ t AS (SELECT DISTINCT modality, nu, max_bytes FROM c)
 SELECT t.modality, t.nu AS n_assets, p50_bytes, p90_bytes, t.max_bytes
 FROM t JOIN p50 USING (modality) JOIN p90 USING (modality)""",
 
+    // Binary-quantization recall: sign bits compared directly (no
+    // packing) vs v1's exact ranking — the packed Spark codes are
+    // thereby gate-checked against the unpacked semantics.
+    "v49_binary_recall" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0),
+p AS (SELECT q.query_id, g.gid,
+             CAST(list_sum(list_transform(range(64), i ->
+               CASE WHEN (g.v[i+1] >= 0) = (q.qv[i+1] >= 0)
+                    THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+      FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, gid) AS rnk
+      FROM p),
+ha AS (SELECT query_id, gid FROM r WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qv")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+
+    // Per-source Gini impurity over the term distribution; squares in
+    // HUGEINT, one IEEE division.
+    "t23_term_gini" -> """
+WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+c AS (SELECT source, term, count(*) AS c FROM tc GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             sum(CAST(c AS HUGEINT) * c) AS sum_sq
+      FROM c GROUP BY 1)
+SELECT source, n_tokens, n_types, CAST(sum_sq AS BIGINT) AS sum_sq,
+       CAST(CAST(n_tokens AS HUGEINT) * n_tokens - sum_sq AS DOUBLE)
+         / CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE) AS gini
+FROM s""",
+
+    // Self-baseline 3-sigma outliers: exact cross-multiplied HUGEINT
+    // comparison, per-type rollup.
+    "e24_value_outliers" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                  CAST(round("value" * 100) AS BIGINT) AS v_c
+           FROM events),
+u AS (SELECT user_id, count(*) AS n,
+             sum(CAST(v_c AS HUGEINT)) AS sv,
+             sum(CAST(v_c AS HUGEINT) * v_c) AS sv2
+      FROM x GROUP BY 1),
+f AS (SELECT x.event_type,
+             CASE WHEN (CAST(x.v_c AS HUGEINT) * u.n - u.sv)
+                     * (CAST(x.v_c AS HUGEINT) * u.n - u.sv)
+                     * (u.n - 1)
+                   > 9 * CAST(u.n AS HUGEINT) * (u.n * u.sv2 - u.sv * u.sv)
+                  THEN 1 ELSE 0 END AS is_out
+      FROM x JOIN u USING (user_id))
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(is_out) AS BIGINT) AS n_outliers,
+       CAST(sum(is_out) AS BIGINT) / count(*) AS outlier_share
+FROM f GROUP BY 1""",
+
     // Good-Turing count-of-counts spectrum; r+1 alignment via a
     // self-join of the tiny spectrum, one IEEE division at the end.
     "t19_good_turing" -> """

@@ -327,6 +327,44 @@ object Queries {
         col("m.lab_b").as("nearest_label"), col("m.d2").as("margin_d2"))
   }
 
+  /** Binary-quantization recall — recall@5 of sign-bit codes vs v1's
+    * exact L2 ranking: the eval that decides whether 1-bit/dim codes
+    * (64 bits/vector — a 500× scan reduction over raw floats at
+    * 100 TB) retrieve well enough for a first-stage filter. Codes pack
+    * into ONE long via a bitwiseOR fold against a power-of-two literal
+    * table (map-only); the scan is codegen'd bit_count(XOR) against
+    * broadcast queries with v1's partial top-k; the oracle needs no
+    * packing at all — it compares sign bits directly, so the packed
+    * representation itself is gate-checked against the unpacked
+    * semantics. Recall joins two O(Q·k) frames. */
+  def v49BinaryRecall(s: SparkSession, d: String): DataFrame = {
+    val pw = typedLit((0 until 64).map(i => 1L << i))
+    val code = aggregate(
+      zip_with(quantize(col("embedding")), pw,
+        (x, p) => when(x >= 0, p).otherwise(0L)),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+    val coded = emb(s, d)
+      .select(col("vec_id").cast("long").as("gid"), code.as("code"))
+    val q = coded.filter(col("gid") % 100 === 0)
+      .select(col("gid").as("query_id"), col("code").as("qcode"))
+    val scored = coded.join(broadcast(q))
+      .select(col("query_id"), col("gid").as("neighbor_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("double")
+          .as("hamming"))
+    val approx = TopK.perGroup(scored, "query_id", "neighbor_id",
+      "hamming", k = 5, ascending = true)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   /** Two-stage retrieval — the canonical production ANN serving shape:
     * a cheap quantized index (v11's seeded PQ-ADC) proposes a top-20
     * shortlist per query, then the TRUE distance re-ranks the shortlist
@@ -2068,6 +2106,32 @@ object Queries {
       .select("rnk", "bigram", "c_xy", "c_x", "c_y", "score")
   }
 
+  /** Per-source term-concentration (Gini impurity) — 1 − Σp² over the
+    * source's term distribution: the rational-arithmetic diversity
+    * signal (low gini = template/boilerplate-dominated source, high =
+    * diverse vocabulary) that complements t17's TTR without touching a
+    * log (entropy's libm logs are not bit-portable). One (source,
+    * term) rollup (map-side combined) then an O(sources) reduce;
+    * squares ride as Decimal(38,0) ≡ HUGEINT (a web-scale source's
+    * token count squares past Long at ~3·10⁹), ONE IEEE division at
+    * the end. */
+  def t23TermGini(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("sum_sq"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("sum_sq").cast("long").as("sum_sq"),
+        ((col("n_tokens").cast(dec) * col("n_tokens").cast(dec)
+          - col("sum_sq")).cast("double")
+          / (col("n_tokens").cast(dec) * col("n_tokens").cast(dec))
+            .cast("double")).as("gini"))
+  }
+
   /** Good-Turing frequency spectrum — the count-of-counts table
     * (r → N_r) plus the adjusted-count numerator (r+1)·N_{r+1} that LM
     * smoothing (Katz/GT) reads off it. Two map-side-combined groupBys
@@ -3332,6 +3396,39 @@ object Queries {
       .groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_users"),
         (sum("mon_c") / lit(100.0)).as("total_monetary"))
+  }
+
+  /** Per-type value-anomaly rates — events whose value deviates more
+    * than 3σ from THEIR OWN USER's mean (the self-baseline fraud/bot
+    * signal: a stolen account's purchases jump against the account's
+    * history, not the global distribution). The 3σ test is the EXACT
+    * cross-multiplied integer comparison
+    * `(v·n − S)²·(n−1) > 9·n·(n·S2 − S²)` on cents — never a float
+    * z-score threshold (an ulp would flip boundary events across
+    * engines); sums ride as Decimal(38,0) ≡ HUGEINT (cents·n squares
+    * past Long). Per-user (n, S, S2) is ONE map-side-combined
+    * aggregate; the join back to events shares the user_id shuffle
+    * key; the rollup is O(event types). n=1 users contribute 0>0 =
+    * false — degenerate variance handled without a branch. */
+  def e24ValueOutliers(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = Tables.events(s, d)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("v_c"))
+    val u = x.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("v_c").cast(dec)).as("sv"),
+        sum(col("v_c").cast(dec) * col("v_c").cast(dec)).as("sv2"))
+    val lhs = (col("v_c").cast(dec) * col("n").cast(dec) - col("sv"))
+    val rhs = lit(9).cast(dec) * col("n").cast(dec) *
+      (col("n").cast(dec) * col("sv2") - col("sv") * col("sv"))
+    x.join(u, "user_id")
+      .select(col("event_type"),
+        when(lhs * lhs * (col("n").cast(dec) - lit(1).cast(dec)) > rhs,
+          1L).otherwise(0L).as("is_out"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("is_out").cast("long").as("n_outliers"))
+      .withColumn("outlier_share", col("n_outliers") / col("n_events"))
   }
 
   /** Per-user event cadence — inter-event gap count/mean/variance in

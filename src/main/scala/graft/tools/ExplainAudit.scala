@@ -54,7 +54,10 @@ object ExplainAudit {
     "t21_chi2_keywords",
     // t22's corpus-total and e23's max-ts/quartile-threshold 1-row
     // scalar crossjoins (the q20/e19 class).
-    "t22_pmi_bigrams", "e23_rfm")
+    "t22_pmi_bigrams", "e23_rfm",
+    // v49 composes v1's chain plus its own gallery × broadcast(query
+    // codes) scoring crossjoin (the v22 batch-KNN class).
+    "v49_binary_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

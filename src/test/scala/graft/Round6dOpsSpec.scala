@@ -159,6 +159,87 @@ class Round6dOpsSpec extends SparkSpec {
     }
   }
 
+  test("v49: recall rows cover every query; n_hit/k bounded; packed " +
+    "Hamming equals the unpacked sign-bit distance on a sample") {
+    val out = Queries.v49BinaryRecall(spark, sf).collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long"),
+        graft.functions.VectorFunctions.quantize($"embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val nQ = vecs.keys.count(_ % 100 == 0)
+    assert(out.length == nQ)
+    out.foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0 && hit <= 5)
+      assert(r.getAs[Double]("recall_at_5") == hit.toDouble / 5)
+    }
+    // packed-code Hamming == unpacked sign disagreement count
+    def pack(v: Array[Long]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x >= 0) acc | (1L << i) else acc }
+    val ids = vecs.keys.toSeq.sorted.take(20)
+    for (a <- ids; b <- ids) {
+      val unpacked = vecs(a).zip(vecs(b))
+        .count { case (x, y) => (x >= 0) != (y >= 0) }
+      assert(java.lang.Long.bitCount(pack(vecs(a)) ^ pack(vecs(b))) ==
+        unpacked)
+    }
+  }
+
+  test("t23: gini = 1 - sum(c^2)/N^2 replays in BigInt per source; " +
+    "bounded in [0, 1)") {
+    val out = Queries.t23TermGini(spark, sf).collect()
+    val bySource = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .filter(_.getString(1) != null)
+      .groupBy(_.getString(0))
+    assert(out.length == bySource.size)
+    out.foreach { r =>
+      val toks = bySource(r.getAs[String]("source"))
+        .flatMap(_.getString(1).split(" ", -1))
+      val counts = toks.groupBy(identity).map(_._2.length.toLong)
+      val n = BigInt(toks.length)
+      val sq = counts.map(c => BigInt(c) * c).sum
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_types") == counts.size)
+      assert(r.getAs[Long]("sum_sq") == sq.toLong)
+      val gini = (n * n - sq).toDouble / (n * n).toDouble
+      assert(r.getAs[Double]("gini") == gini)
+      assert(gini >= 0.0 && gini < 1.0)
+    }
+  }
+
+  test("e24: type counts partition events; an n=1 user can never " +
+    "flag; outlier share consistent") {
+    val out = Queries.e24ValueOutliers(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(out.map(_.getAs[Long]("n_events")).sum == ev.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Double]("outlier_share") ==
+        r.getAs[Long]("n_outliers").toDouble / r.getAs[Long]("n_events"))
+    }
+    // replay the exact 3-sigma test in BigInt over the raw events
+    val rows = ev.select($"user_id".cast("long"), $"event_type",
+      round($"value" * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1).map { case (u, xs) =>
+      val vs = xs.map(x => BigInt(x._3))
+      u -> (BigInt(vs.length), vs.sum, vs.map(v => v * v).sum)
+    }
+    val expect = rows.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.count { case (u, _, v) =>
+        val (n, sv, sv2) = byUser(u)
+        val lhs = (BigInt(v) * n - sv)
+        lhs * lhs * (n - 1) > 9 * n * (n * sv2 - sv * sv)
+      }.toLong
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") ==
+        expect(r.getAs[String]("event_type")))
+    }
+  }
+
   test("e23: segments partition the user population; quartile labels " +
     "stay in 1..4; monetary total is the exact purchase sum") {
     val out = Queries.e23Rfm(spark, sf).collect()
