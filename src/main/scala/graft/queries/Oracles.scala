@@ -1567,6 +1567,59 @@ SELECT event_type, count(*) AS n_events,
        CAST(sum(is_out) AS BIGINT) / count(*) AS outlier_share
 FROM f GROUP BY 1""",
 
+    // Recall@k sweep: one ADC ranking + one exact ranking joined once,
+    // three filtered counts.
+    "v50_recall_curve" -> s"""
+WITH ${pqAdcCtes()},
+ha AS (SELECT query_id, gid, rnk AS ra FROM r WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid, rnk AS re FROM rex WHERE rnk <= 5),
+j AS (SELECT ha.ra, hx.re FROM hx JOIN ha USING (query_id, gid)),
+nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM q),
+ks AS (SELECT unnest([1, 3, 5]) AS k),
+hits AS (SELECT CAST(ks.k AS BIGINT) AS k,
+                CAST(coalesce(sum(CASE WHEN j.ra <= ks.k AND j.re <= ks.k
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+         FROM ks LEFT JOIN j ON true GROUP BY 1)
+SELECT k, n_hit, k * nq.nq AS n_total,
+       n_hit / (k * nq.nq) AS recall
+FROM hits, nq""",
+
+    // Pairwise source-vocabulary Jaccard via a term-keyed self-join
+    // (per-term fanout bounded by the source count).
+    "t24_vocab_overlap" -> """
+WITH v AS (SELECT DISTINCT source, term FROM
+             (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents)),
+sz AS (SELECT source, count(*) AS nv FROM v GROUP BY 1),
+iv AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+       FROM v a JOIN v b ON b.term = a.term AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT src_a, src_b, sa.nv AS nv_a, sb.nv AS nv_b, n_inter,
+       n_inter / (sa.nv + sb.nv - n_inter) AS jaccard
+FROM iv JOIN sz sa ON sa.source = iv.src_a
+        JOIN sz sb ON sb.source = iv.src_b""",
+
+    // WoW active-user trend: O(weeks) frame, lag over the weeks only.
+    "e25_wow_trend" -> """
+WITH w AS (SELECT epoch_us(ts) // 604800000000 AS wk,
+                  CAST(user_id AS BIGINT) AS user_id
+           FROM events),
+wau AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM w GROUP BY 1),
+t AS (SELECT wk, wau, lag(wau, 1) OVER (ORDER BY wk) AS prev FROM wau)
+SELECT CAST(wk * 604800 AS BIGINT) AS week_epoch, wau,
+       CAST(coalesce(prev, 0) AS BIGINT) AS prev_wau,
+       CASE WHEN prev IS NOT NULL
+            THEN CAST(wau - prev AS DOUBLE) / prev ELSE 0.0 END
+         AS wow_growth
+FROM t""",
+
     // Good-Turing count-of-counts spectrum; r+1 alignment via a
     // self-join of the tiny spectrum, one IEEE division at the end.
     "t19_good_turing" -> """

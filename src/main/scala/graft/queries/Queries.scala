@@ -1114,6 +1114,30 @@ object Queries {
       .withColumn("recall", col("n_hit") / col("n_total"))
   }
 
+  /** Recall@k sweep for the PQ-ADC path — recall at k ∈ {1,3,5} from
+    * ONE approximate and ONE exact ranking (the k-axis companion of
+    * v46's nprobe sweep: together they span the serving quality
+    * surface). Both rankings are the already-gated chains (v11, v1);
+    * the sweep itself joins two O(Q·5) frames once and reduces three
+    * filtered counts — no per-k re-search, no re-scan of the gallery.
+    * Counts are exact Longs; ONE IEEE division per row. */
+  def v50RecallCurve(s: SparkSession, d: String): DataFrame = {
+    val approx = v11PqAdc(s, d)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("ra"))
+    val exact = v1KnnL2(s, d)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("re"))
+    val j = exact.join(broadcast(approx), Seq("query_id", "neighbor_id"))
+    val nq = exact.agg(countDistinct("query_id").as("nq"))
+    Seq(1, 3, 5).map { k =>
+      j.filter(col("ra") <= k && col("re") <= k)
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(k.toLong).as("k"), col("n_hit"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nq))
+      .select(col("k"), col("n_hit"), (col("k") * col("nq")).as("n_total"),
+        (col("n_hit") / (col("k") * col("nq"))).as("recall"))
+  }
+
   /** Maximum-inner-product search (MIPS) — the faiss IndexFlatIP
     * metric, the retrieval mode recommendation/embedding-score systems
     * use where L2 is wrong (un-normalized vectors). Same harness as
@@ -2130,6 +2154,35 @@ object Queries {
           - col("sum_sq")).cast("double")
           / (col("n_tokens").cast(dec) * col("n_tokens").cast(dec))
             .cast("double")).as("gini"))
+  }
+
+  /** Pairwise source-vocabulary overlap — Jaccard of the distinct-term
+    * sets for every source pair that shares at least one term: the
+    * redundancy matrix a mixture designer reads before weighting
+    * sources (two near-identical crawls shouldn't both get full
+    * weight). The distinct (source, term) frame self-joins ON TERM —
+    * per-term fanout is bounded by the SOURCE count (≤ S pairs per
+    * term, corpus-size independent), so the join never goes quadratic
+    * in documents; vocabulary sizes join back from an O(sources)
+    * frame; union sizes come from inclusion-exclusion — no second
+    * scan. Exact integers, ONE IEEE division per pair. */
+  def t24VocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val v = docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val sizes = v.groupBy("source").agg(count(lit(1)).as("nv"))
+    v.select(col("source").as("src_a"), col("term"))
+      .join(v.select(col("source").as("src_b"), col("term")), "term")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("source").as("src_a"), col("nv").as("nv_a")),
+        "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("nv").as("nv_b")),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"),
+        col("n_inter"),
+        (col("n_inter") / (col("nv_a") + col("nv_b") - col("n_inter")))
+          .as("jaccard"))
   }
 
   /** Good-Turing frequency spectrum — the count-of-counts table
@@ -3429,6 +3482,28 @@ object Queries {
       .agg(count(lit(1)).as("n_events"),
         sum("is_out").cast("long").as("n_outliers"))
       .withColumn("outlier_share", col("n_outliers") / col("n_events"))
+  }
+
+  /** Week-over-week active-user trend — WAU per epoch week plus the
+    * previous week's value and the growth ratio (the topline health
+    * metric next to e22's stickiness). The data-sized work is ONE
+    * two-phase hash countDistinct to an O(weeks) frame; the lag window
+    * orders only that weeks frame (calendar-bounded, never
+    * event-scale); week numbers are exact floor-division epoch weeks;
+    * growth is ONE IEEE division of exact Longs (prev ≥ 1 whenever it
+    * exists, so the division is always defined). */
+  def e25WowTrend(s: SparkSession, d: String): DataFrame = {
+    val wau = Tables.events(s, d)
+      .select(floorDiv("ts", 604800000000000L).as("wk"),
+        col("user_id").cast("long").as("user_id"))
+      .groupBy("wk").agg(countDistinct("user_id").as("wau"))
+    wau
+      .withColumn("prev", lag("wau", 1).over(Window.orderBy("wk")))
+      .select((col("wk") * 604800).as("week_epoch"), col("wau"),
+        coalesce(col("prev"), lit(0L)).as("prev_wau"),
+        when(col("prev").isNotNull,
+          (col("wau") - col("prev")).cast("double") / col("prev"))
+          .otherwise(lit(0.0)).as("wow_growth"))
   }
 
   /** Per-user event cadence — inter-event gap count/mean/variance in

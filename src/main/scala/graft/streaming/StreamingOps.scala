@@ -227,6 +227,38 @@ object StreamingOps {
       }
   }
 
+  case class CohortState(weeks: Seq[Long])
+  case class CohortUpdate(user_id: Long, cohort_wk: Long,
+                          offsets: Seq[Long])
+
+  /** Continuous cohort retention (streaming twin of the gated e6): per
+    * user, state carries the DISTINCT set of active epoch weeks, so the
+    * (cohort week, week offset) membership is derivable at any moment
+    * as (min(weeks), weeks − min). Like [[firstTouch]] this is
+    * order-insensitive — a late-arriving EARLIER week re-bases the
+    * user's cohort and every offset shifts accordingly, which a
+    * running (cohort, offsets) encoding could not do — so no
+    * cross-batch ordering contract is needed; on any bounded stream
+    * the final rows aggregate to e6's batch matrix exactly. State is
+    * O(distinct active weeks per user), calendar-bounded (52/year),
+    * not event-bounded. */
+  def cohort(events: Dataset[Event]): Dataset[CohortUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CohortState, CohortUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[CohortState]) =>
+          val incoming = batch
+            .map(e => Math.floorDiv(e.ts.getTime, 604800000L)).toSet
+          val weeks = (state.getOption.map(_.weeks.toSet)
+            .getOrElse(Set.empty[Long]) ++ incoming).toSeq.sorted
+          state.update(CohortState(weeks))
+          val c = weeks.head
+          CohortUpdate(uid, c, weeks.map(_ - c))
+      }
+  }
+
   /** Tumbling 1-hour windowed counts per event type with a 30-min
     * watermark (streaming twin of e1). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -57,7 +57,10 @@ object ExplainAudit {
     "t22_pmi_bigrams", "e23_rfm",
     // v49 composes v1's chain plus its own gallery × broadcast(query
     // codes) scoring crossjoin (the v22 batch-KNN class).
-    "v49_binary_recall")
+    "v49_binary_recall",
+    // v50 composes v11's and v1's chains plus a 1-row nq scalar
+    // crossjoin (the v36/v46 class).
+    "v50_recall_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -240,6 +240,62 @@ class Round6dOpsSpec extends SparkSpec {
     }
   }
 
+  test("v50: recall is monotone non-decreasing in k on this corpus's " +
+    "curve shape; totals are k x Q; hits bounded") {
+    val out = Queries.v50RecallCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(out.map(_.getAs[Long]("k")).toSeq == Seq(1L, 3L, 5L))
+    val nQ = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 100 === 0).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_total") == r.getAs[Long]("k") * nQ)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Double]("recall") ==
+        r.getAs[Long]("n_hit").toDouble / r.getAs[Long]("n_total"))
+    }
+    // n_hit itself can only grow with k (hit sets are nested)
+    val hits = out.map(_.getAs[Long]("n_hit"))
+    assert(hits.sliding(2).forall(w => w(0) <= w(1)))
+  }
+
+  test("t24: jaccard replays exactly from distinct vocab sets; " +
+    "symmetric pairs appear once with src_a < src_b") {
+    val out = Queries.t24VocabOverlap(spark, sf).collect()
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+      .filter(_.getString(1) != null)
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        src -> rs.flatMap(_.getString(1).split(" ", -1)).toSet }
+    out.foreach { r =>
+      val a = r.getAs[String]("src_a"); val b = r.getAs[String]("src_b")
+      assert(a < b)
+      val inter = (vocab(a) & vocab(b)).size.toLong
+      assert(r.getAs[Long]("n_inter") == inter)
+      assert(r.getAs[Long]("nv_a") == vocab(a).size.toLong)
+      assert(r.getAs[Long]("nv_b") == vocab(b).size.toLong)
+      assert(r.getAs[Double]("jaccard") ==
+        inter.toDouble / (vocab(a).size + vocab(b).size - inter))
+    }
+  }
+
+  test("e25: every active week reports; prev_wau chains to the prior " +
+    "row; growth consistent") {
+    val out = Queries.e25WowTrend(spark, sf).collect()
+      .sortBy(_.getAs[Long]("week_epoch"))
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("prev_wau") == 0)
+    assert(out.head.getAs[Double]("wow_growth") == 0.0)
+    out.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        assert(w(1).getAs[Long]("prev_wau") == w(0).getAs[Long]("wau"))
+        assert(w(1).getAs[Double]("wow_growth") ==
+          (w(1).getAs[Long]("wau") - w(0).getAs[Long]("wau")).toDouble /
+            w(0).getAs[Long]("wau"))
+      }
+    }
+  }
+
   test("e23: segments partition the user population; quartile labels " +
     "stay in 1..4; monetary total is the exact purchase sum") {
     val out = Queries.e23Rfm(spark, sf).collect()

@@ -285,4 +285,35 @@ class StreamingSpec extends SparkSpec {
         gaps.map(g => BigInt(g) * BigInt(g)).sum)
     } finally q.stop()
   }
+
+  test("cohort: a late-arriving earlier week re-bases the cohort and " +
+    "shifts every offset (order-insensitive state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val wk = 7L * 24 * 60 // minutes per week
+    // user 11 first seen in weeks {1, 3} relative to the fixed base
+    mem.addData(Event(1, ts(1 * wk), 11, "view", 0.0),
+      Event(2, ts(3 * wk), 11, "view", 0.0))
+    val q = StreamingOps.cohort(mem.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("coh").start()
+    try {
+      q.processAllAvailable()
+      val mid = spark.table("coh").as[StreamingOps.CohortUpdate]
+        .collect().last
+      val midBase = mid.cohort_wk
+      assert(mid.offsets === Seq(0L, 2L))
+      // week 0 arrives LATE — cohort must re-base one week earlier
+      // and the existing offsets must shift by +1
+      mem.addData(Event(3, ts(0), 11, "view", 0.0))
+      q.processAllAvailable()
+      val fin = spark.table("coh").as[StreamingOps.CohortUpdate]
+        .collect().maxBy(_.offsets.size)
+      assert(fin.cohort_wk === midBase - 1)
+      assert(fin.offsets === Seq(0L, 1L, 3L))
+      // final state aggregates to the batch e6 matrix for this user
+      val weeks = Seq(0L, 1L, 3L).map(_ + fin.cohort_wk)
+      assert(weeks.map(_ - weeks.min) === fin.offsets)
+    } finally q.stop()
+  }
 }
