@@ -1620,6 +1620,44 @@ SELECT CAST(wk * 604800 AS BIGINT) AS week_epoch, wau,
          AS wow_growth
 FROM t""",
 
+    // PQ code-usage balance over the seeded encode chain (only enc's
+    // CTEs execute; DuckDB skips the unreferenced search CTEs).
+    "v51_pq_code_balance" -> s"""
+WITH ${pqAdcCtes()},
+cc AS (SELECT j, code, count(*) AS n FROM enc GROUP BY 1, 2),
+bal AS (SELECT CAST(j AS BIGINT) AS sub, count(*) AS n_used,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(max(n) AS BIGINT) AS max_n,
+               CAST(min(n) AS BIGINT) AS min_n,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+        FROM cc GROUP BY 1)
+SELECT sub, n_used, max_n, min_n,
+       (16 * sum_sq) / (n_total * n_total) AS imbalance
+FROM bal""",
+
+    // Largest-remainder token-budget apportionment (Hamilton): exact
+    // integer div/mod, rank window over O(sources).
+    "p6_token_budget" -> """
+WITH per AS (SELECT source,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_tokens
+             FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+w AS (SELECT source, n_tokens,
+             (1000000 * n_tokens) // tot AS base,
+             (1000000 * n_tokens) % tot AS rem
+      FROM per, tot),
+lb AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS k FROM w),
+r AS (SELECT source, n_tokens, base,
+             CAST(row_number() OVER (ORDER BY rem DESC, source)
+               AS BIGINT) AS rk
+      FROM w)
+SELECT source, n_tokens, CAST(base AS BIGINT) AS base,
+       CAST(CASE WHEN rk <= lb.k THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base + CASE WHEN rk <= lb.k THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r, lb""",
+
     // Good-Turing count-of-counts spectrum; r+1 alignment via a
     // self-join of the tiny spectrum, one IEEE division at the end.
     "t19_good_turing" -> """

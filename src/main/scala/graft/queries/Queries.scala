@@ -365,6 +365,28 @@ object Queries {
         (col("n_hit") / col("k")).as("recall_at_5"))
   }
 
+  /** PQ code-usage balance — per subspace, how many of the ksub=16
+    * codebook entries are actually used and faiss's imbalance factor
+    * over the code histogram (unused or skewed codes = wasted bits =
+    * avoidable reconstruction error; this is the diagnostic that says
+    * RETRAIN THE CODEBOOK before v44's error metric says it louder).
+    * One posexplode + two map-side-combined rollups: corpus →
+    * O(m·ksub) code counts → O(m) subspace rows; exact Longs, ONE
+    * IEEE division per row (v37's formula with nlist = ksub). */
+  def v51PqCodeBalance(s: SparkSession, d: String): DataFrame = {
+    val (codes, _, _) = seededPqIndex(s, d)
+    codes.select(posexplode(col("codes")).as(Seq("sub", "code")))
+      .groupBy(col("sub").cast("long").as("sub"), col("code"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_used"), sum("n").cast("long").as("n_total"),
+        max("n").as("max_n"), min("n").as("min_n"),
+        sum(col("n") * col("n")).cast("long").as("sum_sq"))
+      .select(col("sub"), col("n_used"), col("max_n"), col("min_n"),
+        ((lit(PqKsub.toLong) * col("sum_sq"))
+          / (col("n_total") * col("n_total"))).as("imbalance"))
+  }
+
   /** Two-stage retrieval — the canonical production ANN serving shape:
     * a cheap quantized index (v11's seeded PQ-ADC) proposes a top-20
     * shortlist per query, then the TRUE distance re-ranks the shortlist
@@ -1885,6 +1907,34 @@ object Queries {
     per.join(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         (col("n_tokens") / col("tot_tokens")).as("token_share"))
+  }
+
+  /** Token-budget apportionment — each source's share of a fixed
+    * 1M-token sampling budget by LARGEST-REMAINDER rounding (Hamilton's
+    * method): base_i = ⌊C·T_i/T⌋, then the leftover C − Σbase units go
+    * one each to the sources with the largest remainders (ties to the
+    * lexicographically first source). This is p2's mixture table made
+    * EXECUTABLE — integer quotas that sum to exactly C, something a
+    * float share table can't promise. All arithmetic is exact integer
+    * div/mod on non-negative operands (portable); the ranking window
+    * orders only the O(sources) frame. Leftover < #sources by
+    * construction, so every extra is 0 or 1. */
+  def p6TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val cap = 1000000L
+    val per = docs(s, d).groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("long").as("tot"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($cap * n_tokens) div tot"))
+      .withColumn("rem", expr(s"($cap * n_tokens) % tot"))
+    val left = w.agg((lit(cap) - sum("base")).cast("long").as("k"))
+    w.crossJoin(broadcast(left))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .select(col("source"), col("n_tokens"), col("base"),
+        when(col("rk") <= col("k"), 1L).otherwise(0L).as("extra"),
+        (col("base") +
+          when(col("rk") <= col("k"), 1L).otherwise(0L)).as("alloc"))
   }
 
   /** Cleaning-funnel attrition report — the observability row every

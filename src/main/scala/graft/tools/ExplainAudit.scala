@@ -60,7 +60,10 @@ object ExplainAudit {
     "v49_binary_recall",
     // v50 composes v11's and v1's chains plus a 1-row nq scalar
     // crossjoin (the v36/v46 class).
-    "v50_recall_curve")
+    "v50_recall_curve",
+    // p6's corpus-total and leftover-count 1-row scalar crossjoins
+    // (the p2/q20 class).
+    "p6_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

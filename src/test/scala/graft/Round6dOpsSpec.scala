@@ -296,6 +296,41 @@ class Round6dOpsSpec extends SparkSpec {
     }
   }
 
+  test("v51: one row per subspace; totals equal the corpus; used " +
+    "codes within ksub; imbalance >= 1") {
+    val out = Queries.v51PqCodeBalance(spark, sf).collect()
+    assert(out.length == 8)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_used") >= 1 && r.getAs[Long]("n_used") <= 16)
+      assert(r.getAs[Long]("max_n") >= r.getAs[Long]("min_n"))
+      // Cauchy-Schwarz: ksub * sum(n^2) >= (sum n)^2
+      assert(r.getAs[Double]("imbalance") >= 1.0 - 1e-12)
+    }
+  }
+
+  test("p6: allocations sum to exactly the 1M cap; every extra is " +
+    "0/1; quotas replay via Hamilton's method") {
+    val out = Queries.p6TokenBudget(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("alloc")).sum == 1000000L)
+    assert(out.forall(r => r.getAs[Long]("extra") == 0L ||
+      r.getAs[Long]("extra") == 1L))
+    val tokens = out.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    val tot = tokens.values.sum
+    val base = tokens.map { case (s, t) => s -> (1000000L * t) / tot }
+    val rem = tokens.map { case (s, t) => s -> (1000000L * t) % tot }
+    val k = 1000000L - base.values.sum
+    val winners = rem.toSeq.sortBy { case (s, r) => (-r, s) }
+      .take(k.toInt).map(_._1).toSet
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("base") == base(s))
+      assert(r.getAs[Long]("extra") == (if (winners(s)) 1L else 0L))
+      assert(r.getAs[Long]("alloc") == base(s) + (if (winners(s)) 1 else 0))
+    }
+  }
+
   test("e23: segments partition the user population; quartile labels " +
     "stay in 1..4; monetary total is the exact purchase sum") {
     val out = Queries.e23Rfm(spark, sf).collect()
