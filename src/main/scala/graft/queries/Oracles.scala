@@ -2955,5 +2955,201 @@ top AS (SELECT source, CAST(sum(df) AS BIGINT) AS top_mass
         FROM r WHERE rnk <= 10 GROUP BY 1)
 SELECT source, n_incidences, top_mass,
        top_mass / n_incidences AS coverage
-FROM tot JOIN top USING (source)""")
+FROM tot JOIN top USING (source)""",
+
+    // In-degree histogram over v28's gated graph chain: nodes with no
+    // incoming edge are restored by the left join (in_degree 0).
+    "v52_graph_degree" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand),
+dg AS (SELECT dst_id, count(*) AS deg FROM r WHERE rnk <= 3 GROUP BY 1)
+SELECT CAST(coalesce(deg, 0) AS BIGINT) AS in_degree, count(*) AS n_nodes
+FROM g LEFT JOIN dg ON dg.dst_id = g.gid
+GROUP BY 1""",
+
+    // MRR row: v20's exact chain picks the rank-2 target (rank 1 is the
+    // query itself), v10's LSH chain supplies the approximate ranking;
+    // rr is ONE integer/integer IEEE division.
+    "v53_lsh_mrr" -> s"""
+WITH ge AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+qe AS (SELECT gid AS query_id, v AS qvec FROM ge WHERE gid % 100 = 0),
+de AS (SELECT query_id, gid, ${l2sq("v", "qvec")} AS d2 FROM ge CROSS JOIN qe),
+re AS (SELECT query_id, gid,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+       FROM de),
+tg AS (SELECT query_id, gid AS target_id FROM re WHERE rnk = 2),
+bl AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM ge),
+qb AS (SELECT gid AS query_id, v AS qvec, bucket FROM bl WHERE gid % 100 = 0),
+cl AS (SELECT qb.query_id, bl.gid, ${l2sq("bl.v", "qb.qvec")} AS d2
+       FROM bl JOIN qb ON bl.bucket = qb.bucket),
+rl AS (SELECT query_id, gid,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+       FROM cl)
+SELECT tg.query_id, tg.target_id,
+       CAST(coalesce(rl.rnk, 0) AS BIGINT) AS found_rank,
+       coalesce(CAST(1 AS BIGINT) / rl.rnk, 0.0) AS rr
+FROM tg LEFT JOIN rl ON rl.query_id = tg.query_id
+  AND rl.gid = tg.target_id AND rl.rnk <= 5""",
+
+    // Per-label edge purity over v28's gated graph chain.
+    "v54_knn_purity" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand),
+e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
+lb AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS lab
+       FROM embeddings)
+SELECT ls.lab AS label_id, count(*) AS n_edges,
+       CAST(sum(CASE WHEN ls.lab = ld.lab THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same,
+       CAST(sum(CASE WHEN ls.lab = ld.lab THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS purity
+FROM e JOIN lb ls ON ls.id = e.src_id JOIN lb ld ON ld.id = e.dst_id
+GROUP BY 1""",
+
+    // Simpson diversity: exact integer repeat pairs over term counts,
+    // one division — the log-free diversity metric (a float entropy
+    // sum would be summation-order-dependent and unmirrorable).
+    "t25_simpson" -> """
+WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+c AS (SELECT source, t, count(*) AS c FROM u GROUP BY 1, 2)
+SELECT source, count(*) AS vocab, CAST(sum(c) AS BIGINT) AS n_tok,
+       CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs,
+       CASE WHEN sum(c) > 1
+            THEN CAST(sum(c * (c - 1)) AS BIGINT)
+                 / (CAST(sum(c) AS BIGINT) * (CAST(sum(c) AS BIGINT) - 1))
+            ELSE 0.0 END AS simpson
+FROM c GROUP BY 1""",
+
+    // Duplicate-trigram fraction: total trigram occurrences vs the
+    // distinct shingle set, per doc; NULL text contracted to ''.
+    "t26_dup_ngrams" -> s"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(coalesce(text, ''), ' ') AS toks
+           FROM documents),
+t AS (SELECT doc_id,
+             CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_tri,
+             CAST(len(${shingleSql("toks", 3)}) AS BIGINT) AS n_uniq
+      FROM d)
+SELECT doc_id, n_tri, n_uniq,
+       CASE WHEN n_tri > 0 THEN (n_tri - n_uniq) / n_tri
+            ELSE 0.0 END AS dup_frac
+FROM t""",
+
+    // Bounce rate by day of session start over e2's session chain.
+    "e26_bounce_rate" -> """
+WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM x),
+f AS (SELECT user_id, us,
+             sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM l),
+sess AS (SELECT user_id, sess_id, min(us) AS s_us, count(*) AS n_ev
+         FROM f GROUP BY 1, 2)
+SELECT (s_us // 86400000000) * 86400 AS day_epoch,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS bounce_rate
+FROM sess GROUP BY 1""",
+
+    // Sweep-line peak concurrency: deltas netted per distinct instant
+    // (the deterministic tie contract), one global prefix, max per day
+    // of the instant.
+    "e27_peak_concurrent" -> """
+WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, event_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM x),
+f AS (SELECT user_id, us,
+             sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM l),
+sess AS (SELECT user_id, sess_id, min(us) AS s_us, max(us) AS e_us
+         FROM f GROUP BY 1, 2),
+dl AS (SELECT s_us AS us, 1 AS delta FROM sess
+       UNION ALL SELECT e_us + 1 AS us, -1 AS delta FROM sess),
+net AS (SELECT us, CAST(sum(delta) AS BIGINT) AS net FROM dl GROUP BY 1),
+c AS (SELECT us,
+             CAST(sum(net) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS conc
+      FROM net)
+SELECT (us // 86400000000) * 86400 AS day_epoch,
+       CAST(max(conc) AS BIGINT) AS peak_concurrent,
+       count(*) AS n_instants
+FROM c GROUP BY 1""",
+
+    // Manifest integrity: m6's exact quality text (pairManifestCtes)
+    // decides paired vs quality_reject; the full join surfaces orphans
+    // on either side.
+    "m10_integrity" -> s"""
+WITH c AS (SELECT CAST(doc_id AS BIGINT) AS id, 1 AS has_doc,
+                  CASE WHEN (len(list_filter(toks, t -> t IN $stopList)) / len(toks)) * 0.4
+                            + least(len(toks) / 100.0, 1.0) * 0.6 >= 0.4
+                            AND len(toks) >= 10
+                       THEN 1 ELSE 0 END AS pass
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)),
+v AS (SELECT CAST(vec_id AS BIGINT) AS id, 1 AS has_vec FROM embeddings)
+SELECT CASE WHEN has_doc IS NULL THEN 'orphan_vector'
+            WHEN has_vec IS NULL THEN 'unvectorized'
+            WHEN pass = 1 THEN 'paired'
+            ELSE 'quality_reject' END AS status,
+       count(*) AS n,
+       CAST(min(coalesce(c.id, v.id)) AS BIGINT) AS min_id,
+       CAST(max(coalesce(c.id, v.id)) AS BIGINT) AS max_id
+FROM c FULL JOIN v ON c.id = v.id
+GROUP BY 1""",
+
+    // Dedup yield by source: d19's exact keeper chain (simhash star
+    // edges + guarded band pairs + reachability + max-chars/min-id
+    // keeper rule) rolled up per source.
+    "p7_dedup_yield" -> s"""
+WITH RECURSIVE $simhashFpCtes,
+rp0 AS (SELECT simhash, CAST(min(doc_id) AS BIGINT) AS rep
+        FROM f GROUP BY simhash),
+star AS (SELECT r.rep AS a_id, f.doc_id AS b_id
+         FROM f JOIN rp0 r USING (simhash) WHERE f.doc_id <> r.rep),
+rf AS (SELECT rep AS doc_id, simhash FROM rp0),
+${simhashBandCtes("rf", graft.operators.Dedup.SimhashMaxBucket)},
+rpair AS (SELECT sc.a_id, sc.b_id
+          FROM sc JOIN rf fa ON fa.doc_id = sc.a_id
+          JOIN rf fb ON fb.doc_id = sc.b_id
+          WHERE ${hammingSql("fa.simhash", "fb.simhash")} <= 3),
+p AS (SELECT a_id, b_id FROM star
+      UNION ALL SELECT a_id, b_id FROM rpair),
+${reachCtes("f", "p")},
+jm AS (SELECT res.id, res.cluster_id, d0.source,
+              CAST(d0.n_chars AS BIGINT) AS n_chars
+       FROM res JOIN documents d0 ON d0.doc_id = res.id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         ORDER BY n_chars DESC, id) AS rk FROM jm)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS keep_rate
+FROM rk GROUP BY 1""")
 }

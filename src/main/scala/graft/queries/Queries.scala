@@ -3763,4 +3763,226 @@ object Queries {
         max("n_ev").cast("long").as("max_len"))
       .withColumn("avg_len", col("sum_events") / col("n_sessions"))
   }
+
+  // ---------- round-6d: graph diagnostics, retrieval eval, ops reports ----------
+
+  /** Per-user session frame (user_id, sess_id, s_us, e_us, n_ev) — e2's
+    * gated sessionization rolled to one row per session. Window is
+    * per-user (parallel across users, never a global sort); the rollup
+    * groupBy is map-side combined. Shared by e26/e27. */
+  private def sessionFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    eventsUs(s, d)
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min("us").as("s_us"), max("us").as("e_us"),
+        count(lit(1)).as("n_ev"))
+  }
+
+  /** In-degree histogram of the v28 KNN graph — the hubness diagnostic
+    * every graph-ANN build (NN-descent/HNSW) watches: hub nodes (huge
+    * in-degree) and orphan nodes (in-degree 0, unreachable by greedy
+    * search) both predict recall loss. Scale shape: the edge list is
+    * O(N·k); its dst-keyed count is map-side combined; the node join is
+    * an O(N) id-equi join; the final histogram is O(distinct degrees)
+    * rows. Never touches vectors after the gated graph build. */
+  def v52GraphDegree(s: SparkSession, d: String): DataFrame = {
+    val v = bucketedVecs(s, d)
+    val deg = knnGraphRanked(v)
+      .groupBy(col("dst_id").as("id")).agg(count(lit(1)).as("deg"))
+    v.select(col("id"))
+      .join(deg, Seq("id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Reciprocal rank of the TRUE first non-self neighbor (exact rank 2
+    * — rank 1 is the query itself, present in its own gallery) within
+    * the v10 LSH list — MRR's per-query row, the ranking-quality eval
+    * that recall@k (v20) can't see: it distinguishes "found at rank 1"
+    * from "found at rank 5". Both inputs are gated O(Q·k) frames →
+    * broadcast join; rr is ONE integer-over-integer IEEE division
+    * (1/rank), 0.0 when the LSH list misses the target entirely. */
+  def v53LshMrr(s: SparkSession, d: String): DataFrame = {
+    val target = v1KnnL2(s, d).filter(col("rnk") === 2)
+      .select(col("query_id"), col("neighbor_id").as("target_id"))
+    val approx = v10LshSearch(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"),
+        col("rnk").cast("long").as("arnk"))
+    target.join(broadcast(approx),
+        col("query_id") === col("qa") && col("target_id") === col("na"),
+        "left")
+      .select(col("query_id"), col("target_id"),
+        coalesce(col("arnk"), lit(0L)).as("found_rank"),
+        coalesce(lit(1L) / col("arnk"), lit(0.0)).as("rr"))
+  }
+
+  /** Per-label edge purity of the v28 KNN graph — the fraction of each
+    * class's outgoing edges that stay inside the class: the cheap
+    * embedding-space label-consistency diagnostic (low purity = classes
+    * that bleed into each other = mislabels or a weak encoder). Edges
+    * are O(N·k); the two label lookups are id-keyed equi joins against
+    * the O(N) label frame; the rollup is map-side combined to O(labels)
+    * rows with ONE IEEE division each. */
+  def v54KnnPurity(s: SparkSession, d: String): DataFrame = {
+    val lab = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      col("label").cast("long").as("lab"))
+    val edges = knnGraphRanked(bucketedVecs(s, d)).select("src_id", "dst_id")
+    edges
+      .join(lab.select(col("id").as("src_id"), col("lab").as("src_lab")),
+        "src_id")
+      .join(lab.select(col("id").as("dst_id"), col("lab").as("dst_lab")),
+        "dst_id")
+      .groupBy(col("src_lab").as("label_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("src_lab") === col("dst_lab"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("purity", col("n_same") / col("n_edges"))
+  }
+
+  /** Per-source Simpson diversity — the repeat probability Σc(c−1) /
+    * T(T−1): the log-free twin of entropy (exact integers + ONE IEEE
+    * division, where Shannon entropy would need an order-dependent
+    * float sum neither engine can mirror bit-for-bit). Low Simpson =
+    * diverse vocabulary; 1.0 = one token repeated. Two map-side
+    * combined aggregates: corpus → (source, term) counts → O(sources)
+    * rows. Long headroom: T(T−1) overflows past ~3·10⁹ tokens per
+    * source — shard the source key before that point. */
+  def t25Simpson(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("c").cast("long").as("n_tok"),
+        sum(col("c") * (col("c") - 1)).cast("long").as("rep_pairs"))
+      .withColumn("simpson",
+        when(col("n_tok") > 1,
+          col("rep_pairs") / (col("n_tok") * (col("n_tok") - 1)))
+          .otherwise(lit(0.0)))
+
+  /** Duplicate-trigram fraction per doc — the Gopher/C4 repetition
+    * signal t9's modal-token stats don't capture: what share of a
+    * doc's 3-gram OCCURRENCES are repeats of an earlier one. Map-only
+    * (two array expressions per row, no shuffle, no UDF): total
+    * trigrams is max(n_tok−2, 0), distinct trigrams is the shingle-set
+    * size. NULL text is contracted to '' on both engines. */
+  def t26DupNgrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        greatest(size(tokens(coalesce(col("text"), lit("")))) - 2, lit(0))
+          .cast("long").as("n_tri"),
+        size(shingles(coalesce(col("text"), lit("")), 3)).cast("long")
+          .as("n_uniq"))
+      .withColumn("dup_frac",
+        when(col("n_tri") > 0,
+          (col("n_tri") - col("n_uniq")) / col("n_tri"))
+          .otherwise(lit(0.0)))
+
+  /** Per-day bounce rate — sessions that never got a second event, by
+    * day of session start: the engagement health metric on top of e2's
+    * gated sessionization. Session build is per-user windows; the
+    * rollup is a map-side combined O(days) aggregate with ONE IEEE
+    * division per row. */
+  def e26BounceRate(s: SparkSession, d: String): DataFrame =
+    sessionFrame(s, d)
+      .groupBy((floorDiv("s_us", 86400000000L) * 86400).as("day_epoch"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_rate", col("n_bounce") / col("n_sessions"))
+
+  /** Peak concurrent sessions per day — the capacity-planning number:
+    * sweep-line over session intervals [s_us, e_us], concurrency
+    * sampled at each distinct boundary instant AFTER applying all of
+    * that instant's deltas (the deterministic tie contract, mirrored by
+    * the oracle). The global running sum is TWO-LEVEL like m3: deltas
+    * net per distinct instant, instants chunk by hour — level 1 runs
+    * the prefix WITHIN each hour (parallel across hours), level 2
+    * prefix-sums the per-hour nets (one row per hour — the only
+    * unpartitioned window, O(#hours) rows by construction, 8760/year).
+    * Cross-midnight sessions are carried correctly by the hour offsets
+    * — nothing resets at day boundaries. */
+  def e27PeakConcurrent(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionFrame(s, d)
+    val deltas = sess.select(col("s_us").as("us"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("e_us") + 1L).as("us"),
+        lit(-1L).as("delta")))
+      .groupBy("us").agg(sum("delta").as("net"))
+      .withColumn("chunk", floorDiv("us", 3600000000L))
+    val wLocal = Window.partitionBy("chunk").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wChunk = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy("chunk").agg(sum("net").as("chunk_net"))
+      .withColumn("chunk_offset",
+        coalesce(sum("chunk_net").over(wChunk), lit(0L)))
+      .select("chunk", "chunk_offset")
+    deltas
+      .withColumn("local_cum", sum("net").over(wLocal))
+      .join(offsets, Seq("chunk"))
+      .withColumn("conc", col("chunk_offset") + col("local_cum"))
+      .groupBy((floorDiv("us", 86400000000L) * 86400).as("day_epoch"))
+      .agg(max("conc").cast("long").as("peak_concurrent"),
+        count(lit(1)).as("n_instants"))
+  }
+
+  /** Manifest referential-integrity audit — the ingest gate a
+    * multimodal store runs before training: every doc/vector id lands
+    * in exactly one status (paired = quality-passed doc WITH a vector;
+    * quality_reject = m6's filter failed; unvectorized = doc with no
+    * embedding; orphan_vector = embedding with no doc). One O(N) full
+    * outer id join (SMJ), map-side combined rollup to ≤4 rows. Quality
+    * semantics are m6's own (same score, same thresholds) so the audit
+    * can't drift from the manifest it audits. */
+  def m10Integrity(s: SparkSession, d: String): DataFrame = {
+    val caps = docs(s, d)
+      .select(col("doc_id").cast("long").as("id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        qualityScore(col("text")).as("quality"))
+      .select(col("id"), lit(1L).as("has_doc"),
+        when(col("quality") >= 0.4 && col("n_tok") >= 10L, 1L)
+          .otherwise(0L).as("pass"))
+    val vecs = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      lit(1L).as("has_vec"))
+    caps.join(vecs, Seq("id"), "full")
+      .groupBy(
+        when(col("has_doc").isNull, "orphan_vector")
+          .when(col("has_vec").isNull, "unvectorized")
+          .when(col("pass") === 1L, "paired")
+          .otherwise("quality_reject").as("status"))
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+        max("id").as("max_id"))
+  }
+
+  /** Per-source dedup yield — the before/after report a curation run
+    * publishes: docs and chars entering vs surviving near-dup dedup,
+    * where the survivor per cluster is d19's gated keeper rule (max
+    * n_chars, ties to min id). Reuses the d6/d7 guarded component
+    * chain; the yield rollup is an O(N) join + map-side combined
+    * O(sources) aggregate with ONE IEEE division per row. */
+  def p7DedupYield(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val labels = Clustering.connectedComponents(
+      Dedup.simhashDupEdges(dd, "doc_id", "text"), "a_id", "b_id",
+      dd.select(col("doc_id")), "doc_id")
+    val meta = dd.select(col("doc_id").cast("long").as("id"),
+      col("source"), col("n_chars").cast("long").as("n_chars"))
+    val joined = labels.join(meta, "id")
+    val keep = joined.groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("id"), lit(1L).as("kept"))
+    joined.join(keep, Seq("id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum("n_chars").cast("long").as("chars_total"),
+        sum(when(col("kept").isNotNull, col("n_chars")).otherwise(0L))
+          .cast("long").as("chars_kept"))
+      .withColumn("keep_rate", col("n_kept") / col("n_docs"))
+  }
 }

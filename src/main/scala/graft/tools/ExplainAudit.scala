@@ -63,7 +63,9 @@ object ExplainAudit {
     "v50_recall_curve",
     // p6's corpus-total and leftover-count 1-row scalar crossjoins
     // (the p2/q20 class).
-    "p6_token_budget")
+    "p6_token_budget",
+    // v53 composes v1's exact chain (the v20/v36 eval class).
+    "v53_lsh_mrr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1,0 +1,164 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-6e batch: KNN-graph degree histogram
+  * (v52), LSH MRR (v53), graph label purity (v54), Simpson diversity
+  * (t25), duplicate-trigram fraction (t26), bounce rate (e26), peak
+  * concurrency (e27), manifest integrity (m10), dedup yield (p7).
+  * Exact value parity is covered by the DuckDB oracle gate; these
+  * assert the semantic properties the oracle can't name.
+  */
+class Round6eOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("v52: histogram partitions the gallery; edge mass equals the " +
+    "v28 edge count") {
+    val hist = Queries.v52GraphDegree(spark, sf).collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(hist.map(_.getAs[Long]("n_nodes")).sum == nVecs)
+    val edgeMass = hist.map(r =>
+      r.getAs[Long]("in_degree") * r.getAs[Long]("n_nodes")).sum
+    assert(edgeMass == Queries.v28KnnGraph(spark, sf).count())
+    assert(hist.map(_.getAs[Long]("in_degree")).distinct.length ==
+      hist.length)
+  }
+
+  test("v53: one row per query; rr is exactly 1/found_rank (0 when " +
+    "missed) and found_rank stays within the LSH top-5") {
+    val out = Queries.v53LshMrr(spark, sf).collect()
+    val nQueries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 100 === 0).count()
+    assert(out.length == nQueries)
+    out.foreach { r =>
+      val fr = r.getAs[Long]("found_rank")
+      val rr = r.getAs[Double]("rr")
+      assert(fr >= 0 && fr <= 5)
+      if (fr == 0) assert(rr == 0.0) else assert(rr == 1.0 / fr)
+    }
+  }
+
+  test("v54: purity in [0,1], n_same <= n_edges, and edge totals " +
+    "partition the v28 edge list") {
+    val out = Queries.v54KnnPurity(spark, sf).collect()
+    out.foreach { r =>
+      val same = r.getAs[Long]("n_same"); val all = r.getAs[Long]("n_edges")
+      assert(same >= 0 && same <= all)
+      val p = r.getAs[Double]("purity")
+      assert(p >= 0.0 && p <= 1.0 && p == same.toDouble / all)
+    }
+    assert(out.map(_.getAs[Long]("n_edges")).sum ==
+      Queries.v28KnnGraph(spark, sf).count())
+  }
+
+  test("t25: vocab/token/repeat-pair counts replay exactly from the " +
+    "corpus; simpson in [0,1]") {
+    val bynSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source".as[String], $"text".as[String]).collect()
+      .filter(_._2 != null)
+      .groupBy(_._1)
+      .map { case (src, rows) =>
+        val counts = rows.flatMap(_._2.split(" ", -1))
+          .groupBy(identity).map(_._2.length.toLong)
+        val t = counts.sum
+        (src, (counts.size.toLong, t, counts.map(c => c * (c - 1)).sum))
+      }
+    val out = Queries.t25Simpson(spark, sf).collect()
+    assert(out.length == bynSrc.size)
+    out.foreach { r =>
+      val (vocab, t, rep) = bynSrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("vocab") == vocab)
+      assert(r.getAs[Long]("n_tok") == t)
+      assert(r.getAs[Long]("rep_pairs") == rep)
+      val s = r.getAs[Double]("simpson")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("t26: per-doc trigram counts replay exactly; dup_frac in [0,1)") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toMap
+    Queries.t26DupNgrams(spark, sf).collect().foreach { r =>
+      val toks = Option(texts(r.getAs[Long]("doc_id"))).getOrElse("")
+        .split(" ", -1)
+      val tris = toks.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+      assert(r.getAs[Long]("n_tri") == tris.length)
+      assert(r.getAs[Long]("n_uniq") == tris.distinct.length)
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f < 1.0)
+    }
+  }
+
+  test("e26: bounces never exceed sessions and day totals match e2's " +
+    "session count") {
+    val out = Queries.e26BounceRate(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bounce") <= r.getAs[Long]("n_sessions"))
+    }
+    val e2Total = Queries.e2Sessionize(spark, sf)
+      .agg(sum("n_sessions")).as[Long].collect().head
+    assert(out.map(_.getAs[Long]("n_sessions")).sum == e2Total)
+  }
+
+  test("e27: the per-day peaks replay exactly from a Scala sweep-line " +
+    "over the session intervals") {
+    // rebuild sessions exactly as the operator contract defines them
+    val us = graft.sources.Tables.events(spark, sf)
+      .select($"user_id".cast("long"), $"event_id".cast("long"),
+        $"ts".cast("long")).as[(Long, Long, Long)].collect()
+      .map { case (u, e, ns) => (u, e, Math.floorDiv(ns, 1000L)) }
+    val sessions = us.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var s = sorted.head._3; var e = sorted.head._3
+      sorted.tail.foreach { r =>
+        if (r._3 - e > 1800000000L) { bounds += ((s, e)); s = r._3 }
+        e = r._3
+      }
+      bounds += ((s, e)); bounds
+    }.toSeq
+    val net = (sessions.map(b => (b._1, 1L)) ++
+        sessions.map(b => (b._2 + 1, -1L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var cum = 0L
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    net.foreach { case (t, d) =>
+      cum += d
+      val day = Math.floorDiv(t, 86400000000L) * 86400L
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), cum)
+    }
+    val out = Queries.e27PeakConcurrent(spark, sf).collect()
+    assert(out.length == peaks.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("peak_concurrent") ==
+        peaks(r.getAs[Long]("day_epoch")))
+    }
+  }
+
+  test("m10: statuses partition both tables (doc-side and vec-side " +
+    "identities hold)") {
+    val out = Queries.m10Integrity(spark, sf).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    def g(k: String) = out.getOrElse(k, 0L)
+    assert(g("paired") + g("quality_reject") + g("unvectorized") == nDocs)
+    assert(g("paired") + g("quality_reject") + g("orphan_vector") == nVecs)
+  }
+
+  test("p7: doc totals partition the corpus, keepers count the " +
+    "clusters, kept chars never exceed totals") {
+    val out = Queries.p7DedupYield(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val nClusters = Queries.d18ClusterSizes(spark, sf)
+      .agg(sum("n_clusters")).as[Long].collect().head
+    assert(out.map(_.getAs[Long]("n_kept")).sum == nClusters)
+    out.foreach { r =>
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+  }
+}
