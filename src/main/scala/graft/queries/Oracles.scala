@@ -3151,5 +3151,146 @@ SELECT source, count(*) AS n_docs,
          AS chars_kept,
        CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
          / count(*) AS keep_rate
-FROM rk GROUP BY 1""")
+FROM rk GROUP BY 1""",
+
+    // IVF scan-fraction curve: v6's occupancy + v7's probe ranking,
+    // one point per nprobe — the cost table v46's recall table pairs
+    // with.
+    "v55_scan_fraction" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+asn AS (SELECT gid, cid FROM (
+          SELECT gid, cid,
+                 row_number() OVER (PARTITION BY gid
+                   ORDER BY ${l2sq("gvec", "cvec")}, cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+occ AS (SELECT cid, count(*) AS n_in_list FROM asn GROUP BY 1),
+q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+      FROM embeddings WHERE vec_id % 100 = 0),
+pr AS (SELECT query_id, cid,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ${l2sq("qvec", "cvec")}, cid) AS rn
+       FROM q CROSS JOIN c),
+tot AS (SELECT count(*) AS n_gallery FROM g)
+${Seq(1, 2, 4).map(np => s"""SELECT CAST($np AS BIGINT) AS nprobe,
+       CAST(sum(n_in_list) AS BIGINT) AS total_scanned,
+       CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       n_gallery,
+       CAST(sum(n_in_list) AS BIGINT)
+         / (CAST(count(DISTINCT query_id) AS BIGINT) * n_gallery)
+         AS scan_frac
+FROM pr JOIN occ USING (cid) CROSS JOIN tot
+WHERE rn <= $np GROUP BY n_gallery""").mkString("\nUNION ALL\n")}""",
+
+    // Composite IVFPQ recall: v13's full chain + v1's exact ranking,
+    // joined per query (the v36/v39 recipe on the composite index).
+    "v56_ivfpq_recall" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS ccid, v AS cv FROM g WHERE gid < 10),
+asn AS (SELECT gid, ccid AS acid FROM (
+          SELECT g.gid, c.ccid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.ccid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+cb AS (SELECT gid AS cid, v AS cbv FROM g WHERE gid < 16),
+jj AS (SELECT unnest(range(8)) AS j),
+enc AS (SELECT gid, j, cid AS code FROM (
+          SELECT g.gid, jj.j, cb.cid,
+                 row_number() OVER (PARTITION BY g.gid, jj.j
+                   ORDER BY ${subL2("g.v", "cb.cbv", "jj.j", 8)}, cb.cid) AS rn
+          FROM g CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+probe AS (SELECT query_id, ccid AS pcid FROM (
+            SELECT q.query_id, c.ccid,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${l2sq("q.qvec", "c.cv")}, c.ccid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 2),
+adc AS (SELECT q.query_id, e.gid,
+               CAST(sum(${subL2("q.qvec", "cb.cbv", "e.j", 8)}) AS BIGINT) AS adc
+        FROM probe p
+        JOIN asn a ON a.acid = p.pcid
+        JOIN enc e ON e.gid = a.gid
+        JOIN cb ON cb.cid = e.code
+        JOIN q ON q.query_id = p.query_id
+        GROUP BY 1, 2),
+r AS (SELECT query_id, gid, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+      FROM adc),
+ha AS (SELECT query_id, gid FROM r WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+
+    // Punctuation/casing/digit profile: ASCII character-class counts
+    // via regexp_replace+length on both engines; NULL text → ''.
+    "t27_punct_profile" -> """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, coalesce(text, '') AS t
+           FROM documents),
+c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(t, '[^.!?]', '', 'g')) AS BIGINT)
+               AS n_punct,
+             CAST(length(regexp_replace(t, '[^A-Z]', '', 'g')) AS BIGINT)
+               AS n_upper,
+             CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT)
+               AS n_digit
+      FROM d)
+SELECT doc_id, n_chars, n_punct, n_upper, n_digit,
+       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END
+         AS punct_ratio,
+       CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END
+         AS upper_ratio,
+       CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END
+         AS digit_ratio
+FROM c""",
+
+    // Transition-latency matrix: e15's lag frame carrying the gap too;
+    // HUGEINT sums mirror the Spark side's Decimal(38,0) (e14's rule).
+    "e28_transition_latency" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(event_id AS BIGINT) AS event_id,
+                  event_type, epoch_us(ts) AS us FROM events),
+p AS (SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS from_type,
+             us - lag(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS gap
+      FROM x)
+SELECT from_type, to_type, count(*) AS n,
+       CAST(sum(CAST(gap AS HUGEINT)) AS DOUBLE) / count(*) AS mean_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2""",
+
+    // Shard-balance audit: m3's packing chain rolled up per source
+    // with v37's imbalance factor.
+    "m11_shard_balance" -> """
+WITH a AS (SELECT CAST(doc_id AS BIGINT) AS asset_id, source,
+                  CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+c AS (SELECT asset_id, source, n_bytes,
+             CAST(coalesce(sum(n_bytes) OVER (PARTITION BY source
+               ORDER BY asset_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bytes_before
+      FROM a),
+sh AS (SELECT source, bytes_before // 8192 AS shard_id,
+              CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
+       FROM c GROUP BY 1, 2)
+SELECT source, count(*) AS n_shards,
+       CAST(sum(shard_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(shard_bytes) AS BIGINT) AS min_bytes,
+       CAST(max(shard_bytes) AS BIGINT) AS max_bytes,
+       CAST(count(*) * CAST(sum(shard_bytes * shard_bytes) AS BIGINT)
+         AS BIGINT)
+         / CAST(CAST(sum(shard_bytes) AS BIGINT)
+             * CAST(sum(shard_bytes) AS BIGINT) AS BIGINT) AS imbalance
+FROM sh GROUP BY 1""")
 }

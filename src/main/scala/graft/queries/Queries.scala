@@ -3959,6 +3959,131 @@ object Queries {
         max("id").as("max_id"))
   }
 
+  /** IVF scan-fraction curve — the COST column to v46's recall column:
+    * the exact fraction of the gallery an nprobe ∈ {1,2,4} probe search
+    * touches (Σ probed-list sizes over Q·N). Together the two tables
+    * are the nprobe tuning decision. One assignment build feeds every
+    * point; the occupancy frame is O(nlist); probes are O(Q·nprobe);
+    * each point is a tiny join + one-row aggregate; ONE IEEE division
+    * per row at the end. */
+  def v55ScanFraction(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = seedCentroids(e)
+    val occ = IvfIndex.assign(e, cents, "vec_id", "embedding", "cid")
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_in_list"))
+    val total = e.agg(count(lit(1)).as("n_gallery"))
+    val probes = KnnJoin.knnL2(cents.select(col("cid"), col("embedding")),
+        queryVecs(e), "cid", "embedding", "vec_id", k = 4)
+      .select(col("query_id"), col("rnk"),
+        col("neighbor_id").as("centroid_id"))
+    Seq(1, 2, 4).map { np =>
+      probes.filter(col("rnk") <= np)
+        .join(occ, "centroid_id")
+        .agg(sum("n_in_list").cast("long").as("total_scanned"),
+          countDistinct(col("query_id")).as("n_queries"))
+        .select(lit(np.toLong).as("nprobe"), col("total_scanned"),
+          col("n_queries"))
+    }.reduce(_ unionByName _)
+      .crossJoin(total)
+      .withColumn("scan_frac",
+        col("total_scanned") / (col("n_queries") * col("n_gallery")))
+  }
+
+  /** Recall@5 of the composite IVFPQ search (v13) vs the exact scan —
+    * the eval point the v36 (PQ) / v39 (IVF) pair was missing: the
+    * production index is the COMPOSITE, and its recall is not the
+    * product of its parts (probe pruning and code quantization lose
+    * different neighbors). Both inputs gated O(Q·k) frames → broadcast
+    * join + tiny aggregate; oracle reuses v13's chain + v1's exact
+    * ranking verbatim so the eval can't drift from the operators it
+    * scores. */
+  def v56IvfpqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v13IvfPqSearch(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
+  /** Per-doc punctuation/casing/digit profile — the C4/Gopher surface
+    * signals t2's stopword score and t12's token-shape filters don't
+    * read: sentence-punctuation density, ALL-CAPS shouting, numeric
+    * tables. MAP-ONLY: four codegen'd regexp_replace+length counts per
+    * row, no shuffle, no UDF; ASCII character classes (identical under
+    * Java regex and RE2); NULL text contracted to ''; ratios are exact
+    * integer/integer IEEE divisions. */
+  def t27PunctProfile(s: SparkSession, d: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    def cnt(cls: String) =
+      length(regexp_replace(t, s"[^$cls]", "")).cast("long")
+    docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        cnt(".!?").as("n_punct"), cnt("A-Z").as("n_upper"),
+        cnt("0-9").as("n_digit"))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0, col("n_punct") / col("n_chars"))
+          .otherwise(lit(0.0)))
+      .withColumn("upper_ratio",
+        when(col("n_chars") > 0, col("n_upper") / col("n_chars"))
+          .otherwise(lit(0.0)))
+      .withColumn("digit_ratio",
+        when(col("n_chars") > 0, col("n_digit") / col("n_chars"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Transition-latency matrix — the LATENCY companion to e15's count
+    * matrix: mean/max inter-event gap per (from_type → to_type) edge,
+    * the funnel-friction signal transition counts can't show. Per-user
+    * windows (parallel across users, e2's shape); the rollup is a
+    * map-side combined O(types²) aggregate; sums ride Decimal(38,0) ≡
+    * HUGEINT (e14's overflow-safe pattern) with ONE IEEE division per
+    * row. */
+  def e28TransitionLatency(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    eventsUs(s, d)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"),
+        (col("us") - col("prev")).as("gap"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap").cast(dec)).as("sg"),
+        max("gap").cast("long").as("max_gap_us"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("sg").cast("double") / col("n")).as("mean_gap_us"),
+        col("max_gap_us"))
+  }
+
+  /** Shard-balance audit — v37's imbalance factor applied to m3's
+    * gated shard packing, per source: did the packer actually balance
+    * bytes across shards? (imbalance 1.0 = perfectly even; the number
+    * that predicts straggler tasks when the shards become training
+    * input files). Rolls up m3's O(shards) output map-side to
+    * O(sources) rows; exact Long numerator/denominator, ONE IEEE
+    * division per row. */
+  def m11ShardBalance(s: SparkSession, d: String): DataFrame =
+    m3ShardAssign(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shards"),
+        sum("shard_bytes").cast("long").as("total_bytes"),
+        min("shard_bytes").cast("long").as("min_bytes"),
+        max("shard_bytes").cast("long").as("max_bytes"),
+        sum(col("shard_bytes") * col("shard_bytes")).cast("long")
+          .as("sum_sq"))
+      .select(col("source"), col("n_shards"), col("total_bytes"),
+        col("min_bytes"), col("max_bytes"),
+        ((col("n_shards") * col("sum_sq"))
+          / (col("total_bytes") * col("total_bytes"))).as("imbalance"))
+
   /** Per-source dedup yield — the before/after report a curation run
     * publishes: docs and chars entering vs surviving near-dup dedup,
     * where the survivor per cluster is d19's gated keeper rule (max

@@ -65,7 +65,11 @@ object ExplainAudit {
     // (the p2/q20 class).
     "p6_token_budget",
     // v53 composes v1's exact chain (the v20/v36 eval class).
-    "v53_lsh_mrr")
+    "v53_lsh_mrr",
+    // v55's probe ranking is the tiny centroids × broadcast(queries)
+    // crossjoin plus a 1-row gallery-total scalar (the v46/q20 class);
+    // v56 composes v1's and v13's gated chains (the v36/v39 class).
+    "v55_scan_fraction", "v56_ivfpq_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -148,6 +148,73 @@ class Round6eOpsSpec extends SparkSpec {
     assert(g("paired") + g("quality_reject") + g("orphan_vector") == nVecs)
   }
 
+  test("v55: scan fraction is monotone in nprobe, bounded by 1, and " +
+    "nprobe=4 of a 10-list index scans less than half on average " +
+    "only if lists are uneven — exact mass checks instead") {
+    val out = Queries.v55ScanFraction(spark, sf).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(out.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val fracs = out.map(_.getAs[Double]("scan_frac"))
+    assert(fracs.sliding(2).forall(w => w(0) <= w(1)))
+    out.foreach { r =>
+      assert(r.getAs[Double]("scan_frac") > 0.0 &&
+        r.getAs[Double]("scan_frac") <= 1.0)
+      assert(r.getAs[Long]("total_scanned") <=
+        r.getAs[Long]("n_queries") * r.getAs[Long]("n_gallery"))
+    }
+  }
+
+  test("v56: composite recall never exceeds the IVF-only recall at " +
+    "the same probe set's upper bound of 1 and matches n_hit/k") {
+    Queries.v56IvfpqRecall(spark, sf).collect().foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0 && hit <= 5)
+      assert(r.getAs[Double]("recall_at_5") == hit / 5.0)
+    }
+  }
+
+  test("t27: counts replay exactly from the raw text; ratios bounded") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toMap
+    Queries.t27PunctProfile(spark, sf).collect().foreach { r =>
+      val t = Option(texts(r.getAs[Long]("doc_id"))).getOrElse("")
+      assert(r.getAs[Long]("n_chars") == t.length)
+      assert(r.getAs[Long]("n_punct") == t.count(".!?".contains(_)))
+      assert(r.getAs[Long]("n_upper") == t.count(c => c >= 'A' && c <= 'Z'))
+      assert(r.getAs[Long]("n_digit") == t.count(c => c >= '0' && c <= '9'))
+      assert(r.getAs[Double]("punct_ratio") >= 0.0 &&
+        r.getAs[Double]("punct_ratio") <= 1.0)
+    }
+  }
+
+  test("e28: transition edge counts reconcile with e15's count matrix") {
+    val lat = Queries.e28TransitionLatency(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+        -> r.getAs[Long]("n")).toMap
+    val cnt = Queries.e15Transitions(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+        -> r.getAs[Long]("n")).toMap
+    assert(lat == cnt)
+    Queries.e28TransitionLatency(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("mean_gap_us") >= 0.0)
+      assert(r.getAs[Double]("mean_gap_us") <=
+        r.getAs[Long]("max_gap_us").toDouble)
+    }
+  }
+
+  test("m11: per-source byte totals and shard counts reconcile with " +
+    "m3's packing; imbalance respects the Cauchy-Schwarz bound") {
+    val m3 = Queries.m3ShardAssign(spark, sf).collect()
+      .groupBy(_.getAs[String]("source"))
+    Queries.m11ShardBalance(spark, sf).collect().foreach { r =>
+      val shards = m3(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_shards") == shards.length)
+      assert(r.getAs[Long]("total_bytes") ==
+        shards.map(_.getAs[Long]("shard_bytes")).sum)
+      assert(r.getAs[Double]("imbalance") >= 1.0)
+    }
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
