@@ -3270,6 +3270,83 @@ SELECT from_type, to_type, count(*) AS n,
        CAST(max(gap) AS BIGINT) AS max_gap_us
 FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2""",
 
+    // Growth accounting: distinct (user, week) frame → per-user lag
+    // classes → weekly rollup; churn from the calendar-frame lag.
+    "e29_lifecycle" -> """
+WITH w AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+                  epoch_us(ts) // 604800000000 AS wk FROM events),
+l AS (SELECT user_id, wk,
+             lag(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+      FROM w),
+a AS (SELECT wk, count(*) AS n_active,
+             CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(sum(CASE WHEN wk - prev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND wk - prev > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM l GROUP BY 1),
+t AS (SELECT wk, n_active, n_new, n_retained, n_resurrected,
+             lag(wk, 1) OVER (ORDER BY wk) AS prev_wk,
+             lag(n_active, 1) OVER (ORDER BY wk) AS prev_active
+      FROM a)
+SELECT CAST(wk * 604800 AS BIGINT) AS week_epoch,
+       n_active, n_new, n_retained, n_resurrected,
+       CAST(CASE WHEN prev_wk = wk - 1 THEN prev_active - n_retained
+                 ELSE 0 END AS BIGINT) AS n_churned
+FROM t""",
+
+    // Nation YoY: cents-exact yearly revenue + calendar-frame lag.
+    "q35_nation_yoy" -> s"""
+WITH b AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS year,
+                  ${moneySum(discPrice, 10000)} AS rev_c
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+t AS (SELECT n_name, year, rev_c,
+             lag(rev_c, 1) OVER (PARTITION BY n_name ORDER BY year)
+               AS prev_c
+      FROM b)
+SELECT n_name, year, rev_c / 10000.0 AS revenue,
+       CASE WHEN prev_c IS NOT NULL
+            THEN CAST(rev_c - prev_c AS DOUBLE) / prev_c
+            ELSE 0.0 END AS yoy_growth
+FROM t""",
+
+    // Greedy graph-descent search: v28's edge chain + three unrolled
+    // step CTEs (candidates = current ∪ neighbors, argmin with ties to
+    // min id — the Spark loop's exact contract).
+    "v57_graph_search" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand),
+e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
+q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0),
+s0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS cur FROM q),
+${(1 to 3).map(i => s"""c$i AS (SELECT query_id, cur AS nid FROM s${i - 1}
+       UNION ALL
+       SELECT s.query_id, e.dst_id AS nid
+       FROM s${i - 1} s JOIN e ON e.src_id = s.cur),
+s$i AS (SELECT query_id, nid AS cur FROM (
+          SELECT c.query_id, c.nid,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
+          FROM c$i c JOIN g gv ON gv.gid = c.nid
+          JOIN q ON q.query_id = c.query_id) WHERE rn = 1)""")
+  .mkString(",\n")}
+SELECT s3.query_id, s3.cur AS node_id,
+       sqrt(${l2sq("gv.v", "q.qv")}) / $vscale.0 AS dist
+FROM s3 JOIN g gv ON gv.gid = s3.cur
+JOIN q ON q.query_id = s3.query_id""",
+
     // Shard-balance audit: m3's packing chain rolled up per source
     // with v37's imbalance factor.
     "m11_shard_balance" -> """

@@ -4063,6 +4063,112 @@ object Queries {
         col("max_gap_us"))
   }
 
+  /** Growth accounting — the weekly user-lifecycle ledger every
+    * analytics stack publishes: actives split into new / retained /
+    * resurrected, plus churned (last week's actives who didn't come
+    * back; defined when a prior calendar week exists, 0 otherwise —
+    * oracle-mirrored). e6's cohort matrix says WHO returns; this says
+    * how the topline decomposes. Scale shape: ONE distinct (user,
+    * week) frame; the lag window is per-user (parallel); the weekly
+    * rollup is map-side combined; the churn lag orders only the
+    * O(weeks) calendar frame. */
+  def e29Lifecycle(s: SparkSession, d: String): DataFrame = {
+    val wkFrame = eventsUs(s, d)
+      .select(col("user_id"), floorDiv("us", 604800000000L).as("wk"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("wk")
+    val weekly = wkFrame.withColumn("prev", lag(col("wk"), 1).over(w))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("wk") - col("prev") === 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull && col("wk") - col("prev") > 1L, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val wAll = Window.orderBy("wk") // O(weeks) calendar frame
+    weekly
+      .withColumn("prev_wk", lag(col("wk"), 1).over(wAll))
+      .withColumn("prev_active", lag(col("n_active"), 1).over(wAll))
+      .select((col("wk") * 604800).as("week_epoch"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        when(col("prev_wk") === col("wk") - 1,
+          col("prev_active") - col("n_retained"))
+          .otherwise(lit(0L)).as("n_churned"))
+  }
+
+  /** Year-over-year revenue growth per customer nation — the trend
+    * companion to q5's snapshot (and e25's WoW recipe on the
+    * relational side). Cents stay exact Longs through the growth
+    * subtraction; ONE IEEE division per output row for each of
+    * revenue and growth. The lag window orders only the O(nations ×
+    * years) frame. */
+  def q35NationYoy(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"))
+    val c = Tables.customer(s, d).select(col("c_custkey"),
+      col("c_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        year(col("o_orderdate")).cast("long").as("year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000).as("rev_c"))
+    val w = Window.partitionBy("n_name").orderBy("year")
+    base.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("n_name"), col("year"),
+        (col("rev_c") / lit(10000.0)).as("revenue"),
+        when(col("prev_c").isNotNull,
+          (col("rev_c") - col("prev_c")).cast("double") / col("prev_c"))
+          .otherwise(lit(0.0)).as("yoy_growth"))
+  }
+
+  /** Greedy graph-descent search — the HNSW layer-0 / NSW search
+    * primitive over the v28 KNN graph: start every query at the entry
+    * node (min id), and for 3 steps move to the closest of {current} ∪
+    * neighbors(current). Including the current node makes the descent
+    * MONOTONE (distance never increases — the spec proves it), and a
+    * stalled walk is the greedy fixed point, exactly HNSW's stop rule.
+    * Scale shape: each step joins an O(Q·(k+1)) candidate frame to the
+    * vector store BY ID (AQE broadcasts the candidates; the gallery
+    * streams) — a query batch costs O(steps·Q·k) distance evals total,
+    * independent of N, which is WHY graph search beats scanning at
+    * 100 TB. The edge list is localCheckpointed (computed once,
+    * referenced per step); the entry scalar is a 1-row crossjoin (q20
+    * class). */
+  def v57GraphSearch(s: SparkSession, d: String): DataFrame = {
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val edges = knnGraphRanked(v).select(col("src_id"), col("dst_id"))
+      .localCheckpoint(false)
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    val entry = vec.agg(min("id").as("cur"))
+    var cur = q.select(col("query_id")).crossJoin(entry)
+    for (_ <- 1 to 3) {
+      val cand = cur.select(col("query_id"), col("cur").as("nid"))
+        .unionAll(cur.join(edges, col("cur") === col("src_id"))
+          .select(col("query_id"), col("dst_id").as("nid")))
+      cur = cand
+        .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+        .groupBy("query_id")
+        .agg(min(struct(col("d2"), col("nid"))).as("m"))
+        .select(col("query_id"), col("m.nid").as("cur"))
+    }
+    cur.join(vec.select(col("id").as("cur"), col("qv").as("nv")), "cur")
+      .join(q, "query_id")
+      .select(col("query_id"), col("cur").as("node_id"),
+        distFromIntSq(intL2Sq(col("nv"), col("query_v")).cast("double"))
+          .as("dist"))
+  }
+
   /** Shard-balance audit — v37's imbalance factor applied to m3's
     * gated shard packing, per source: did the packer actually balance
     * bytes across shards? (imbalance 1.0 = perfectly even; the number

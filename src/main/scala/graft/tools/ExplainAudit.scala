@@ -69,7 +69,9 @@ object ExplainAudit {
     // v55's probe ranking is the tiny centroids × broadcast(queries)
     // crossjoin plus a 1-row gallery-total scalar (the v46/q20 class);
     // v56 composes v1's and v13's gated chains (the v36/v39 class).
-    "v55_scan_fraction", "v56_ivfpq_recall")
+    "v55_scan_fraction", "v56_ivfpq_recall",
+    // v57's entry node is a 1-row scalar crossjoin (the q20 class).
+    "v57_graph_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -215,6 +215,77 @@ class Round6eOpsSpec extends SparkSpec {
     }
   }
 
+  test("v57: the walk replays exactly in Scala (3 greedy steps from " +
+    "the min-id entry) and descent is monotone") {
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long"),
+        graft.functions.VectorFunctions.quantize($"embedding"))
+      .as[(Long, Seq[Long])].collect().toMap.map { case (k, v) =>
+        k -> v.toArray }
+    val edges = Queries.v28KnnGraph(spark, sf)
+      .select($"src_id".as[Long], $"dst_id".as[Long]).collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val entry = vecs.keys.min
+    val out = Queries.v57GraphSearch(spark, sf).collect()
+    val queries = vecs.keys.filter(_ % 100 == 0)
+    assert(out.length == queries.size)
+    out.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val qv = vecs(qid)
+      var cur = entry
+      for (_ <- 1 to 3) {
+        val cand = cur +: edges.getOrElse(cur, Seq.empty)
+        cur = cand.minBy(n => (d2(vecs(n), qv), n))
+      }
+      assert(r.getAs[Long]("node_id") == cur)
+      assert(d2(vecs(cur), qv) <= d2(vecs(entry), qv))
+      assert(r.getAs[Double]("dist") ==
+        math.sqrt(d2(vecs(cur), qv).toDouble) / 10000.0)
+    }
+  }
+
+  test("e29: lifecycle classes partition each week's actives; new " +
+    "users sum to the user base; churn closes the ledger on " +
+    "contiguous weeks") {
+    val out = Queries.e29Lifecycle(spark, sf).collect()
+      .sortBy(_.getAs[Long]("week_epoch"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+        r.getAs[Long]("n_resurrected") == r.getAs[Long]("n_active"))
+    }
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_new")).sum == nUsers)
+    out.sliding(2).foreach {
+      case Array(a, b)
+          if b.getAs[Long]("week_epoch") ==
+            a.getAs[Long]("week_epoch") + 604800 =>
+        assert(b.getAs[Long]("n_churned") ==
+          a.getAs[Long]("n_active") - b.getAs[Long]("n_retained"))
+      case _ => ()
+    }
+  }
+
+  test("q35: growth replays exactly from the recovered cents; first " +
+    "year of each nation reports 0.0") {
+    val out = Queries.q35NationYoy(spark, sf).collect()
+      .groupBy(_.getAs[String]("n_name"))
+    out.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("year"))
+      assert(sorted.head.getAs[Double]("yoy_growth") == 0.0)
+      sorted.sliding(2).foreach {
+        case Array(a, b)
+            if b.getAs[Long]("year") == a.getAs[Long]("year") + 1 =>
+          val pc = Math.round(a.getAs[Double]("revenue") * 10000)
+          val cc = Math.round(b.getAs[Double]("revenue") * 10000)
+          assert(b.getAs[Double]("yoy_growth") == (cc - pc).toDouble / pc)
+        case _ => ()
+      }
+    }
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
