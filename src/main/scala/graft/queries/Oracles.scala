@@ -3270,6 +3270,46 @@ SELECT from_type, to_type, count(*) AS n,
        CAST(max(gap) AS BIGINT) AS max_gap_us
 FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2""",
 
+    // Market-basket pairs: per-order self-join (fanout bounded by
+    // order size) + support rank.
+    "q36_basket_pairs" -> """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey),
+c AS (SELECT part_a, part_b, count(*) AS n_orders FROM p GROUP BY 1, 2),
+r AS (SELECT part_a, part_b, n_orders,
+             row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+               AS rnk
+      FROM c)
+SELECT CAST(rnk AS BIGINT) AS rnk, CAST(part_a AS BIGINT) AS part_a,
+       CAST(part_b AS BIGINT) AS part_b, n_orders
+FROM r WHERE rnk <= 10""",
+
+    // Count-min sketch: cells keyed by (row, 3-hex-char md5 prefix) —
+    // no hex→int conversion to disagree on; estimates for the true
+    // top-10 tokens.
+    "t28_cms_estimate" -> """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+jj AS (SELECT unnest(range(4)) AS j),
+cells AS (SELECT j AS row_idx,
+                 substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 3)
+                   AS bucket,
+                 CAST(sum(n) AS BIGINT) AS cell_n
+          FROM c CROSS JOIN jj GROUP BY 1, 2),
+r AS (SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rnk
+      FROM c),
+top AS (SELECT token, n, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 10)
+SELECT t.token, t.rnk, t.n AS true_n, CAST(min(cell_n) AS BIGINT) AS est_n
+FROM top t CROSS JOIN jj
+JOIN cells ON cells.row_idx = jj.j
+ AND cells.bucket = substr(md5(CAST(jj.j AS VARCHAR) || ':' || t.token), 1, 3)
+GROUP BY 1, 2, 3""",
+
     // Growth accounting: distinct (user, week) frame → per-user lag
     // classes → weekly rollup; churn from the calendar-frame lag.
     "e29_lifecycle" -> """

@@ -4063,6 +4063,76 @@ object Queries {
         col("max_gap_us"))
   }
 
+  /** Market-basket pair mining — parts co-ordered in the same order,
+    * top-10 by support: the association-rule primitive (the
+    * recommendation seed every retail stack computes). Scale shape:
+    * the per-order self-join's fanout is bounded by ORDER SIZE (≤7
+    * lineitems in TPC-H → ≤21 pairs/order — linear in lineitem, never
+    * part-quadratic); pair counts are map-side combined; the top-10 is
+    * t5's two-phase salted rank so no single task sorts the whole pair
+    * frame. */
+  def q36BasketPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val counts = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+    val w1 = Window.partitionBy(col("_salt"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+    val w = Window
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+    counts
+      .withColumn("_salt", pmod(hash(col("part_a"), col("part_b")), lit(8)))
+      .withColumn("rk1", row_number().over(w1)).filter(col("rk1") <= 10)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("rnk"), col("part_a").cast("long").as("part_a"),
+        col("part_b").cast("long").as("part_b"), col("n_orders"))
+  }
+
+  /** Count-min sketch under the hard gate — the approximate-count
+    * structure every streaming/OLAP stack publishes, made
+    * bit-portable: 4 rows × 4096 buckets keyed by the FIRST 3 HEX
+    * CHARS of md5(row:token) (no hex→int conversion to disagree on),
+    * exact Long cell sums, estimates for the true top-10 tokens with
+    * the CMS guarantee est ≥ true (spec-proved). Scale shape: token
+    * counts are the only data-sized shuffle (map-side combined); the
+    * cell frame is O(4·4096) and broadcasts; the top-10 rank is t5's
+    * two-phase salted pattern. */
+  def t28CmsEstimate(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    def bucket(j: Int) =
+      substring(md5(concat(lit(s"$j:"), col("token"))), 1, 3)
+    val cells = (0 until 4).map { j =>
+      counts.select(lit(j.toLong).as("row_idx"), bucket(j).as("bucket"),
+        col("n"))
+    }.reduce(_ unionByName _)
+      .groupBy("row_idx", "bucket").agg(sum("n").cast("long").as("cell_n"))
+    val w1 = Window.partitionBy(col("_salt"))
+      .orderBy(col("n").desc, col("token"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    val top = counts
+      .withColumn("_salt", pmod(hash(col("token")), lit(8)))
+      .withColumn("rk1", row_number().over(w1)).filter(col("rk1") <= 10)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("token", "n", "rnk")
+    (0 until 4).map { j =>
+      top.select(col("token"), col("n"), col("rnk"),
+        lit(j.toLong).as("row_idx"), bucket(j).as("bucket"))
+    }.reduce(_ unionByName _)
+      .join(cells, Seq("row_idx", "bucket"))
+      .groupBy("token", "n", "rnk")
+      .agg(min("cell_n").as("est_n"))
+      .select(col("token"), col("rnk"), col("n").as("true_n"),
+        col("est_n"))
+  }
+
   /** Growth accounting — the weekly user-lifecycle ledger every
     * analytics stack publishes: actives split into new / retained /
     * resurrected, plus churned (last week's actives who didn't come

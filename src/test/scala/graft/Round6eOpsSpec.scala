@@ -286,6 +286,48 @@ class Round6eOpsSpec extends SparkSpec {
     }
   }
 
+  test("q36: every reported pair's support replays exactly from the " +
+    "raw lineitems and the ranking is the true top-10") {
+    val orders = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".as[Long], $"l_partkey".as[Long]).collect()
+      .distinct.groupBy(_._1).values.map(_.map(_._2).sorted).toSeq
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    orders.foreach { parts =>
+      for (i <- parts.indices; k <- i + 1 until parts.length)
+        if (parts(i) != parts(k)) {
+          val key = (parts(i), parts(k))
+          support(key) = support.getOrElse(key, 0L) + 1L
+        }
+    }
+    val expected = support.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(10)
+    val out = Queries.q36BasketPairs(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    assert(out.length == math.min(10, support.size))
+    out.zip(expected).foreach { case (r, ((a, b), n)) =>
+      assert(r.getAs[Long]("part_a") == a)
+      assert(r.getAs[Long]("part_b") == b)
+      assert(r.getAs[Long]("n_orders") == n)
+    }
+  }
+
+  test("t28: the CMS over-estimate guarantee holds and the queried " +
+    "tokens are the true top-10") {
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text".as[String]).collect().filter(_ != null)
+      .flatMap(_.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val expected = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+    val out = Queries.t28CmsEstimate(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    assert(out.length == 10)
+    out.zip(expected).foreach { case (r, (t, n)) =>
+      assert(r.getAs[String]("token") == t)
+      assert(r.getAs[Long]("true_n") == n)
+      assert(r.getAs[Long]("est_n") >= n)
+    }
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
