@@ -14,7 +14,9 @@ object Bench {
       "v7_search_persisted" -> ((s, dir) =>
         queries.Queries.v7SearchPersisted(s, dir, idx(dir, "ivfidx"))),
       "v13_search_persisted" -> ((s, dir) =>
-        queries.Queries.v13SearchPersisted(s, dir, idx(dir, "pqidx"))))
+        queries.Queries.v13SearchPersisted(s, dir, idx(dir, "pqidx"))),
+      "v57_search_persisted" -> ((s, dir) =>
+        queries.Queries.v57SearchPersisted(s, dir, idx(dir, "graphidx"))))
   }
 
   def main(args: Array[String]): Unit = {
