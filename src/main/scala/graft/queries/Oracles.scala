@@ -3270,6 +3270,92 @@ SELECT from_type, to_type, count(*) AS n,
        CAST(max(gap) AS BIGINT) AS max_gap_us
 FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2""",
 
+    // Filtered IVF: v7's probe chain with the candidate predicate
+    // added before the rank (IDSelector-on-index semantics).
+    "v58_filtered_ivf" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+asn AS (SELECT gid, cid, rn FROM (
+          SELECT gid, cid, row_number() OVER (PARTITION BY gid ORDER BY ${l2sq("gvec", "cvec")}, cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+kp AS (SELECT CAST(vec_id AS BIGINT) AS kid FROM embeddings
+       WHERE label % 3 = 0),
+q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+      FROM embeddings WHERE vec_id % 100 = 0),
+probe AS (SELECT query_id, cid FROM (
+            SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY ${l2sq("qvec", "cvec")}, cid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 2),
+cand AS (SELECT p.query_id, a.gid, ${l2sq("gvec", "qvec")} AS d2
+         FROM probe p JOIN asn a ON p.cid = a.cid
+         JOIN kp ON kp.kid = a.gid
+         JOIN g ON g.gid = a.gid JOIN q ON q.query_id = p.query_id),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM cand)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
+FROM r WHERE rnk <= 3""",
+
+    // Source-pair TF cosine: exact integer dot over shared terms, one
+    // FIXED sqrt(double·double) expression per pair.
+    "t29_tf_cosine" -> """
+WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+c AS (SELECT source, token, count(*) AS c FROM u GROUP BY 1, 2),
+n2 AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1),
+num AS (SELECT a.source AS a_source, b.source AS b_source,
+               CAST(sum(a.c * b.c) AS BIGINT) AS num
+        FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2)
+SELECT a_source, b_source, num, na.n2 AS na2, nb.n2 AS nb2,
+       num / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+         AS cosine
+FROM num JOIN n2 na ON na.source = num.a_source
+JOIN n2 nb ON nb.source = num.b_source""",
+
+    // Final manifest: d19's keeper chain ∩ t12's Gopher gates (t12's
+    // CTEs renamed g* to coexist with the simhash chain's d/f).
+    "p8_final_manifest" -> s"""
+WITH RECURSIVE $simhashFpCtes,
+rp0 AS (SELECT simhash, CAST(min(doc_id) AS BIGINT) AS rep
+        FROM f GROUP BY simhash),
+star AS (SELECT r.rep AS a_id, f.doc_id AS b_id
+         FROM f JOIN rp0 r USING (simhash) WHERE f.doc_id <> r.rep),
+rf AS (SELECT rep AS doc_id, simhash FROM rp0),
+${simhashBandCtes("rf", graft.operators.Dedup.SimhashMaxBucket)},
+rpair AS (SELECT sc.a_id, sc.b_id
+          FROM sc JOIN rf fa ON fa.doc_id = sc.a_id
+          JOIN rf fb ON fb.doc_id = sc.b_id
+          WHERE ${hammingSql("fa.simhash", "fb.simhash")} <= 3),
+p AS (SELECT a_id, b_id FROM star
+      UNION ALL SELECT a_id, b_id FROM rpair),
+${reachCtes("f", "p")},
+jm AS (SELECT res.id, res.cluster_id, CAST(d0.n_chars AS BIGINT) AS n_chars
+       FROM res JOIN documents d0 ON d0.doc_id = res.id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         ORDER BY n_chars DESC, id) AS rk FROM jm),
+kp AS (SELECT CAST(id AS BIGINT) AS doc_id FROM rk WHERE rk = 1),
+gd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+              string_split(text, ' ') AS toks FROM documents),
+gmm AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS modal_n FROM (
+          SELECT doc_id, t, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(toks) AS t FROM gd) GROUP BY 1, 2)
+        GROUP BY 1),
+gs AS (SELECT gd.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+              CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+              CAST(len(list_filter(toks, t -> t IN $stopList)) AS BIGINT)
+                AS stop_hits,
+              gmm.modal_n
+       FROM gd JOIN gmm USING (doc_id)),
+gk AS (SELECT doc_id, n_tok FROM gs
+       WHERE n_tok >= 20 AND n_tok <= 100000
+         AND 3 * n_tok <= word_chars AND word_chars <= 10 * n_tok
+         AND 50 * stop_hits >= n_tok
+         AND 5 * modal_n <= n_tok)
+SELECT kp.doc_id, d0.source, gk.n_tok
+FROM kp JOIN gk USING (doc_id)
+JOIN documents d0 ON d0.doc_id = kp.doc_id""",
+
     // Market-basket pairs: per-order self-join (fanout bounded by
     // order size) + support rank.
     "q36_basket_pairs" -> """

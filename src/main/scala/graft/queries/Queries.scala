@@ -4063,6 +4063,83 @@ object Queries {
         col("max_gap_us"))
   }
 
+  /** Filtered IVF probe search — the faiss IDSelector ON AN INDEX
+    * (v15 is the full-scan form): candidates from the probed lists are
+    * restricted by a metadata predicate BEFORE the top-k, so a
+    * selective filter cheapens the scan instead of starving recall
+    * post-hoc. The index side carries (id, vec, cid) only; the label
+    * predicate joins in by id (an O(N) column-pruned lookup that AQE
+    * plans as a broadcast of the tiny probed-candidate side). Same
+    * probe chain as v7 — the oracle reuses it with one WHERE added. */
+  def v58FilteredIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = seedCentroids(e)
+    val keep = e.filter(col("label") % 3 === 0)
+      .select(col("vec_id").cast("long").as("id"))
+    val index = IvfIndex.assign(e, cents, "vec_id", "embedding", "cid")
+      .join(keep, "id")
+    IvfIndex.search(index, cents, queryVecs(e),
+      "vec_id", "embedding", "cid", "vec_id", k = 3, nprobe = 2)
+  }
+
+  /** Source-pair term-frequency cosine — t24's set-Jaccard asked "do
+    * these crawls share vocabulary?"; this asks "do they USE it the
+    * same way?" (frequency-weighted redundancy — two mirrors score ~1
+    * even when one is a subset). Per-term join fanout is bounded by
+    * the SOURCE count (t24's argument — never document-quadratic);
+    * norms are one map-side-combined O(sources) frame joined back
+    * twice; the cosine is exact-integer num over a FIXED
+    * sqrt(double·double) expression, mirrored verbatim. Long headroom:
+    * Σc² overflows past ~3·10⁹ occurrences of one term per source. */
+  def t29TfCosine(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val norms = counts.groupBy("source")
+      .agg(sum(col("c") * col("c")).cast("long").as("n2"))
+    val num = counts.as("a").join(counts.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("a_source"),
+        col("b.source").as("b_source"))
+      .agg(sum(col("a.c") * col("b.c")).cast("long").as("num"))
+    num
+      .join(norms.select(col("source").as("a_source"),
+        col("n2").as("na2")), "a_source")
+      .join(norms.select(col("source").as("b_source"),
+        col("n2").as("nb2")), "b_source")
+      .select(col("a_source"), col("b_source"), col("num"), col("na2"),
+        col("nb2"),
+        (col("num") / sqrt(col("na2").cast("double")
+          * col("nb2").cast("double"))).as("cosine"))
+  }
+
+  /** The FINAL training manifest — the capstone join a curation run
+    * ships: documents that (a) are their near-dup cluster's keeper
+    * (d19's rule over the guarded d6/d7 component chain) AND (b) pass
+    * every Gopher gate (t12's keep flag), with source and exact token
+    * count attached. Output is the deliverable row set a tokenizer
+    * consumes. All inputs are already-gated chains; the intersection
+    * is two id-equi joins. */
+  def p8FinalManifest(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val labels = Clustering.connectedComponents(
+      Dedup.simhashDupEdges(dd, "doc_id", "text"), "a_id", "b_id",
+      dd.select(col("doc_id")), "doc_id")
+    val meta = dd.select(col("doc_id").cast("long").as("id"),
+      col("source"), col("n_chars").cast("long").as("n_chars"))
+    val keepers = labels.join(meta, "id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("doc_id"))
+    val quality = t12GopherQuality(s, d)
+      .filter(col("keep") === 1L).select(col("doc_id"), col("n_tok"))
+    keepers.join(quality, "doc_id")
+      .join(dd.select(col("doc_id").cast("long").as("doc_id"),
+        col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
   /** v57 against a PERSISTED edge list (bench-only, the v7/v13
     * persisted-search pattern): the KNN graph is built ONCE and saved;
     * timed runs measure the walk alone. This is the deployment shape —

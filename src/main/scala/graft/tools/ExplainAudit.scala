@@ -71,7 +71,9 @@ object ExplainAudit {
     // v56 composes v1's and v13's gated chains (the v36/v39 class).
     "v55_scan_fraction", "v56_ivfpq_recall",
     // v57's entry node is a 1-row scalar crossjoin (the q20 class).
-    "v57_graph_search")
+    "v57_graph_search",
+    // v58 composes v7's probe crossjoin (the v39 class).
+    "v58_filtered_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

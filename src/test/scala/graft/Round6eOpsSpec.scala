@@ -340,6 +340,52 @@ class Round6eOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("v58: every returned neighbor satisfies the filter predicate " +
+    "and per-query ranks are dense from 1") {
+    val keep = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"label" % 3 === 0).select($"vec_id".as[Long]).collect().toSet
+    val out = Queries.v58FilteredIvf(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(keep(r.getAs[Long]("neighbor_id"))))
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val rnks = rows.map(_.getAs[Long]("rnk")).sorted
+      assert(rnks.toSeq == (1L to rnks.length))
+    }
+  }
+
+  test("t29: cosines replay exactly from raw term counts and sit in " +
+    "(0, 1]") {
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source".as[String], $"text".as[String]).collect()
+      .filter(_._2 != null).groupBy(_._1)
+      .view.mapValues(_.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+    Queries.t29TfCosine(spark, sf).collect().foreach { r =>
+      val a = counts(r.getAs[String]("a_source"))
+      val b = counts(r.getAs[String]("b_source"))
+      val num = a.keySet.intersect(b.keySet).toSeq
+        .map(t => a(t) * b(t)).sum
+      val na2 = a.values.map(c => c * c).sum
+      val nb2 = b.values.map(c => c * c).sum
+      assert(r.getAs[Long]("num") == num)
+      assert(r.getAs[Long]("na2") == na2)
+      assert(r.getAs[Long]("nb2") == nb2)
+      val cos = r.getAs[Double]("cosine")
+      assert(cos == num / math.sqrt(na2.toDouble * nb2.toDouble))
+      assert(cos > 0.0 && cos <= 1.0)
+    }
+  }
+
+  test("p8: the manifest is exactly keepers ∩ Gopher-keep") {
+    val keepers = Queries.d19RepPick(spark, sf)
+      .select($"keep_id".as[Long]).collect().toSet
+    val gopher = Queries.t12GopherQuality(spark, sf)
+      .filter($"keep" === 1L).select($"doc_id".as[Long]).collect().toSet
+    val manifest = Queries.p8FinalManifest(spark, sf)
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(manifest == keepers.intersect(gopher))
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
