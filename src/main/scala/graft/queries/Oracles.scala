@@ -3356,6 +3356,79 @@ SELECT kp.doc_id, d0.source, gk.n_tok
 FROM kp JOIN gk USING (doc_id)
 JOIN documents d0 ON d0.doc_id = kp.doc_id""",
 
+    // Filtered recall: v15's filtered exact chain (top-3) vs v58's
+    // filtered probe chain, joined per query.
+    "v59_filtered_recall" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+gf AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec
+       FROM embeddings WHERE label % 3 = 0),
+dex AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2
+        FROM gf CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 3),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+asn AS (SELECT gid, cid FROM (
+          SELECT gid, cid, row_number() OVER (PARTITION BY gid ORDER BY ${l2sq("gvec", "cvec")}, cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+kp AS (SELECT CAST(vec_id AS BIGINT) AS kid FROM embeddings
+       WHERE label % 3 = 0),
+probe AS (SELECT query_id, cid FROM (
+            SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY ${l2sq("qvec", "cvec")}, cid) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 2),
+cand AS (SELECT p.query_id, a.gid, ${l2sq("gvec", "qvec")} AS d2
+         FROM probe p JOIN asn a ON p.cid = a.cid
+         JOIN kp ON kp.kid = a.gid
+         JOIN g ON g.gid = a.gid JOIN q ON q.query_id = p.query_id),
+ra AS (SELECT query_id, gid,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+       FROM cand),
+ha AS (SELECT query_id, gid FROM ra WHERE rnk <= 3)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_3
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+
+    // SQ8 recall: v17's quantized chain vs v1's exact ranking.
+    "v60_sq8_recall" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+mm AS (SELECT i, CAST(min(v[CAST(i AS INT)+1]) AS BIGINT) AS mn,
+               CAST(max(v[CAST(i AS INT)+1]) AS BIGINT) AS mx
+       FROM g CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1),
+mma AS (SELECT list(mn ORDER BY i) AS mns,
+               list(greatest(mx - mn, 1) ORDER BY i) AS rgs FROM mm),
+enc AS (SELECT gid, list_transform(range(64),
+              i -> ((v[i+1] - mns[i+1]) * 255) // rgs[i+1]) AS cv
+        FROM g CROSS JOIN mma),
+qc AS (SELECT gid AS query_id, cv AS qcv FROM enc WHERE gid % 100 = 0),
+dc AS (SELECT query_id, gid, ${l2sq("cv", "qcv")} AS d2c
+       FROM enc CROSS JOIN qc),
+rc AS (SELECT query_id, gid,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2c, gid) AS rnk
+       FROM dc),
+ha AS (SELECT query_id, gid FROM rc WHERE rnk <= 5),
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+
     // Market-basket pairs: per-order self-join (fanout bounded by
     // order size) + support rank.
     "q36_basket_pairs" -> """

@@ -4140,6 +4140,46 @@ object Queries {
       .select(col("doc_id"), col("source"), col("n_tok"))
   }
 
+  /** Recall@3 of the filtered IVF search (v58) vs the filtered EXACT
+    * scan (v15's top-3) — the eval that closes the filtered-search
+    * loop: filtering shrinks probed lists, so filtered recall is NOT
+    * the unfiltered v39 number. Both inputs gated O(Q·k) frames →
+    * broadcast join + tiny aggregate; oracle reuses v15's and v58's
+    * chains verbatim. */
+  def v59FilteredRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v15FilteredKnn(s, d).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = v58FilteredIvf(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"), col("k"),
+        (col("n_hit") / col("k")).as("recall_at_3"))
+  }
+
+  /** Recall@5 of the SQ8 quantized scan (v17) vs the exact scan — the
+    * last missing row of the eval matrix (PQ v36, IVF v39, LSH v20,
+    * binary v49, IVFPQ v56): how much neighbor quality the 4× scan
+    * compression costs. Both inputs gated O(Q·k) frames → broadcast
+    * join + tiny aggregate. */
+  def v60Sq8Recall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v17Sq8Knn(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"), col("k"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   /** v57 against a PERSISTED edge list (bench-only, the v7/v13
     * persisted-search pattern): the KNN graph is built ONCE and saved;
     * timed runs measure the walk alone. This is the deployment shape —

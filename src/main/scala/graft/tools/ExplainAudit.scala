@@ -73,7 +73,9 @@ object ExplainAudit {
     // v57's entry node is a 1-row scalar crossjoin (the q20 class).
     "v57_graph_search",
     // v58 composes v7's probe crossjoin (the v39 class).
-    "v58_filtered_ivf")
+    "v58_filtered_ivf",
+    // v59/v60 compose gated KNN/probe chains (the v36/v39 eval class).
+    "v59_filtered_recall", "v60_sq8_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -386,6 +386,23 @@ class Round6eOpsSpec extends SparkSpec {
     assert(manifest == keepers.intersect(gopher))
   }
 
+  test("v59/v60: recall rows are one per query with n_hit ≤ k and " +
+    "recall = n_hit/k") {
+    Seq(Queries.v59FilteredRecall(spark, sf) -> "recall_at_3",
+      Queries.v60Sq8Recall(spark, sf) -> "recall_at_5").foreach {
+      case (df, c) =>
+        val out = df.collect()
+        val nQ = spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter($"vec_id" % 100 === 0).count()
+        assert(out.length == nQ)
+        out.foreach { r =>
+          val hit = r.getAs[Long]("n_hit"); val k = r.getAs[Long]("k")
+          assert(hit >= 0 && hit <= k)
+          assert(r.getAs[Double](c) == hit.toDouble / k)
+        }
+    }
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
