@@ -3469,6 +3469,30 @@ JOIN cells ON cells.row_idx = jj.j
  AND cells.bucket = substr(md5(CAST(jj.j AS VARCHAR) || ':' || t.token), 1, 3)
 GROUP BY 1, 2, 3""",
 
+    // Session-level conversion: e2's session chain + a purchase flag
+    // riding the rollup.
+    "e31_session_conversion" -> """
+WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+l AS (SELECT user_id, event_id, event_type, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM x),
+f AS (SELECT user_id, event_type, us,
+             sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM l),
+sess AS (SELECT user_id, sess_id, min(us) AS s_us,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS converted
+         FROM f GROUP BY 1, 2)
+SELECT (s_us // 86400000000) * 86400 AS day_epoch,
+       count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST(sum(converted) AS BIGINT) / count(*) AS conversion_rate
+FROM sess GROUP BY 1""",
+
     // Growth accounting: distinct (user, week) frame → per-user lag
     // classes → weekly rollup; churn from the calendar-frame lag.
     "e29_lifecycle" -> """

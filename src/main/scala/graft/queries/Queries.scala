@@ -4289,6 +4289,34 @@ object Queries {
         col("est_n"))
   }
 
+  /** Session-level conversion — the share of sessions containing a
+    * purchase, by day of session start: e5's funnel says which USERS
+    * convert ever; this says which VISITS convert (the number an
+    * on-call dashboard alerts on). Same per-user session windows as
+    * e2; the purchase flag rides the session rollup as a max; the
+    * daily frame is a map-side combined O(days) aggregate with ONE
+    * IEEE division per row. */
+  def e31SessionConversion(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    eventsUs(s, d)
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min("us").as("s_us"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .groupBy((floorDiv("s_us", 86400000000L) * 86400).as("day_epoch"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("converted").cast("long").as("n_converted"))
+      .withColumn("conversion_rate",
+        col("n_converted") / col("n_sessions"))
+  }
+
   /** Growth accounting — the weekly user-lifecycle ledger every
     * analytics stack publishes: actives split into new / retained /
     * resurrected, plus churned (last week's actives who didn't come

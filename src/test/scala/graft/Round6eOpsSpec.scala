@@ -403,6 +403,18 @@ class Round6eOpsSpec extends SparkSpec {
     }
   }
 
+  test("e31: session totals reconcile with e26's day frame and " +
+    "converted never exceeds sessions") {
+    val conv = Queries.e31SessionConversion(spark, sf).collect()
+      .map(r => r.getAs[Long]("day_epoch") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converted"))).toMap
+    val bounce = Queries.e26BounceRate(spark, sf).collect()
+      .map(r => r.getAs[Long]("day_epoch") ->
+        r.getAs[Long]("n_sessions")).toMap
+    assert(conv.view.mapValues(_._1).toMap == bounce)
+    conv.values.foreach { case (n, c) => assert(c >= 0 && c <= n) }
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
