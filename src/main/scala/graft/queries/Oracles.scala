@@ -3570,6 +3570,45 @@ SELECT s3.query_id, s3.cur AS node_id,
 FROM s3 JOIN g gv ON gv.gid = s3.cur
 JOIN q ON q.query_id = s3.query_id""",
 
+    // Graph-search quality: v57's walk endpoint ranked against v1's
+    // exact top-5.
+    "v61_graph_recall" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand),
+e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
+q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0),
+s0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS cur FROM q),
+${(1 to 3).map(i => s"""c$i AS (SELECT query_id, cur AS nid FROM s${i - 1}
+       UNION ALL
+       SELECT s.query_id, e.dst_id AS nid
+       FROM s${i - 1} s JOIN e ON e.src_id = s.cur),
+s$i AS (SELECT query_id, nid AS cur FROM (
+          SELECT c.query_id, c.nid,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
+          FROM c$i c JOIN g gv ON gv.gid = c.nid
+          JOIN q ON q.query_id = c.query_id) WHERE rn = 1)""")
+  .mkString(",\n")},
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qv")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid, rnk FROM rex WHERE rnk <= 5)
+SELECT s3.query_id, s3.cur AS node_id,
+       CAST(coalesce(hx.rnk, 0) AS BIGINT) AS exact_rank,
+       CAST(CASE WHEN hx.rnk IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_top5
+FROM s3 LEFT JOIN hx ON hx.query_id = s3.query_id
+  AND hx.gid = s3.cur""",
+
     // Shard-balance audit: m3's packing chain rolled up per source
     // with v37's imbalance factor.
     "m11_shard_balance" -> """

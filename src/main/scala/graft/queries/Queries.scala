@@ -4180,6 +4180,27 @@ object Queries {
         (col("n_hit") / col("k")).as("recall_at_5"))
   }
 
+  /** Graph-search quality eval — does v57's 3-step greedy walk land
+    * inside the exact top-5? The recall row for the graph path
+    * (completing the eval matrix: flat v20, PQ v36, IVF v39, binary
+    * v49, IVFPQ v56, SQ8 v60, filtered v59). A walk returns ONE node,
+    * so the row is per query: the endpoint's exact rank (0 if outside
+    * the top-5) and a hit flag. Both inputs gated O(Q·k) frames →
+    * broadcast join. */
+  def v61GraphRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d)
+      .select(col("query_id"), col("rnk").cast("long").as("exact_rnk"),
+        col("neighbor_id"))
+    val walk = v57GraphSearch(s, d)
+      .select(col("query_id").as("qa"), col("node_id"))
+    walk.join(broadcast(exact),
+        col("qa") === col("query_id") &&
+          col("node_id") === col("neighbor_id"), "left")
+      .select(col("qa").as("query_id"), col("node_id"),
+        coalesce(col("exact_rnk"), lit(0L)).as("exact_rank"),
+        when(col("exact_rnk").isNotNull, 1L).otherwise(0L).as("in_top5"))
+  }
+
   /** v57 against a PERSISTED edge list (bench-only, the v7/v13
     * persisted-search pattern): the KNN graph is built ONCE and saved;
     * timed runs measure the walk alone. This is the deployment shape —

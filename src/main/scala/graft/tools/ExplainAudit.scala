@@ -75,7 +75,9 @@ object ExplainAudit {
     // v58 composes v7's probe crossjoin (the v39 class).
     "v58_filtered_ivf",
     // v59/v60 compose gated KNN/probe chains (the v36/v39 eval class).
-    "v59_filtered_recall", "v60_sq8_recall")
+    "v59_filtered_recall", "v60_sq8_recall",
+    // v61 composes v57's walk (scalar entry) and v1's exact chain.
+    "v61_graph_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

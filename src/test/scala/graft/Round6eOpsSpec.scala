@@ -415,6 +415,25 @@ class Round6eOpsSpec extends SparkSpec {
     conv.values.foreach { case (n, c) => assert(c >= 0 && c <= n) }
   }
 
+  test("v61: the endpoint agrees with v57 and the rank flag is " +
+    "consistent with v1's exact list") {
+    val walk = Queries.v57GraphSearch(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("node_id"))
+      .toMap
+    val exact = Queries.v1KnnL2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Long]("rnk")).toMap
+    val out = Queries.v61GraphRecall(spark, sf).collect()
+    assert(out.length == walk.size)
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("node_id") == walk(q))
+      val rk = exact.get((q, walk(q)))
+      assert(r.getAs[Long]("exact_rank") == rk.getOrElse(0L))
+      assert(r.getAs[Long]("in_top5") == (if (rk.isDefined) 1L else 0L))
+    }
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
