@@ -172,6 +172,70 @@ object Dedup {
     (base, sigs, cand)
   }
 
+  /** The PERSISTABLE band index of a seen corpus: guarded MinHash band
+    * rows (doc_id, band_idx, band_hash) with over-full buckets dropped
+    * AT BUILD TIME — the guard list is part of the index, exactly as a
+    * production store ships it. Persist through
+    * [[graft.sources.BucketedStore]] bucketed by band_hash so every
+    * arriving batch probes it with ZERO index-side exchange. */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+                shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val rows = numHashes / bands
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("doc_id"),
+        posexplode(bandHashes(col("sig"), bands, rows))
+          .as(Seq("band_idx", "band_hash")))
+    val overFull = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .select("band_idx", "band_hash")
+    banded.join(overFull, Seq("band_idx", "band_hash"), "left_anti")
+  }
+
+  /** Incremental NEAR-dup — d9's persisted-store ingest shape applied
+    * to MinHash banding: an arriving batch is banded and probes the
+    * persisted [[bandIndex]] (bucketed by band_hash → sort-merge join
+    * with no index-side exchange), then only the banded candidates pay
+    * the exact-Jaccard verify against the base corpus BY ID. At
+    * 100 TB/day this is the near-dup admission gate: per batch cost is
+    * O(batch·bands) probe rows + O(candidates) verifies — the seen
+    * corpus is never re-shuffled and never re-scanned beyond the
+    * candidate ids. Batch-side bands are unguarded by contract (a
+    * batch is ingest-sized); the index carries the guard. */
+  def incrementalNearDup(batch: DataFrame, idCol: String, textCol: String,
+                         seenBands: DataFrame, base: DataFrame,
+                         shingleN: Int = 3, numHashes: Int = 12,
+                         bands: Int = 4, threshold: Double = 0.5)
+      : DataFrame = {
+    val rows = numHashes / bands
+    val b = batch.select(col(idCol).cast("long").as("batch_id"),
+      shingles(col(textCol), shingleN).as("shb"))
+    val banded = b
+      .select(col("batch_id"), minhashSignature(col("shb"), numHashes).as("sig"))
+      .select(col("batch_id"),
+        posexplode(bandHashes(col("sig"), bands, rows))
+          .as(Seq("band_idx", "band_hash")))
+    val cand = banded.join(seenBands.hint("merge"),
+        Seq("band_idx", "band_hash"))
+      .select(col("batch_id"), col("doc_id").as("base_id"))
+      .dropDuplicates("batch_id", "base_id")
+    cand
+      .join(b, "batch_id")
+      .join(base.select(col(idCol).cast("long").as("base_id"),
+        shingles(col(textCol), shingleN).as("sha")), "base_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "base_id", "inter", "uni", "jaccard")
+  }
+
   /** MinHash-ESTIMATED Jaccard next to the exact value for every LSH
     * candidate pair. At 100 TB the estimator is what the pipeline
     * trusts INSTEAD of exact verification — signature agreement is O(k)

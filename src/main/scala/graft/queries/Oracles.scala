@@ -3469,6 +3469,46 @@ JOIN cells ON cells.row_idx = jj.j
  AND cells.bucket = substr(md5(CAST(jj.j AS VARCHAR) || ':' || t.token), 1, 3)
 GROUP BY 1, 2, 3""",
 
+    // Incremental near-dup: base band index (guard applied at build)
+    // probed by the batch's bands, exact-Jaccard verify on candidates.
+    // Same signature/band arithmetic as minhashPairCtes, split across
+    // the base/batch frames.
+    "d23_incremental_neardup" -> s"""
+WITH ba AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id % 4 <> 0),
+bs AS (SELECT doc_id, ${shingleSql("toks", 3)} AS sh FROM ba),
+bsg AS (SELECT doc_id, sh,
+               list_transform(range(12), j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
+        FROM bs),
+bb AS (SELECT doc_id, j AS band_idx,
+              md5(sig[3*j+1] || '|' || sig[3*j+2] || '|' || sig[3*j+3]) AS band_hash
+       FROM bsg, (SELECT unnest(range(4)) AS j)),
+ok AS (SELECT band_idx, band_hash FROM bb GROUP BY 1, 2
+       HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxBucket}),
+kept AS (SELECT bb.* FROM bb JOIN ok USING (band_idx, band_hash)),
+qa AS (SELECT doc_id, string_split(text, ' ') AS toks
+       FROM documents WHERE doc_id % 4 = 0),
+qs AS (SELECT doc_id, ${shingleSql("toks", 3)} AS sh FROM qa),
+qsg AS (SELECT doc_id, sh,
+               list_transform(range(12), j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS sig
+        FROM qs),
+qb AS (SELECT doc_id, j AS band_idx,
+              md5(sig[3*j+1] || '|' || sig[3*j+2] || '|' || sig[3*j+3]) AS band_hash
+       FROM qsg, (SELECT unnest(range(4)) AS j)),
+cand AS (SELECT DISTINCT qb.doc_id AS batch_id, kept.doc_id AS base_id
+         FROM qb JOIN kept ON qb.band_idx = kept.band_idx
+          AND qb.band_hash = kept.band_hash),
+v AS (SELECT cand.batch_id, cand.base_id,
+             CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS inter,
+             CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+               - CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS uni
+      FROM cand JOIN bs sa ON sa.doc_id = cand.base_id
+      JOIN qs sb ON sb.doc_id = cand.batch_id)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(base_id AS BIGINT) AS base_id, inter, uni,
+       inter / uni AS jaccard
+FROM v WHERE inter / uni >= 0.5""",
+
     // Session-level conversion: e2's session chain + a purchase flag
     // riding the rollup.
     "e31_session_conversion" -> """

@@ -4310,6 +4310,25 @@ object Queries {
         col("est_n"))
   }
 
+  /** Incremental near-dup admission — d9's persisted-store shape for
+    * the NEAR-dup gate: the seen corpus's guarded band index persists
+    * ONCE (BucketedStore, bucketed+sorted by band_hash → the batch
+    * probe is a sort-merge join with zero index-side exchange), and
+    * each arriving batch (doc_id % 4 = 0, the d9/v27 split) pays only
+    * its own banding plus exact-Jaccard verifies on banded candidates.
+    * This is the 100 TB/day near-dup ingest path; d2 is its full-
+    * corpus batch twin. */
+  def d23IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val base = all.filter(col("doc_id") % 4 =!= 0)
+    val batch = all.filter(col("doc_id") % 4 === 0)
+    val table = "graft_band_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val seenBands = graft.sources.BucketedStore.ensure(s, table,
+      Dedup.bandIndex(base, "doc_id", "text"), "band_hash",
+      numBuckets = 32)
+    Dedup.incrementalNearDup(batch, "doc_id", "text", seenBands, base)
+  }
+
   /** Session-level conversion — the share of sessions containing a
     * purchase, by day of session start: e5's funnel says which USERS
     * convert ever; this says which VISITS convert (the number an

@@ -434,6 +434,36 @@ class Round6eOpsSpec extends SparkSpec {
     }
   }
 
+  test("d23: every admitted pair replays exactly and the cross-split " +
+    "d2 pairs are all found (base-only guard is at least as permissive)") {
+    def sh3(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+      .filter(_._2 != null).toMap
+    val out = Queries.d23IncrementalNeardup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val found = out.map { r =>
+      val b = r.getAs[Long]("batch_id"); val a = r.getAs[Long]("base_id")
+      assert(b % 4 == 0 && a % 4 != 0)
+      val (sa, sb) = (sh3(texts(a)), sh3(texts(b)))
+      val inter = (sa & sb).size.toLong
+      val uni = sa.size + sb.size - inter
+      assert(r.getAs[Long]("inter") == inter)
+      assert(r.getAs[Long]("uni") == uni)
+      assert(r.getAs[Double]("jaccard") == inter.toDouble / uni)
+      Set(a, b)
+    }.toSet
+    val d2cross = Queries.d2MinhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .filter { case (a, b) => (a % 4 == 0) != (b % 4 == 0) }
+      .map { case (a, b) => Set(a, b) }.toSet
+    assert(d2cross.subsetOf(found))
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
