@@ -92,6 +92,48 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Continuous NEAR-dup admission (streaming twin of the gated d23):
+    * every arriving doc is MinHash-banded inside its micro-batch and
+    * joined STREAM-STATIC against the persisted GUARDED band index
+    * ([[graft.operators.Dedup.bandIndex]] through BucketedStore), then
+    * only banded candidates pay the exact-Jaccard verify against the
+    * static base corpus by id. Emits (batch_id, base_id, inter, uni,
+    * jaccard) admission flags — what an ingest pipeline uses to reject
+    * or down-weight a doc the moment it arrives. Scale shape: the
+    * static sides never re-shuffle (the band store is bucketed by
+    * band_hash; per micro-batch only the stream's own bands move);
+    * multi-band duplicate candidates are collapsed by
+    * `dropDuplicatesWithinWatermark` keyed on the pair — bounded
+    * state, expired by the watermark. Same banding arithmetic as the
+    * batch operator, so on a bounded stream the admitted pair set
+    * equals d23's batch output. */
+  def nearDupAdmission(docs: DataFrame, textCol: String, tsCol: String,
+                       seenBands: DataFrame, base: DataFrame,
+                       idCol: String = "doc_id",
+                       threshold: Double = 0.5,
+                       watermarkDelay: String = "30 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.{bandHashes, minhashSignature, shingles}
+    val b = docs.select(col(idCol).cast("long").as("batch_id"),
+        col(tsCol).as("ts"), shingles(col(textCol), 3).as("shb"))
+      .withWatermark("ts", watermarkDelay)
+    val banded = b.select(col("batch_id"), col("ts"), col("shb"),
+      posexplode(bandHashes(minhashSignature(col("shb"), 12), 4, 3))
+        .as(Seq("band_idx", "band_hash")))
+    banded.join(seenBands, Seq("band_idx", "band_hash"))
+      .select(col("batch_id"), col("ts"), col("shb"),
+        col("doc_id").as("base_id"))
+      .dropDuplicatesWithinWatermark("batch_id", "base_id")
+      .join(base.select(col("doc_id").cast("long").as("base_id"),
+        shingles(col(textCol), 3).as("sha")), "base_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "base_id", "inter", "uni", "jaccard")
+  }
+
   /** Stream-stream interval join (streaming twin of the e4 range join):
     * each left event pairs with right events of the same key whose
     * event time falls in the half-open window [left.ts − delta,

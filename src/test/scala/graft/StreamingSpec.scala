@@ -84,6 +84,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupAdmission matches the batch d23 pair set on the real " +
+    "corpus, split across two micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val base = all.filter($"doc_id" % 4 =!= 0)
+    val batchDocs = all.filter($"doc_id" % 4 === 0)
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().filter(_._2 != null)
+      .zipWithIndex.map { case ((id, t), i) => StreamDoc(id, ts(i), t) }
+    val seenBands = graft.operators.Dedup.bandIndex(base, "doc_id", "text")
+    val mem = MemoryStream[StreamDoc]
+    val (first, second) = batchDocs.splitAt(batchDocs.length / 2)
+    mem.addData(first.toSeq: _*)
+    val q = StreamingOps.nearDupAdmission(mem.toDF(), "text", "ts",
+        seenBands, base)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nda").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("nda")
+        .select($"batch_id", $"base_id", $"inter", $"uni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val expected = graft.queries.Queries
+        .d23IncrementalNeardup(spark, sf)
+        .select($"batch_id", $"base_id", $"inter", $"uni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream emits each content hash once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
