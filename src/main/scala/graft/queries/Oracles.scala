@@ -3649,6 +3649,40 @@ SELECT s3.query_id, s3.cur AS node_id,
 FROM s3 LEFT JOIN hx ON hx.query_id = s3.query_id
   AND hx.gid = s3.cur""",
 
+    // Tombstone search: v1's exact chain over the gallery minus the
+    // delete set (anti-join, the remove_ids semantics).
+    "v62_tombstone_search" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+del AS (SELECT CAST(vec_id AS BIGINT) AS tid FROM embeddings
+        WHERE vec_id % 7 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec
+      FROM embeddings),
+ga AS (SELECT g.gid, g.gvec FROM g
+       LEFT JOIN del ON del.tid = g.gid WHERE del.tid IS NULL),
+d AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2
+      FROM ga CROSS JOIN q),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM d)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
+FROM r WHERE rnk <= 5""",
+
+    // Per-asset tar index: m3's packed frame projected to (shard,
+    // offset) — floor-div/mod of the same bytes_before.
+    "m13_tar_index" -> """
+WITH a AS (SELECT CAST(doc_id AS BIGINT) AS asset_id, source,
+                  CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+c AS (SELECT asset_id, source, n_bytes,
+             CAST(coalesce(sum(n_bytes) OVER (PARTITION BY source
+               ORDER BY asset_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bytes_before
+      FROM a)
+SELECT asset_id, source, bytes_before // 8192 AS shard_id,
+       bytes_before % 8192 AS offset, n_bytes
+FROM c""",
+
     // Shard-balance audit: m3's packing chain rolled up per source
     // with v37's imbalance factor.
     "m11_shard_balance" -> """

@@ -2345,7 +2345,10 @@ object Queries {
     * sum — identical to the one-window form. A corpus so large that
     * the CHUNK TOTALS overwhelm one task recurses the same two-level
     * split on the chunk frame. */
-  def m3ShardAssign(s: SparkSession, d: String): DataFrame = {
+  /** The packed per-asset frame behind m3/m13: (asset_id, source,
+    * n_bytes, bytes_before) via the two-level running sum described on
+    * [[m3ShardAssign]]. */
+  private def packedAssets(s: SparkSession, d: String): DataFrame = {
     val assets = docs(s, d)
       .select(col("doc_id").cast("long").as("asset_id"), col("source"),
         octet_length(col("text")).cast("long").as("n_bytes"))
@@ -2364,12 +2367,27 @@ object Queries {
         coalesce(sum("n_bytes").over(wLocal), lit(0L)))
       .join(offsets, Seq("source", "chunk"))
       .withColumn("bytes_before", col("chunk_offset") + col("local_before"))
+  }
+
+  def m3ShardAssign(s: SparkSession, d: String): DataFrame =
+    packedAssets(s, d)
       .groupBy(col("source"), floorDiv("bytes_before", 8192L).as("shard_id"))
       .agg(count(lit(1)).as("n_assets"),
         sum("n_bytes").as("shard_bytes"),
         min("asset_id").as("first_asset"),
         max("asset_id").as("last_asset"))
-  }
+
+  /** The per-asset TAR INDEX — the sidecar file a WebDataset reader
+    * actually opens: for every asset, its shard and byte offset within
+    * that shard (m3 publishes the per-shard rollup; this is the
+    * asset-level lookup that makes random access O(1)). Map-only on
+    * top of the shared two-level packed frame; shard and offset are
+    * exact floor-div/mod of the same bytes_before. */
+  def m13TarIndex(s: SparkSession, d: String): DataFrame =
+    packedAssets(s, d).select(col("asset_id"), col("source"),
+      floorDiv("bytes_before", 8192L).as("shard_id"),
+      pmod(col("bytes_before"), lit(8192L)).as("offset"),
+      col("n_bytes"))
 
   /** Per-(source, modality) asset inventory — the storage-planning
     * query a multimodal corpus runs before sharding (how many bytes of
@@ -4138,6 +4156,23 @@ object Queries {
       .join(dd.select(col("doc_id").cast("long").as("doc_id"),
         col("source")), "doc_id")
       .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
+  /** Tombstone-aware exact search — the faiss `remove_ids` path: the
+    * delete SET (an explicit id list, not a storable predicate — the
+    * ops difference from v15's attribute filter) anti-joins the
+    * gallery before the distance kernel, so deleted vectors can never
+    * surface. At 100 TB the tombstone list is broadcast (deletes are
+    * tiny relative to the corpus) or bucket-joined when it isn't; the
+    * scan then streams the survivors through v1's codegen'd kernel +
+    * native partial top-k. */
+  def v62TombstoneSearch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val tombstones = e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"))
+    val alive = e.join(tombstones, Seq("vec_id"), "left_anti")
+    KnnJoin.knnL2(alive, queryVecs(e), "vec_id", "embedding", "vec_id",
+      k = 5)
   }
 
   /** Recall@3 of the filtered IVF search (v58) vs the filtered EXACT

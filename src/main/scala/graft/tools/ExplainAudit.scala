@@ -77,7 +77,10 @@ object ExplainAudit {
     // v59/v60 compose gated KNN/probe chains (the v36/v39 eval class).
     "v59_filtered_recall", "v60_sq8_recall",
     // v61 composes v57's walk (scalar entry) and v1's exact chain.
-    "v61_graph_recall")
+    "v61_graph_recall",
+    // v62 is v1's broadcast(queries) scoring crossjoin over the
+    // tombstone-filtered gallery.
+    "v62_tombstone_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -464,6 +464,43 @@ class Round6eOpsSpec extends SparkSpec {
     assert(d2cross.subsetOf(found))
   }
 
+  test("v62: no tombstoned id surfaces, ranks are dense, and every " +
+    "surviving v1 hit can only move up") {
+    val out = Queries.v62TombstoneSearch(spark, sf).collect()
+    out.foreach(r => assert(r.getAs[Long]("neighbor_id") % 7 != 0))
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1L to rows.length))
+    }
+    val v1 = Queries.v1KnnL2(spark, sf).collect()
+      .filter(_.getAs[Long]("neighbor_id") % 7 != 0)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Long]("rnk")).toMap
+    val v62 = out.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Long]("rnk")).toMap
+    v1.foreach { case (k, rnk1) =>
+      assert(v62.contains(k) && v62(k) <= rnk1)
+    }
+  }
+
+  test("m13: offsets live in [0, 8192) and the per-shard rollup " +
+    "reconciles with m3") {
+    val idx = Queries.m13TarIndex(spark, sf).collect()
+    idx.foreach { r =>
+      val o = r.getAs[Long]("offset")
+      assert(o >= 0 && o < 8192)
+    }
+    val rolled = idx.groupBy(r =>
+        (r.getAs[String]("source"), r.getAs[Long]("shard_id")))
+      .view.mapValues(rs =>
+        (rs.length.toLong, rs.map(_.getAs[Long]("n_bytes")).sum)).toMap
+    val m3 = Queries.m3ShardAssign(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("shard_id"))
+        -> (r.getAs[Long]("n_assets"), r.getAs[Long]("shard_bytes"))).toMap
+    assert(rolled == m3)
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
