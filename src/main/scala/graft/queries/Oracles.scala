@@ -3649,6 +3649,51 @@ SELECT s3.query_id, s3.cur AS node_id,
 FROM s3 LEFT JOIN hx ON hx.query_id = s3.query_id
   AND hx.gid = s3.cur""",
 
+    // Hybrid RRF: keyword top-5 (df-capped shared shingles) + vector
+    // top-5 (self excluded) fused by 1/(60+rank) sums in fixed order.
+    "v63_hybrid_rrf" -> s"""
+WITH dd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_split(text, ' ') AS toks FROM documents),
+ss AS (SELECT doc_id, unnest(${shingleSql("toks", 3)}) AS sg FROM dd),
+dfc AS (SELECT sg FROM ss GROUP BY 1 HAVING count(*) <= 100),
+sk AS (SELECT ss.* FROM ss JOIN dfc USING (sg)),
+qsh AS (SELECT doc_id AS query_id, sg FROM sk WHERE doc_id % 100 = 0),
+ov AS (SELECT q.query_id, c.doc_id, count(*) AS n_shared
+       FROM sk c JOIN qsh q USING (sg) WHERE c.doc_id <> q.query_id
+       GROUP BY 1, 2),
+tt AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY n_shared DESC, doc_id) AS tr
+       FROM ov),
+tt5 AS (SELECT query_id, doc_id, CAST(tr AS BIGINT) AS tr
+        FROM tt WHERE tr <= 5),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec
+      FROM embeddings),
+q AS (SELECT gid AS query_id, gvec AS qvec FROM g WHERE gid % 100 = 0),
+dv AS (SELECT query_id, gid, ${l2sq("gvec", "qvec")} AS d2
+       FROM g CROSS JOIN q WHERE gid <> query_id),
+rv AS (SELECT query_id, gid,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2, gid) AS vr
+       FROM dv),
+vv5 AS (SELECT query_id, gid AS doc_id, CAST(vr AS BIGINT) AS vr
+        FROM rv WHERE vr <= 5),
+f AS (SELECT coalesce(v.query_id, t.query_id) AS query_id,
+             coalesce(v.doc_id, t.doc_id) AS doc_id, v.vr, t.tr
+      FROM vv5 v FULL JOIN tt5 t
+        ON v.query_id = t.query_id AND v.doc_id = t.doc_id),
+sc AS (SELECT query_id, doc_id,
+              coalesce(CAST(1 AS BIGINT) / (60 + vr), 0.0)
+                + coalesce(CAST(1 AS BIGINT) / (60 + tr), 0.0) AS rrf,
+              CAST(coalesce(vr, 0) AS BIGINT) AS vec_rank,
+              CAST(coalesce(tr, 0) AS BIGINT) AS text_rank
+       FROM f),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf DESC, doc_id) AS rnk FROM sc)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf,
+       vec_rank, text_rank
+FROM r WHERE rnk <= 5""",
+
     // Tombstone search: v1's exact chain over the gallery minus the
     // delete set (anti-join, the remove_ids semantics).
     "v62_tombstone_search" -> s"""

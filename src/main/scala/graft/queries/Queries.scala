@@ -4158,6 +4158,58 @@ object Queries {
       .select(col("doc_id"), col("source"), col("n_tok"))
   }
 
+  /** Hybrid search via reciprocal-rank fusion — THE production
+    * vector+keyword retrieval shape (RRF, Cormack et al. SIGIR'09):
+    * each query doc retrieves a vector top-5 (v1's kernel, self
+    * excluded) and a keyword top-5 (shared-shingle count through an
+    * inverted index, stop-shingles with df > 100 dropped on BOTH
+    * engines), and the two lists fuse by Σ 1/(60+rank) — rank-only,
+    * so the incomparable score scales never meet. Scale shape: the
+    * inverted-index join's per-shingle fanout is df-capped (the
+    * standard stop-shingle drop — skew-bounded by construction); both
+    * rankings end in native partial top-k; fusion is a full outer
+    * join of two O(Q·5) frames + an O(Q·10) window. rrf is a sum of
+    * two single IEEE divisions in fixed order; ties break to lowest
+    * doc id. The self-exclusion rank shift (vr = v1 rank − 1) is
+    * exact because the query itself is always v1's rank 1 (d2 = 0 is
+    * the unique minimum — no duplicate vectors; spec-asserted). */
+  def v63HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val sh = docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(shingles(col("text"), 3)).as("sg"))
+    val keepSg = sh.groupBy("sg").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("sg")
+    val shKept = sh.join(keepSg, "sg")
+    val qsh = shKept.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("sg"))
+    val overlap = shKept.join(qsh, Seq("sg"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("double").as("n_shared"))
+    val textTop = TopK.perGroup(overlap, "query_id", "doc_id", "n_shared",
+        k = 5, ascending = false)
+      .select(col("query_id"), col("doc_id"),
+        col("rnk").cast("long").as("tr"))
+    val vecTop = KnnJoin.knnL2(e, queryVecs(e), "vec_id", "embedding",
+        "vec_id", k = 6)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        (col("rnk") - 1).cast("long").as("vr"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    vecTop.join(textTop, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1L) / (lit(60L) + col("vr")), lit(0.0))
+          + coalesce(lit(1L) / (lit(60L) + col("tr")), lit(0.0)))
+          .as("rrf"),
+        coalesce(col("vr"), lit(0L)).as("vec_rank"),
+        coalesce(col("tr"), lit(0L)).as("text_rank"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "rnk", "doc_id", "rrf", "vec_rank", "text_rank")
+  }
+
   /** Tombstone-aware exact search — the faiss `remove_ids` path: the
     * delete SET (an explicit id list, not a storable predicate — the
     * ops difference from v15's attribute filter) anti-joins the

@@ -79,8 +79,9 @@ object ExplainAudit {
     // v61 composes v57's walk (scalar entry) and v1's exact chain.
     "v61_graph_recall",
     // v62 is v1's broadcast(queries) scoring crossjoin over the
-    // tombstone-filtered gallery.
-    "v62_tombstone_search")
+    // tombstone-filtered gallery; v63 composes the same vector chain
+    // with the df-capped keyword ranking.
+    "v62_tombstone_search", "v63_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

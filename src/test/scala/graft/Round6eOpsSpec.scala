@@ -501,6 +501,26 @@ class Round6eOpsSpec extends SparkSpec {
     assert(rolled == m3)
   }
 
+  test("v63: rrf replays from the component ranks, the query never " +
+    "retrieves itself, and the self-is-rank-1 shift premise holds") {
+    Queries.v1KnnL2(spark, sf).collect()
+      .filter(_.getAs[Long]("rnk") == 1L)
+      .foreach(r => assert(r.getAs[Long]("neighbor_id") ==
+        r.getAs[Long]("query_id")))
+    val out = Queries.v63HybridRrf(spark, sf).collect()
+    out.groupBy(_.getAs[Long]("query_id")).values
+      .foreach(rows => assert(rows.length == 5))
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") != r.getAs[Long]("query_id"))
+      val vr = r.getAs[Long]("vec_rank"); val tr = r.getAs[Long]("text_rank")
+      assert(vr >= 0 && vr <= 5 && tr >= 0 && tr <= 5)
+      assert(vr > 0 || tr > 0)
+      val expected = (if (vr > 0) 1.0 / (60 + vr) else 0.0) +
+        (if (tr > 0) 1.0 / (60 + tr) else 0.0)
+      assert(r.getAs[Double]("rrf") == expected)
+    }
+  }
+
   test("p7: doc totals partition the corpus, keepers count the " +
     "clusters, kept chars never exceed totals") {
     val out = Queries.p7DedupYield(spark, sf).collect()
