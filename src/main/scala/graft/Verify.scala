@@ -14,6 +14,9 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as a
       // timestamp — read as Long (nanos) and do integer time arithmetic.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see GraftSession: re-evaluates generator inputs as pushed filters
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3746,9 +3746,11 @@ SELECT source, count(*) AS n_shards,
        CAST(sum(shard_bytes) AS BIGINT) AS total_bytes,
        CAST(min(shard_bytes) AS BIGINT) AS min_bytes,
        CAST(max(shard_bytes) AS BIGINT) AS max_bytes,
-       CAST(count(*) * CAST(sum(shard_bytes * shard_bytes) AS BIGINT)
-         AS BIGINT)
-         / CAST(CAST(sum(shard_bytes) AS BIGINT)
-             * CAST(sum(shard_bytes) AS BIGINT) AS BIGINT) AS imbalance
+       (CAST(count(*) AS DOUBLE)
+          * CAST(sum(CAST(shard_bytes AS HUGEINT)
+              * CAST(shard_bytes AS HUGEINT)) AS DOUBLE))
+         / (CAST(CAST(sum(shard_bytes) AS BIGINT) AS DOUBLE)
+             * CAST(CAST(sum(shard_bytes) AS BIGINT) AS DOUBLE))
+         AS imbalance
 FROM sh GROUP BY 1""")
 }

@@ -484,6 +484,14 @@ object Queries {
   // production index is written once and probed many times, so folding
   // the rebuild into every search measurement overstates search cost)
 
+  /** True iff `path` holds a COMPLETE persisted index: the Hadoop
+    * committer writes the `_SUCCESS` marker only at job commit, so a
+    * crash mid-write leaves a partial directory this check rejects —
+    * the caller then rebuilds with mode("overwrite") instead of
+    * silently serving a truncated index. */
+  private def persistedComplete(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+
   /** v7's probe search against a PERSISTED centroid-partitioned index:
     * built (and saved) only if `path` is absent, then search reads the
     * partitioned layout — partition pruning does the nprobe/nlist work
@@ -491,7 +499,7 @@ object Queries {
   def v7SearchPersisted(s: SparkSession, d: String, path: String): DataFrame = {
     val e = emb(s, d)
     val cents = seedCentroids(e)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    if (!persistedComplete(path))
       IvfIndex.save(
         IvfIndex.assign(e, cents, "vec_id", "embedding", "cid"), path)
     IvfIndex.search(IvfIndex.load(s, path), cents, queryVecs(e),
@@ -510,7 +518,7 @@ object Queries {
     val book = PqIndex.seededBook(g, "id", "qemb", dim, m, ksub)
     val cents = g.filter(col("id") < 10)
       .select(col("id").as("cid"), col("qemb"))
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    if (!persistedComplete(path))
       PqIndex.encode(g, "id", "qemb", dim, m, book)
         .join(IvfIndex.assign(g, cents, "id", "qemb", "cid", scale = 1)
           .select(col("id"), col("centroid_id")), Seq("id"))
@@ -786,10 +794,13 @@ object Queries {
           col("a.dst_id") === col("b.src_id") &&
           col("a.src_id") < col("a.dst_id"))
       .select(col("a.src_id").as("a_id"), col("a.dst_id").as("b_id"))
-    Clustering.connectedComponents(mutual, "a_id", "b_id",
+    val labels = Clustering.connectedComponents(mutual, "a_id", "b_id",
       v.select(col("id")), "id")
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+    // groupBy + join-back, not a partitionBy(cluster_id) window: a
+    // single dominant cluster must never land on one task (d7's rule).
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    labels.join(sizes, "cluster_id")
       .select(col("id").as("vec_id"), col("cluster_id"), col("n_members"))
   }
 
@@ -988,7 +999,10 @@ object Queries {
   def v27IvfUpsert(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val cents = seedCentroids(e)
-    val table = "graft_ivf_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    // table name carries a data fingerprint: a regenerated-in-place
+    // embeddings.parquet mints a new table instead of a stale probe
+    val table = "graft_ivf_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
     val base = graft.sources.BucketedStore.ensure(s, table,
       IvfIndex.assign(e.filter(col("vec_id") % 4 =!= 0), cents,
         "vec_id", "embedding", "cid")
@@ -1374,9 +1388,14 @@ object Queries {
     val labels = Clustering.connectedComponents(
       Dedup.simhashDupEdges(docs(s, d), "doc_id", "text"), "a_id", "b_id",
       docs(s, d).select(col("doc_id")), "doc_id")
-    labels
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+    // member counts via groupBy + equi-join back, NEVER a
+    // partitionBy(cluster_id) window: a window puts an entire mega
+    // boilerplate family (the exact skew the band guard exists for) on
+    // ONE task, while the groupBy partial-aggregates map-side and the
+    // join-back redistributes the cluster evenly. Same shape as d18.
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    labels.join(sizes, "cluster_id")
       .select(col("id").as("doc_id"), col("cluster_id"), col("n_members"))
   }
 
@@ -1453,7 +1472,9 @@ object Queries {
     * same text_hash key. */
   def d9IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
-    val table = "graft_seen_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    // fingerprint suffix: regenerated documents.parquet ⇒ fresh index
+    val table = "graft_seen_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/documents.parquet")
     val seen = graft.sources.BucketedStore.ensure(s, table,
       all.filter(col("doc_id") % 4 =!= 0)
         .select(md5(col("text")).as("text_hash")),
@@ -4170,9 +4191,10 @@ object Queries {
     * rankings end in native partial top-k; fusion is a full outer
     * join of two O(Q·5) frames + an O(Q·10) window. rrf is a sum of
     * two single IEEE divisions in fixed order; ties break to lowest
-    * doc id. The self-exclusion rank shift (vr = v1 rank − 1) is
-    * exact because the query itself is always v1's rank 1 (d2 = 0 is
-    * the unique minimum — no duplicate vectors; spec-asserted). */
+    * doc id. The vector rank is computed AFTER excluding self (a
+    * ≤6-row per-query window over the k=6 result), mirroring the
+    * oracle — correct even when a duplicate embedding outranks the
+    * query itself. */
   def v63HybridRrf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val sh = docs(s, d)
@@ -4194,8 +4216,15 @@ object Queries {
     val vecTop = KnnJoin.knnL2(e, queryVecs(e), "vec_id", "embedding",
         "vec_id", k = 6)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        (col("rnk") - 1).cast("long").as("vr"))
+      // rank AFTER the self filter (a ≤6-row window per query), exactly
+      // the oracle's construction: correct even if a duplicate
+      // embedding outranks the query itself, where a rnk−1 shift would
+      // drift. Whether or not self made the top-6, the surviving rows'
+      // row_number IS the rank among all non-self gallery vectors.
+      .withColumn("vr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rnk"))).cast("long"))
+      .filter(col("vr") <= 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("vr"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id"))
     vecTop.join(textTop, Seq("query_id", "doc_id"), "full")
@@ -4299,9 +4328,9 @@ object Queries {
       : DataFrame = {
     val v = bucketedVecs(s, d)
     val vec = v.select(col("id"), col("qv"))
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    if (!persistedComplete(path))
       knnGraphRanked(v).select(col("src_id"), col("dst_id"))
-        .write.parquet(path)
+        .write.mode("overwrite").parquet(path)
     val edges = s.read.parquet(path)
     val q = vec.filter(col("id") % 100 === 0)
       .select(col("id").as("query_id"), col("qv").as("query_v"))
@@ -4409,7 +4438,9 @@ object Queries {
     val all = docs(s, d)
     val base = all.filter(col("doc_id") % 4 =!= 0)
     val batch = all.filter(col("doc_id") % 4 === 0)
-    val table = "graft_band_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    // fingerprint suffix: regenerated documents.parquet ⇒ fresh index
+    val table = "graft_band_idx_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/documents.parquet")
     val seenBands = graft.sources.BucketedStore.ensure(s, table,
       Dedup.bandIndex(base, "doc_id", "text"), "band_hash",
       numBuckets = 32)
@@ -4555,21 +4586,28 @@ object Queries {
     * bytes across shards? (imbalance 1.0 = perfectly even; the number
     * that predicts straggler tasks when the shards become training
     * input files). Rolls up m3's O(shards) output map-side to
-    * O(sources) rows; exact Long numerator/denominator, ONE IEEE
-    * division per row. */
-  def m11ShardBalance(s: SparkSession, d: String): DataFrame =
+    * O(sources) rows. sum_sq accumulates in Decimal(38,0) ≡ HUGEINT
+    * (shard_bytes² wraps Long past ~3 GB/shard — real at 100 TB), and
+    * the imbalance ratio runs in doubles with the oracle's exact
+    * operation order: (n·sum_sq)/(total²) each factor cast to double
+    * first, so both engines round identically. total_bytes itself is
+    * an exact Long to 9.2 EB per source. */
+  def m11ShardBalance(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     m3ShardAssign(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_shards"),
         sum("shard_bytes").cast("long").as("total_bytes"),
         min("shard_bytes").cast("long").as("min_bytes"),
         max("shard_bytes").cast("long").as("max_bytes"),
-        sum(col("shard_bytes") * col("shard_bytes")).cast("long")
+        sum(col("shard_bytes").cast(dec) * col("shard_bytes").cast(dec))
           .as("sum_sq"))
       .select(col("source"), col("n_shards"), col("total_bytes"),
         col("min_bytes"), col("max_bytes"),
-        ((col("n_shards") * col("sum_sq"))
-          / (col("total_bytes") * col("total_bytes"))).as("imbalance"))
+        ((col("n_shards").cast("double") * col("sum_sq").cast("double"))
+          / (col("total_bytes").cast("double")
+            * col("total_bytes").cast("double"))).as("imbalance"))
+  }
 
   /** Per-source dedup yield — the before/after report a curation run
     * publishes: docs and chars entering vs surviving near-dup dedup,

@@ -66,6 +66,29 @@ object BucketedStore {
     load(spark, table)
   }
 
+  /** Cheap content fingerprint of a source data path (file names,
+    * sizes, mtimes — no data read): callers fold this into
+    * [[ensure]]'s table name so a source regenerated IN PLACE mints a
+    * NEW table instead of silently probing the stale index (the
+    * catalog key alone cannot see data changes). 8 hex chars of the
+    * tuple hash; a missing path fingerprints as "absent" rather than
+    * throwing so the build itself reports the real error. */
+  def fingerprint(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      import scala.jdk.CollectionConverters._
+      val parts = java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .toSeq.sorted.mkString("\n")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.getBytes("UTF-8"))
+      md.take(4).map("%02x".format(_)).mkString
+    }
+  }
+
   private val locks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 }
