@@ -476,12 +476,16 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")).cast("long"))
     val inv = base.select(col("doc_id"), col("blk"), col("n_sh"),
       explode(col("sh")).as("s"))
-    // Document frequency as a window count and rarest-first rank as a
-    // second window: the pipeline stays LINEAR (inverted index built
-    // once), where a groupBy-df + join back would consume `inv` from
-    // two branches and re-explode the corpus. (df, s) is a
+    // Document frequency via groupBy + join-back, NOT a (blk, s)-
+    // partitioned window: a stop-shingle's window partition grows with
+    // the corpus and lands on ONE task (the d7 skew rule), while the
+    // groupBy partial-aggregates map-side — the shuffle carries
+    // per-mapper partial counts, never the hot shingle's rows — and
+    // the join-back streams. The price is re-exploding the corpus for
+    // the df branch: map-only work that parallelizes perfectly, traded
+    // for removing the suite's last unbounded-key window. (df, s) is a
     // deterministic total order because shingles are distinct per doc.
-    val wShingle = Window.partitionBy("blk", "s")
+    val dfreq = inv.groupBy("blk", "s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("blk", "doc_id")
       .orderBy(col("df"), col("s"))
     // Every floating-point bound below is biased by a tiny epsilon so
@@ -492,7 +496,7 @@ object Dedup {
     // exact verification removes; a stronger one loses output.
     val eps = 1e-9
     val pref = inv
-      .withColumn("df", count(lit(1)).over(wShingle))
+      .join(dfreq.hint("merge"), Seq("blk", "s"))
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh") - eps) + lit(1))

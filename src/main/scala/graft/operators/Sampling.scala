@@ -23,15 +23,27 @@ object Sampling {
     ((id.cast("long") % lit(2147483647L)) * lit(2654435761L)) %
       lit(2147483647L)
 
-  /** N-per-class deterministic sample: hash-ordered row_number within
-    * each class. The window shuffles once on the class key; at scale the
-    * per-class partitions stream (no global sort). */
+  /** N-per-class deterministic sample: the n hash-smallest ids per
+    * class, through the native partial top-k aggregate — map-side heaps
+    * of size n, shuffle O(classes·n·partitions). The previous
+    * class-partitioned row_number window put an entire class on ONE
+    * task (the d7 skew rule: a dominant class at 100 TB is a straggler
+    * and a buffer risk); the aggregate's partial combine never
+    * materializes a class anywhere. The hash key (< 2³¹) is exact as
+    * the aggregate's double score; (hash, id) is a total order, so the
+    * sample and ranks are identical to the window form. idCol must be
+    * numeric (it rides the top-k id slot). */
   def perClassSample(df: DataFrame, classCol: String, idCol: String,
                      n: Int): DataFrame = {
-    val w = Window.partitionBy(col(classCol))
-      .orderBy(portableHash(col(idCol)), col(idCol))
-    df.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= n)
+    val top = TopK.perGroup(
+      df.select(col(classCol), col(idCol),
+        portableHash(col(idCol)).cast("double").as("_h")),
+      classCol, idCol, "_h", n, ascending = true)
+      .select(col(classCol), col(idCol).cast("long").as(idCol), col("rnk"))
+    // join back restores the caller's extra columns; the sample side is
+    // O(classes·n) by construction — always broadcastable
+    df.withColumn(idCol, col(idCol).cast("long"))
+      .join(broadcast(top), Seq(classCol, idCol))
   }
 
   /** Deterministic train/val split: hash-mod bucket. valOneInN=5 → 20%

@@ -153,6 +153,40 @@ r$r AS (SELECT gid, lab,
         FROM d$r),
 asn$r AS (SELECT gid, lab FROM r$r WHERE rn = 1)"""
 
+  /** The greedy graph-walk query (v28 bucket-blocked graph + 3-step
+    * monotone descent from the min-id entry), shared verbatim by
+    * v57 (in-session build) and v64 (persisted edge list) — the two
+    * gates differ only in HOW the Spark side obtains the edges, so
+    * their twins must be one definition. */
+  private def graphWalkSql: String = s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand),
+e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
+q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0),
+s0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS cur FROM q),
+${(1 to 3).map(i => s"""c$i AS (SELECT query_id, cur AS nid FROM s${i - 1}
+       UNION ALL
+       SELECT s.query_id, e.dst_id AS nid
+       FROM s${i - 1} s JOIN e ON e.src_id = s.cur),
+s$i AS (SELECT query_id, nid AS cur FROM (
+          SELECT c.query_id, c.nid,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
+          FROM c$i c JOIN g gv ON gv.gid = c.nid
+          JOIN q ON q.query_id = c.query_id) WHERE rn = 1)""")
+  .mkString(",\n")}
+SELECT s3.query_id, s3.cur AS node_id,
+       sqrt(${l2sq("gv.v", "q.qv")}) / $vscale.0 AS dist
+FROM s3 JOIN g gv ON gv.gid = s3.cur
+JOIN q ON q.query_id = s3.query_id"""
+
   /** LSH sign-bucket expression over a quantized list column: the SAME
     * seed-fixed quantized hyperplanes the Spark side uses
     * (LshIndex.hyperplanes(64, 6, 42) → quantizePlanes — 6 planes,
@@ -3581,34 +3615,47 @@ FROM t""",
     // Greedy graph-descent search: v28's edge chain + three unrolled
     // step CTEs (candidates = current ∪ neighbors, argmin with ties to
     // min id — the Spark loop's exact contract).
-    "v57_graph_search" -> s"""
+    "v57_graph_search" -> graphWalkSql,
+
+    // Persisted-edge-list walk: identical math to v57 (the persisted
+    // store must round-trip the graph bit-exactly, so the twin IS
+    // v57's walk).
+    "v64_graph_search_persisted" -> graphWalkSql,
+
+    // Trained-quantizer IVF search: v26's three Lloyd rounds + a
+    // fourth application of the SAME round template as the add step
+    // (asn4 = gallery assigned to trained centroids), then v7's
+    // probe/search shape against the trained (n, sum) table.
+    "v65_trained_ivf_search" -> s"""
 WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
-b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
-cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
-                ${l2sq("x.v", "y.v")} AS d2
-         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
-r AS (SELECT src_id, dst_id, d2,
-             row_number() OVER (PARTITION BY src_id
-               ORDER BY d2, dst_id) AS rnk
-      FROM cand),
-e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
-q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0),
-s0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS cur FROM q),
-${(1 to 3).map(i => s"""c$i AS (SELECT query_id, cur AS nid FROM s${i - 1}
-       UNION ALL
-       SELECT s.query_id, e.dst_id AS nid
-       FROM s${i - 1} s JOIN e ON e.src_id = s.cur),
-s$i AS (SELECT query_id, nid AS cur FROM (
-          SELECT c.query_id, c.nid,
-                 row_number() OVER (PARTITION BY c.query_id
-                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
-          FROM c$i c JOIN g gv ON gv.gid = c.nid
-          JOIN q ON q.query_id = c.query_id) WHERE rn = 1)""")
-  .mkString(",\n")}
-SELECT s3.query_id, s3.cur AS node_id,
-       sqrt(${l2sq("gv.v", "q.qv")}) / $vscale.0 AS dist
-FROM s3 JOIN g gv ON gv.gid = s3.cur
-JOIN q ON q.query_id = s3.query_id""",
+c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
+asn0 AS (SELECT gid, cid AS lab FROM (
+          SELECT g.gid, c.cid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+${(1 to 4).map(lloydRoundCtes).mkString(",\n")},
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+qd AS (SELECT q.query_id, m.c AS lab, cnt4.n,
+              sum((cnt4.n * q.qvec[CAST(m.i AS INT)+1] - m.s)
+                    * (cnt4.n * q.qvec[CAST(m.i AS INT)+1] - m.s)) AS a2
+       FROM q CROSS JOIN cm4 m JOIN cnt4 ON cnt4.c = m.c
+       GROUP BY 1, 2, 3),
+qr AS (SELECT query_id, lab,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sqrt(a2) / CAST(n * $vscale AS DOUBLE), lab) AS rn
+       FROM qd),
+pr AS (SELECT query_id, lab FROM qr WHERE rn <= 2),
+sc AS (SELECT pr.query_id, a.gid, ${l2sq("gv.v", "q.qvec")} AS d2
+       FROM pr JOIN asn4 a ON a.lab = pr.lab
+       JOIN g gv ON gv.gid = a.gid
+       JOIN q ON q.query_id = pr.query_id),
+rr AS (SELECT query_id, gid, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2, gid) AS rnk
+       FROM sc)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
+FROM rr WHERE rnk <= 5""",
 
     // Graph-search quality: v57's walk endpoint ranked against v1's
     // exact top-5.

@@ -625,13 +625,32 @@ object Queries {
     * map-side-combined aggregate + one map-only literal argmin —
     * zero data-sized shuffles. */
   private def lloydRound(cur: DataFrame): DataFrame = {
-    val cs: Array[(Long, Long, Array[Long])] =
-      Centroids.classSums(cur, "c", "qv")
-        .select(col("lab"), col("n"), col("svec")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
-        .sortBy(_._1)
+    val cands = lloydCands(collectClassSums(cur))
+    cur.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
+      .select(col("id"), col("qv"), col("c").as("c_prev"),
+        col("best.lab").as("c"))
+  }
+
+  /** The broadcast-sized (lab, n, sum-vector) table of the current
+    * assignment — the EXACT carrier of a trained centroid (never
+    * divided into a float mean). Shared by the round iteration and
+    * v65's add/route steps so the trained quantizer cannot drift
+    * between training and serving. */
+  private def collectClassSums(cur: DataFrame)
+      : Array[(Long, Long, Array[Long])] =
+    Centroids.classSums(cur, "c", "qv")
+      .select(col("lab"), col("n"), col("svec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+
+  /** Per-cluster scaled-distance candidate structs (dist, lab) over a
+    * `qv` column: dist = sqrt(Σ(n·q_i − s_i)²)/(n·scale) with the Σ in
+    * Decimal(38,0) — the v14/v18 exactness trick, literal-folded so
+    * assignment and routing are map-only. */
+  private def lloydCands(
+      cs: Array[(Long, Long, Array[Long])]): Seq[Column] = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val cands = cs.map { case (lab, n, svec) =>
+    cs.toIndexedSeq.map { case (lab, n, svec) =>
       val sLit = array(svec.map(lit(_)).toIndexedSeq: _*)
       val a2 = aggregate(
         zip_with(col("qv"), sLit, (qi, si) => {
@@ -646,9 +665,46 @@ object Queries {
       struct((sqrt(a2) / lit(n * DefaultScale.toLong).cast("double"))
         .as("dist"), lit(lab).as("lab"))
     }
-    cur.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
-      .select(col("id"), col("qv"), col("c").as("c_prev"),
-        col("best.lab").as("c"))
+  }
+
+  /** TRAINED-quantizer IVF search — the full faiss scale path in ONE
+    * gated chain (train → add → search, faiss_utils.py:4-22 semantics):
+    * v26's three exact Lloyd rounds produce the trained coarse
+    * quantizer, the ADD step argmin-assigns every gallery vector to its
+    * nearest TRAINED centroid (one more scaled-distance round — the
+    * same arithmetic, so the oracle's round template covers it), and
+    * each query routes to its nprobe=2 nearest trained centroids before
+    * the exact top-5 within probed lists. Closes the seeded-vs-trained
+    * fidelity gap: v7 searches seed centroids; this searches what Lloyd
+    * actually converged to. Scale shape: training collects only the
+    * O(nlist·dim) (n, sum) table per round; add/route are map-only
+    * literal argmins; the probe join broadcasts the O(Q·nprobe) probe
+    * frame while the gallery streams; the only exchange is the O(Q·k)
+    * partial top-k. */
+  def v65TrainedIvfSearch(s: SparkSession, d: String): DataFrame = {
+    var cur = lloydSeedAssign(emb(s, d))
+    for (_ <- 1 to 3) cur = lloydRound(cur).localCheckpoint(false)
+    val cands = lloydCands(collectClassSums(cur))
+    // ADD: assign the gallery to the trained centroids (asn4 in the
+    // oracle — one more application of the shared round template)
+    val added = cur.withColumn("best",
+        array_min(array(cands.toIndexedSeq: _*)))
+      .select(col("id"), col("qv"), col("best.lab").as("c"))
+    // ROUTE: each query's 2 nearest trained centroids, by the same
+    // scaled distance (array_sort over the nlist candidate structs —
+    // lexicographic (dist, lab), matching the oracle's ORDER BY)
+    val sorted = array_sort(array(cands.toIndexedSeq: _*))
+    val probes = cur.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("qvec"),
+        explode(array(element_at(sorted, 1).getField("lab"),
+          element_at(sorted, 2).getField("lab"))).as("pc"))
+    val scored = added.join(broadcast(probes), col("c") === col("pc"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        intL2Sq(col("qv"), col("qvec")).cast("double").as("d2"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "d2", k = 5,
+        ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2")).as("dist"))
   }
 
   /** Per-cluster membership stats of the LAST round: size after, and
@@ -4564,6 +4620,51 @@ object Queries {
     for (_ <- 1 to 3) {
       val cand = cur.select(col("query_id"), col("cur").as("nid"))
         .unionAll(cur.join(edges, col("cur") === col("src_id"))
+          .select(col("query_id"), col("dst_id").as("nid")))
+      cur = cand
+        .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+        .groupBy("query_id")
+        .agg(min(struct(col("d2"), col("nid"))).as("m"))
+        .select(col("query_id"), col("m.nid").as("cur"))
+    }
+    cur.join(vec.select(col("id").as("cur"), col("qv").as("nv")), "cur")
+      .join(q, "query_id")
+      .select(col("query_id"), col("cur").as("node_id"),
+        distFromIntSq(intL2Sq(col("nv"), col("query_v")).cast("double"))
+          .as("dist"))
+  }
+
+  /** v57's greedy walk served from a PERSISTED edge list — the gated
+    * deployment shape (persist once, search many — the d9/d23 recipe
+    * applied to the graph family): v28's bucket-blocked KNN graph is
+    * built ONCE into the bucketed store (bucketed+sorted by src_id,
+    * with a source-data fingerprint in the table name so regenerated
+    * data mints a fresh index), and every query batch pays only the
+    * O(steps·Q·k) walk. Each step broadcasts the O(Q)-row frontier
+    * against the streaming edge scan — zero index-side exchange, and
+    * the O(N·k) build cost is amortized across batches instead of
+    * charged per query (the faiss persist-once contract,
+    * faiss_utils.py:11-17). Identical math to v57, so the oracle is
+    * v57's walk verbatim — the gate checks that persistence round-trips
+    * the graph bit-exactly. */
+  def v64GraphSearchPersisted(s: SparkSession, d: String): DataFrame = {
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val table = "graft_knn_edges_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
+    val edges = graft.sources.BucketedStore.ensure(s, table,
+      knnGraphRanked(v).select(col("src_id"), col("dst_id")),
+      "src_id", numBuckets = 32)
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    val entry = vec.agg(min("id").as("cur"))
+    var cur = q.select(col("query_id")).crossJoin(entry)
+    for (_ <- 1 to 3) {
+      val cand = cur.select(col("query_id"), col("cur").as("nid"))
+        .unionAll(broadcast(cur).join(edges, col("cur") === col("src_id"))
           .select(col("query_id"), col("dst_id").as("nid")))
       cur = cand
         .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")

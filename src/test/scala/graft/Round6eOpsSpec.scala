@@ -501,12 +501,9 @@ class Round6eOpsSpec extends SparkSpec {
     assert(rolled == m3)
   }
 
-  test("v63: rrf replays from the component ranks, the query never " +
-    "retrieves itself, and the self-is-rank-1 shift premise holds") {
-    Queries.v1KnnL2(spark, sf).collect()
-      .filter(_.getAs[Long]("rnk") == 1L)
-      .foreach(r => assert(r.getAs[Long]("neighbor_id") ==
-        r.getAs[Long]("query_id")))
+  test("v63: rrf replays from the component ranks and the query " +
+    "never retrieves itself (vec rank is computed after the self " +
+    "filter, so no corpus premise is required)") {
     val out = Queries.v63HybridRrf(spark, sf).collect()
     out.groupBy(_.getAs[Long]("query_id")).values
       .foreach(rows => assert(rows.length == 5))
