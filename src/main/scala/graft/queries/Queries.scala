@@ -2680,16 +2680,29 @@ object Queries {
       .agg((moneySum(col("l_extendedprice") * col("l_discount"), 10000)
         / lit(10000.0)).as("revenue"))
 
+  /** Top-3 customers per nation by balance — through the native
+    * partial top-k aggregate (map-side heaps, shuffle O(nations·k·
+    * partitions)) rather than a nation-partitioned row_number window:
+    * a nation's customer list grows with the corpus and a window
+    * would sort it on ONE task (the d7/v5 skew rule). (acctbal desc,
+    * custkey asc) is exactly TopK's descending tie rule, so ranks are
+    * identical; name/balance ride back on an O(nations·3) broadcast
+    * join. */
   def q7TopCustomers(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("n_name"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val top = TopK.perGroup(
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey").cast("long").as("c_custkey"),
+          col("c_acctbal").cast("double").as("bal")),
+      "n_name", "c_custkey", "bal", k = 3, ascending = false)
+      .select(col("n_name"), col("c_custkey"), col("rnk"))
     Tables.customer(s, d)
-      .join(broadcast(Tables.nation(s, d)),
-        col("c_nationkey") === col("n_nationkey"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("n_name"), col("c_custkey").cast("long").as("c_custkey"),
-        col("c_name"), col("c_acctbal"), col("rnk"))
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+      .join(broadcast(top), Seq("c_custkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("rnk"))
   }
 
   /** Semi-join shape (TPC-H Q4 flavor): orders in a window with at

@@ -301,6 +301,74 @@ object StreamingOps {
       }
   }
 
+  /** Tombstone-aware stream-static KNN (streaming twin of the gated
+    * v62 — faiss `remove_ids` under continuous serving): the delete-id
+    * set anti-joins the static gallery BEFORE the broadcast, so a
+    * deleted vector can never surface in any micro-batch. Both static
+    * sides are resolved per micro-batch, so a refreshed tombstone
+    * frame (e.g. a delta-read of a delete log) takes effect on the
+    * next batch without a restart. Same kernel + top-k operators as
+    * the batch path — on a bounded stream the result set equals v62's
+    * bit-for-bit. */
+  def knnStreamTombstone(queries: DataFrame, gallery: DataFrame,
+                         tombstones: DataFrame, qidCol: String,
+                         vecCol: String, gidCol: String,
+                         k: Int): DataFrame = {
+    val alive = gallery.join(
+      tombstones.select(col(gidCol)).distinct(), Seq(gidCol), "left_anti")
+    knnStream(queries, alive, qidCol, vecCol, gidCol, k)
+  }
+
+  /** Per-micro-batch hybrid vector+keyword serving (streaming twin of
+    * the gated v63): run from `writeStream.foreachBatch` — the
+    * documented Structured Streaming shape for retrieval that needs
+    * TWO independent top-k rankings plus a fusion join (more stateful
+    * operators than a single continuous query supports). The static
+    * indexes persist across batches: `gallery` (id, embedding) for the
+    * vector side and `inv` (sg, doc_id) — the DF-CAPPED inverted index
+    * (the caller applies v63's stop-shingle guard, so a hot shingle's
+    * postings never reach the join). Each arriving query batch is
+    * broadcast-sized by the batch-KNN contract; every window below is
+    * per-query (≤ k+1 rows). Arithmetic is v63's exactly (rank-after-
+    * self-filter, RRF = Σ 1/(60+rank), ties to lowest doc id), so a
+    * bounded stream's union of batch outputs equals the batch v63
+    * rows for the same queries. */
+  def hybridRrfBatch(queryBatch: DataFrame, gallery: DataFrame,
+                     inv: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    import org.apache.spark.sql.expressions.Window
+    val qsh = queryBatch.select(col("query_id"),
+      explode(shingles(col("text"), 3)).as("sg"))
+    val overlap = inv.join(broadcast(qsh), Seq("sg"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("double").as("n_shared"))
+    val textTop = graft.operators.TopK.perGroup(overlap, "query_id",
+        "doc_id", "n_shared", k, ascending = false)
+      .select(col("query_id"), col("doc_id"),
+        col("rnk").cast("long").as("tr"))
+    val vecTop = graft.operators.KnnJoin.knnL2(gallery,
+        queryBatch.select(col("query_id").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", "vec_id", k = k + 1)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("vr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rnk"))).cast("long"))
+      .filter(col("vr") <= k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("vr"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    vecTop.join(textTop, Seq("query_id", "doc_id"), "full")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1L) / (lit(60L) + col("vr")), lit(0.0))
+          + coalesce(lit(1L) / (lit(60L) + col("tr")), lit(0.0)))
+          .as("rrf"),
+        coalesce(col("vr"), lit(0L)).as("vec_rank"),
+        coalesce(col("tr"), lit(0L)).as("text_rank"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "doc_id", "rrf", "vec_rank", "text_rank")
+  }
+
   /** Tumbling 1-hour windowed counts per event type with a 30-min
     * watermark (streaming twin of e1). */
   def windowedCounts(events: DataFrame): DataFrame =

@@ -81,7 +81,9 @@ object ExplainAudit {
     // v62 is v1's broadcast(queries) scoring crossjoin over the
     // tombstone-filtered gallery; v63 composes the same vector chain
     // with the df-capped keyword ranking.
-    "v62_tombstone_search", "v63_hybrid_rrf")
+    "v62_tombstone_search", "v63_hybrid_rrf",
+    // v64's walk entry node is a 1-row scalar crossjoin (v57's class).
+    "v64_graph_search_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -91,6 +93,10 @@ object ExplainAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match the production sessions (see GraftSession) so audited
+      // plans are the plans that actually run
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -101,6 +107,23 @@ object ExplainAudit {
       println(s"\n########## $name ##########")
       try {
         val df = fn(spark, sfDir)
+        // The d7 skew rule as a machine gate: no Window may partition
+        // on a key whose group size grows with the corpus without a
+        // per-key bound. Denylisted keys are the known data-sized ones
+        // (cluster_id: a boilerplate family IS the corpus tail;
+        // text_hash/band_hash/simhash: a hot near-dup family). Audited
+        // on the OPTIMIZED logical plan so select-alias games can't
+        // hide a partition key.
+        val windowDeny = Set("cluster_id", "text_hash", "band_hash",
+          "simhash", "s", "sg", "token")
+        df.queryExecution.optimizedPlan.foreach {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+            val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+            keys.filter(windowDeny.contains).foreach(k =>
+              violations ::= s"$name: Window partitioned by " +
+                s"data-sized key '$k' (use groupBy + join-back)")
+          case _ => ()
+        }
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         println(plan)

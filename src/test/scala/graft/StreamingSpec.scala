@@ -117,6 +117,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("knnStreamTombstone: deleted ids never surface and survivors " +
+    "match the batch KNN over the filtered gallery") {
+    implicit val sqlCtx = spark.sqlContext
+    val gallery = Seq(
+      (10L, Seq(0.0, 0.0)), (11L, Seq(1.0, 0.0)), (12L, Seq(0.0, 1.0)),
+      (13L, Seq(2.0, 2.0)), (14L, Seq(0.5, 0.5))
+    ).toDF("vec_id", "embedding")
+    val dead = Seq(Tuple1(11L), Tuple1(13L)).toDF("vec_id")
+    val qs = Seq((1L, Seq(0.1, 0.1)), (2L, Seq(1.9, 2.1)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(qs: _*)
+    val q = StreamingOps.knnStreamTombstone(
+        mem.toDF().toDF("vec_id", "embedding"), gallery, dead,
+        "vec_id", "embedding", "vec_id", k = 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("knn_tomb").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("knn_tomb")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(got.forall(r => r._3 != 11L && r._3 != 13L))
+      val batch = graft.operators.KnnJoin.knnL2(
+          gallery.filter(!$"vec_id".isin(11L, 13L)),
+          qs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          "vec_id", k = 3)
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(got === batch && got.size === 6)
+    } finally q.stop()
+  }
+
+  test("hybridRrfBatch via foreachBatch: union across two micro-" +
+    "batches equals the gated v63 rows on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the static indexes, built exactly as v63 builds them
+    val sh = docsDf.select($"doc_id".cast("long").as("doc_id"),
+      explode(graft.functions.TextFunctions.shingles($"text", 3)).as("sg"))
+    val inv = sh.join(
+      sh.groupBy("sg").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 100).select("sg"), "sg")
+      .select("sg", "doc_id").localCheckpoint()
+    val qb = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".cast("long").as("query_id"), $"embedding")
+      .join(docsDf.select($"doc_id".cast("long").as("query_id"), $"text"),
+        Seq("query_id"), "left")
+      .select($"query_id", $"text",
+        $"embedding".cast("array<double>").as("embedding"))
+      .as[(Long, String, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Long, Long)]
+    val (first, second) = qb.splitAt(qb.length / 2)
+    mem.addData(first: _*)
+    val q = mem.toDF().toDF("query_id", "text", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= StreamingOps.hybridRrfBatch(batch, emb, inv)
+            .as[(Long, Long, Long, Double, Long, Long)].collect()
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      val expected = graft.queries.Queries.v63HybridRrf(spark, sf)
+        .as[(Long, Long, Long, Double, Long, Long)].collect().toSet
+      assert(buf.toSet == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream emits each content hash once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
