@@ -2756,39 +2756,86 @@ object Queries {
         (moneySum(col("c_acctbal"), 100) / lit(100.0)).as("sum_acctbal"))
   }
 
-  /** Per-nation account-balance quartiles via NTILE — the bucketed-rank
-    * window family (ntile ≠ row_number: near-equal bucket SIZES, larger
-    * buckets first per the SQL standard, identical in both engines with
-    * a unique order key). Nation-partitioned, so the window is key-local
-    * — never a global sort at 100 TB. */
+  /** Per-nation account-balance quartiles with NTILE semantics (near-
+    * equal bucket sizes, larger buckets first per the SQL standard),
+    * computed WITHOUT a nation-partitioned row sort: a nation's
+    * customer list grows with the corpus, so the position comes from
+    * the t7 histogram trick instead — a (nation, balance) count
+    * histogram, a cumulative window over O(distinct balances) rows
+    * (bounded by the CENTS DOMAIN of acctbal, corpus-independent),
+    * and a row_number only WITHIN each exact-balance tie group
+    * (group size = tie count — the corpus/distinct-values ratio,
+    * three orders of magnitude below a full nation). position =
+    * strictly-higher count + tie rank reproduces the ntile order
+    * (balance desc, custkey) exactly; the bucket formula is the SQL
+    * standard's: first N mod 4 buckets hold N div 4 + 1 rows. */
   def q13BalanceQuartiles(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("n_name")
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, d)
+    val cust = Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("n_name"), col("c_custkey").cast("long").as("c_custkey"),
+        col("c_acctbal"))
+    val hist = cust.groupBy("n_name", "c_acctbal")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc)
+    val cum = hist
+      .withColumn("cum_before",
+        (sum("cnt").over(wCum) - col("cnt")).cast("long"))
+      .withColumn("n_tot",
+        sum("cnt").over(Window.partitionBy("n_name")).cast("long"))
+    val wTie = Window.partitionBy("n_name", "c_acctbal")
+      .orderBy("c_custkey")
+    // N < 4 never reaches the else branch (p <= r·(q+1) = N holds for
+    // every p when q = 0), so its div-by-zero arm is never evaluated
+    val quartile = when(
+      expr("p <= (n_tot % 4) * (n_tot div 4 + 1)"),
+      expr("(p - 1) div (n_tot div 4 + 1) + 1"))
+      .otherwise(expr(
+        "n_tot % 4 + (p - (n_tot % 4) * (n_tot div 4 + 1) - 1) " +
+          "div (n_tot div 4) + 1"))
+    cust
+      .withColumn("tie_rk", row_number().over(wTie).cast("long"))
+      .join(cum, Seq("n_name", "c_acctbal"))
+      .withColumn("p", col("cum_before") + col("tie_rk"))
+      .withColumn("quartile", quartile.cast("long"))
       .groupBy("n_name", "quartile")
       .agg(count(lit(1)).as("n"),
         (moneySum(col("c_acctbal"), 100) / lit(100.0)).as("sum_acctbal"),
         min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
   }
 
-  /** Top account balances per nation with RANK + PERCENT_RANK — the
-    * tie-aware window family (rank repeats on equal balances,
-    * percent_rank = (rank−1)/(n−1) is an exact-integer division, so
-    * tie semantics themselves are under the hash gate). Key-local
-    * window, no global sort. */
+  /** Top account balances per nation with RANK + PERCENT_RANK
+    * semantics (rank repeats on equal balances, percent_rank =
+    * (rank−1)/(n−1)) — computed from the t7 HISTOGRAM, never a
+    * nation-partitioned row sort: rank is a property of the BALANCE
+    * VALUE alone (all tied customers share it), so a (nation,
+    * balance) count histogram + a cumulative window over O(distinct
+    * balances) rows (cents-domain bounded, corpus-independent) yields
+    * every balance group's rank; groups with rank ≤ 5 (≤ 5 per
+    * nation) broadcast back onto the customer scan. percent_rank is
+    * the same exact-integer division both engines compute. */
   def q14BalanceRank(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc)
-    Tables.customer(s, d)
+    val cust = Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("c_custkey").cast("long").as("c_custkey"),
         col("c_acctbal"))
-      .withColumn("rnk", rank().over(w).cast("long"))
-      .withColumn("pct_rank", percent_rank().over(w))
+    val hist = cust.groupBy("n_name", "c_acctbal")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc)
+    val ranked = hist
+      .withColumn("rnk",
+        (sum("cnt").over(wCum) - col("cnt") + 1).cast("long"))
+      .withColumn("n_tot",
+        sum("cnt").over(Window.partitionBy("n_name")).cast("long"))
       .filter(col("rnk") <= 5)
+      .select("n_name", "c_acctbal", "rnk", "n_tot")
+    cust.join(broadcast(ranked), Seq("n_name", "c_acctbal"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
+        col("rnk"),
+        when(col("n_tot") === 1L, lit(0.0))
+          .otherwise((col("rnk") - 1).cast("double")
+            / (col("n_tot") - 1).cast("double")).as("pct_rank"))
   }
 
   /** Ratio-of-aggregates (TPC-H Q8 "market share" shape): per order
