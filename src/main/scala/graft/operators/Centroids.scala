@@ -24,18 +24,22 @@ import org.apache.spark.sql.functions._
 object Centroids {
 
   /** Per-class (n, element-wise sum) of a quantized vector column —
-    * one explode + two map-side-combined aggregates on (label, dim)
-    * keys; output is nClasses rows. */
+    * ONE map-side-combined aggregate through the native
+    * [[graft.plans.VectorSumAggregate]] (primitive Long buffers, one
+    * array read per row). The previous form posexploded the gallery
+    * into (label, dim, x) rows — dim× the row volume through the
+    * aggregate, measured as the dominant cost of every Lloyd training
+    * pass — then re-assembled arrays with a collect_list sort. Output
+    * is nClasses rows; labels whose vectors are all NULL drop (the
+    * exploded form generated no sum rows for them either). */
   def classSums(vecs: DataFrame, labCol: String, qvCol: String): DataFrame = {
-    val n = vecs.groupBy(col(labCol).as("lab")).agg(count(lit(1)).as("n"))
-    val s = vecs
-      .select(col(labCol).as("lab"), posexplode(col(qvCol)).as(Seq("i", "x")))
-      .groupBy("lab", "i").agg(sum("x").as("sx"))
-      .groupBy("lab")
-      .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("pairs"))
-      .select(col("lab"),
-        transform(col("pairs"), p => p.getField("sx")).as("svec"))
-    n.join(s, "lab")
+    import org.apache.spark.sql.GraftSqlBridge
+    val vecSum = GraftSqlBridge.column(
+      graft.plans.VectorSumAggregate(
+        GraftSqlBridge.expression(col(qvCol))).toAggregateExpression())
+    vecs.groupBy(col(labCol).as("lab"))
+      .agg(count(lit(1)).as("n"), vecSum.as("svec"))
+      .filter(col("svec").isNotNull)
   }
 
   /** Per-class embedding compactness: mean intra-class squared L2

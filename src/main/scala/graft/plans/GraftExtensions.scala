@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   *    (k a literal int)
   *  - `graft_topk(id, score, k, ascending)` — bounded top-k aggregate,
   *    array<struct<id,score>> in rank order (k, ascending literals)
+  *  - `graft_vecsum(vec)` — element-wise Long-array sum aggregate (the
+  *    exact-centroid (n, Σ) carrier, one pass, no explode)
   *
   * For an already-running session use `GraftExtensions.register(spark)`.
   */
@@ -79,6 +81,13 @@ object GraftExtensions {
         TopKAggregate(exprs(0), exprs(1),
           litInt(exprs(2), "graft_topk", "k"),
           litBool(exprs(3), "graft_topk", "ascending"))
+      }),
+    (new FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VectorSumAggregate].getName,
+        "graft_vecsum"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_vecsum", "(vec)", exprs, 1)
+        VectorSumAggregate(exprs(0))
       }))
 
   /** Register the graft functions into a live session's registry. */

@@ -24,6 +24,45 @@ class CentroidsSpec extends SparkSpec {
     assert(r(1L) === ((3L, Seq(1000L, 27000L))))
   }
 
+  test("classSums (native vecsum) matches the exploded groupBy form " +
+    "on random data, across partial-merge boundaries") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, (rnd.nextInt(5)).toLong,
+        Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // 8 partitions force map-side partials + merges through serialize
+    val g = rows.toDF("vec_id", "label", "embedding").repartition(8)
+      .select(col("label").as("lab"),
+        graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+    val native = Centroids.classSums(g, "lab", "qv")
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    val exploded = g
+      .select(col("lab"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("lab", "i").agg(sum("x").as("sx"))
+      .groupBy("lab")
+      .agg(array_sort(collect_list(struct(col("i"), col("sx")))).as("p"),
+        count(lit(1)).as("d"))
+      .select(col("lab"), transform(col("p"), q => q.getField("sx")).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val counts = g.groupBy("lab").count()
+      .as[(Long, Long)].collect().toMap
+    assert(native.keySet == exploded.keySet)
+    native.foreach { case (lab, (n, svec)) =>
+      assert(n == counts(lab))
+      assert(svec == exploded(lab))
+    }
+  }
+
+  test("classSums skips NULL vectors; an all-NULL class drops") {
+    val g = Seq((0L, Some(Seq(1L, 2L))), (0L, None),
+        (1L, None))
+      .toDF("lab", "qv")
+    val r = Centroids.classSums(g, "lab", "qv")
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(r.toSeq == Seq((0L, 2L, Seq(1L, 2L))))
+  }
+
   test("nearestClassMean assigns the geometrically nearest mean") {
     val queries = Seq(
       (10L, 0L, Array(0.8f, 0.2f)),   // near class-0 mean

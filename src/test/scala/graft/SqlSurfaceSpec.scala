@@ -38,6 +38,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlRes === apiRes)
   }
 
+  test("graft_vecsum from SQL matches the Column-API classSums sums") {
+    GraftExtensions.register(spark)
+    Seq((0L, Seq(1L, 2L)), (0L, Seq(10L, 20L)), (1L, Seq(5L, 5L)))
+      .toDF("lab", "qv").createOrReplaceTempView("vs_in")
+    val got = spark.sql(
+      "SELECT lab, graft_vecsum(qv) AS s FROM vs_in GROUP BY lab")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == Map(0L -> Seq(11L, 22L), 1L -> Seq(5L, 5L)))
+  }
+
   test("graft_minhash from SQL matches the Column API kernel") {
     GraftExtensions.register(spark)
     val r = spark.sql(
