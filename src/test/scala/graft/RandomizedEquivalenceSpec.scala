@@ -178,6 +178,76 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("histogram ntile/rank (q13/q14 shape) == window built-ins on " +
+    "random tie-heavy balances") {
+    // the de-skewed q13/q14 plans must equal ntile()/rank()/
+    // percent_rank() windows on arbitrary tie-heavy data, including
+    // nations with < 4 customers (the div-by-zero guard branch)
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 200).map { i =>
+        (s"n${rnd.nextInt(6)}", i.toLong,
+          // coarse grid forces heavy ties
+          (rnd.nextInt(8) * 25).toDouble / 10.0)
+      } ++ Seq(("tiny", 9001L, 1.0), ("tiny", 9002L, 1.0),
+        ("tiny2", 9003L, 5.0)) // 2-row and 1-row nations
+      val df = rows.toDF("n_name", "c_custkey", "c_acctbal")
+
+      // ---- q13 histogram quartile vs ntile() ----
+      val hist = df.groupBy("n_name", "c_acctbal")
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("n_name")
+        .orderBy(col("c_acctbal").desc)
+      val cum = hist
+        .withColumn("cum_before",
+          (sum("cnt").over(wCum) - col("cnt")).cast("long"))
+        .withColumn("n_tot",
+          sum("cnt").over(Window.partitionBy("n_name")).cast("long"))
+      val wTie = Window.partitionBy("n_name", "c_acctbal")
+        .orderBy("c_custkey")
+      val quart = when(
+        expr("p <= (n_tot % 4) * (n_tot div 4 + 1)"),
+        expr("(p - 1) div (n_tot div 4 + 1) + 1"))
+        .otherwise(expr(
+          "n_tot % 4 + (p - (n_tot % 4) * (n_tot div 4 + 1) - 1) " +
+            "div (n_tot div 4) + 1"))
+      val gotQ = df
+        .withColumn("tie_rk", row_number().over(wTie).cast("long"))
+        .join(cum, Seq("n_name", "c_acctbal"))
+        .withColumn("p", col("cum_before") + col("tie_rk"))
+        .withColumn("quartile", quart.cast("long"))
+        .select($"n_name", $"c_custkey", $"quartile")
+        .as[(String, Long, Long)].collect().toSet
+      val wNt = Window.partitionBy("n_name")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val expQ = df.withColumn("quartile", ntile(4).over(wNt).cast("long"))
+        .select($"n_name", $"c_custkey", $"quartile")
+        .as[(String, Long, Long)].collect().toSet
+      assert(gotQ === expQ, s"q13 trial=$trial")
+
+      // ---- q14 histogram rank/pct vs rank()/percent_rank() ----
+      val ranked = hist
+        .withColumn("rnk",
+          (sum("cnt").over(wCum) - col("cnt") + 1).cast("long"))
+        .withColumn("n_tot",
+          sum("cnt").over(Window.partitionBy("n_name")).cast("long"))
+      val gotR = df.join(ranked, Seq("n_name", "c_acctbal"))
+        .select($"n_name", $"c_custkey", $"rnk",
+          when($"n_tot" === 1L, lit(0.0))
+            .otherwise(($"rnk" - 1).cast("double")
+              / ($"n_tot" - 1).cast("double")).as("pr"))
+        .as[(String, Long, Long, Double)].collect().toSet
+      val wR = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc)
+      val expR = df
+        .withColumn("rnk", rank().over(wR).cast("long"))
+        .withColumn("pr", percent_rank().over(wR))
+        .select($"n_name", $"c_custkey", $"rnk", $"pr")
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(gotR === expR, s"q14 trial=$trial")
+    }
+  }
+
   test("anti-join df cap in overlapPairs == window df cap") {
     // the de-skewed cap (groupBy + anti-join of over-df fps) must equal
     // the window form it replaced, including AT the cap boundary
