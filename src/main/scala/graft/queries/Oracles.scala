@@ -254,7 +254,7 @@ v AS (SELECT vec_id, ${idot("qvec", "qvec")} AS normsq FROM ev)"""
 
   private val discPrice = "l_extendedprice * (1 - l_discount)"
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "v1_knn_l2" -> s"""
 WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
@@ -3800,4 +3800,71 @@ SELECT source, count(*) AS n_shards,
              * CAST(CAST(sum(shard_bytes) AS BIGINT) AS DOUBLE))
          AS imbalance
 FROM sh GROUP BY 1""")
+
+  /** SQL fragment: deterministic-HLL rho for a 32-hex-char md5 column
+    * named `hx` — identical string arithmetic to Queries.hllRho. */
+  private val hllRhoSql: String = """
+             least(4 * (29 - length(ltrim(substr(hx, 4, 29), '0')))
+                   + CASE substr(ltrim(substr(hx, 4, 29), '0'), 1, 1)
+                       WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                       WHEN '7' THEN 1 ELSE 0 END + 1, 35)"""
+
+  /** SQL fragment: the raw-HLL estimate from a rolled register table
+    * exposing BIGINT columns `used_registers` and `s_used` — the same
+    * literal double arithmetic Queries.hllRoll folds. */
+  private def hllEstSql(t: String): String =
+    s"""CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+             + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
+           * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+           * CAST(1099511627776.0 AS DOUBLE)
+           / CAST($t.s_used + (4096 - $t.used_registers)
+               * (CAST(1 AS BIGINT) << 40) AS DOUBLE)"""
+
+  private val hllExtra: Map[String, String] = Map(
+    "t30_hll_vocab" -> s"""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+h AS (SELECT source, md5(token) AS hx FROM tok),
+r AS (SELECT source, substr(hx, 1, 3) AS bucket, $hllRhoSql AS rho FROM h),
+reg AS (SELECT source, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+roll AS (SELECT source, CAST(count(*) AS BIGINT) AS used_registers,
+                CAST(sum(CAST(1 AS BIGINT) << (40 - m)) AS BIGINT) AS s_used
+         FROM reg GROUP BY 1),
+ex AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+       FROM tok GROUP BY 1)
+SELECT ex.source, ex.n_exact, roll.used_registers,
+       ${hllEstSql("roll")} AS est_distinct
+FROM ex JOIN roll USING (source)""",
+    "e32_hll_dau" -> s"""
+WITH ev AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                     AS day,
+                   CAST(user_id AS BIGINT) AS user_id
+            FROM events),
+h AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+r AS (SELECT day, substr(hx, 1, 3) AS bucket, $hllRhoSql AS rho FROM h),
+reg AS (SELECT day, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+roll AS (SELECT day, CAST(count(*) AS BIGINT) AS used_registers,
+                CAST(sum(CAST(1 AS BIGINT) << (40 - m)) AS BIGINT) AS s_used
+         FROM reg GROUP BY 1),
+ex AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       FROM ev GROUP BY 1),
+mreg AS (SELECT bucket, max(m) AS m FROM reg GROUP BY 1),
+mroll AS (SELECT CAST(count(*) AS BIGINT) AS used_registers,
+                 CAST(sum(CAST(1 AS BIGINT) << (40 - m)) AS BIGINT) AS s_used
+          FROM mreg),
+mex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM ev)
+SELECT day, n_exact, used_registers, ${hllEstSql("roll")} AS est_distinct
+FROM ex JOIN roll USING (day)
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS day, mex.n_exact, mroll.used_registers,
+       ${hllEstSql("mroll")} AS est_distinct
+FROM mex CROSS JOIN mroll""")
+
+  val sql: Map[String, String] = base ++ hllExtra ++ Map(
+    // persisted-index serving twins: identical math (and therefore
+    // identical oracle SQL) to the rebuild-shape keys — the gate checks
+    // that the persisted layouts round-trip the index bit-exactly.
+    "v66_ivf_search_persisted" -> base("v7_ivf_search"),
+    "v67_ivfpq_search_persisted" -> base("v13_ivfpq_search"))
 }

@@ -4828,4 +4828,134 @@ object Queries {
           .cast("long").as("chars_kept"))
       .withColumn("keep_rate", col("n_kept") / col("n_docs"))
   }
+
+  // ---------- deterministic (bit-portable) HyperLogLog ----------
+
+  /** md5-derived HLL register coordinates, exactly mirrored in SQL.
+    * bucket = first 3 hex chars (m = 4096 registers, the lgK=12
+    * production default); rho = 1 + leading zero BITS of the remaining
+    * 116 bits, read off hex characters (each leading '0' char is 4
+    * zero bits; the first non-zero char adds 3/2/1/0 more by its high
+    * bits — pure string ops both engines evaluate identically, no
+    * hex→int conversion to disagree on). rho caps at 35 so the scaled
+    * harmonic sum stays an exact Long: 4096 · 2^40 < 2^53. */
+  private def hllBucket(hx: Column): Column = substring(hx, 1, 3)
+
+  private def hllRho(hx: Column): Column = {
+    val rest = substring(hx, 4, 29)
+    val stripped = ltrim(rest, "0")
+    val zeroHex = lit(29) - length(stripped)
+    val c = substring(stripped, 1, 1)
+    val extra = when(c === "1", 3)
+      .when(c.isin("2", "3"), 2)
+      .when(c.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    least(zeroHex * 4 + extra + 1, lit(35))
+  }
+
+  /** Rolls (keys..., m) registers up to (keys..., used_registers,
+    * est_distinct). The harmonic sum Σ 2^−M_j accumulates SCALED as
+    * Σ 2^(40−M_j) — an exact Long (empty registers contribute 2^40
+    * each) — so the only IEEE step is the single estimate division,
+    * whose constant factor α·m²·2^40 both engines fold from the same
+    * literal arithmetic. Raw HLL estimate by design (no ln-based
+    * small-range correction: libm log differs across engines by ulps;
+    * the operator contract publishes used_registers so a consumer can
+    * apply any correction downstream). */
+  private def hllRoll(reg: DataFrame, keys: Seq[String]): DataFrame = {
+    val grouped =
+      if (keys.isEmpty) reg.groupBy()
+      else reg.groupBy(keys.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("used_registers"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - m)")).as("s_used"))
+      .withColumn("s_total", col("s_used")
+        + (lit(4096L) - col("used_registers")) * lit(1099511627776L))
+      .withColumn("est_distinct",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0))
+          * lit(4096.0) * lit(4096.0) * lit(1099511627776.0)
+          / col("s_total").cast("double"))
+  }
+
+  /** Per-source vocabulary size, exact vs a DETERMINISTIC HyperLogLog
+    * estimate (Flajolet et al. 2007), gated bit-for-bit: the t28 CMS
+    * recipe applied to the distinct-count sketch every 100 TB rollup
+    * actually uses. The sketch path never dedups — registers are a
+    * (source, bucket)-keyed MAX over the raw token stream, map-side
+    * combined, duplicate-insensitive and MERGEABLE — while the exact
+    * column (t28's true_n pattern) is the eval harness a production
+    * run would drop. O(sources · 4096) register rows; one IEEE
+    * division per output row. */
+  def t30HllVocab(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    val hx = tok.select(col("source"), md5(col("token")).as("hx"))
+    val reg = hx
+      .select(col("source"), hllBucket(col("hx")).as("bucket"),
+        hllRho(col("hx")).as("rho"))
+      .groupBy("source", "bucket").agg(max("rho").as("m"))
+    val exact = tok.groupBy("source")
+      .agg(countDistinct("token").as("n_exact"))
+    exact.join(hllRoll(reg, Seq("source")), "source")
+      .select(col("source"), col("n_exact"), col("used_registers"),
+        col("est_distinct"))
+  }
+
+  /** Daily active users, exact vs deterministic-HLL — plus the merge
+    * the sketch exists for: the day = −1 row estimates TOTAL actives
+    * by unioning the per-day registers (bucket-keyed max over O(days ·
+    * 4096) rows), never rescanning events. That register union is the
+    * 100 TB contract — daily register tables persist and any date
+    * range rolls up from them — and it is gated here bit-for-bit
+    * against an oracle that performs the identical merge. Exact
+    * distincts are the eval harness, as in t30. */
+  def e32HllDau(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(floorDiv("ts", 86400000000000L).as("day"),
+        col("user_id").cast("long").as("user_id"))
+    val hx = ev.select(col("day"),
+      md5(col("user_id").cast("string")).as("hx"))
+    val daily = hx
+      .select(col("day"), hllBucket(col("hx")).as("bucket"),
+        hllRho(col("hx")).as("rho"))
+      .groupBy("day", "bucket").agg(max("rho").as("m"))
+    val perDay = ev.groupBy("day")
+      .agg(countDistinct("user_id").as("n_exact"))
+      .join(hllRoll(daily, Seq("day")), "day")
+      .select(col("day"), col("n_exact"), col("used_registers"),
+        col("est_distinct"))
+    val merged = hllRoll(
+      daily.groupBy("bucket").agg(max("m").as("m")), Seq.empty)
+    val mergedRow = ev.agg(countDistinct("user_id").as("n_exact"))
+      .crossJoin(broadcast(merged))
+      .select(lit(-1L).as("day"), col("n_exact"), col("used_registers"),
+        col("est_distinct"))
+    perDay.unionByName(mergedRow)
+  }
+
+  // ---------- gated persisted-index serving (IVF / IVFPQ) ----------
+
+  /** v7's probe search served from the PERSISTED centroid-partitioned
+    * index, under the hard gate — v64's persist-once/serve-many
+    * contract extended to the IVF family (faiss_utils.py:11-17). The
+    * index layout is partitioned by centroid_id, so the nprobe=2 probe
+    * reads 2/nlist of the data via partition pruning; `_SUCCESS`
+    * validation + the source fingerprint in the path give crash-safe,
+    * freshness-safe serving. Identical math to v7 (the oracle IS v7's
+    * SQL): the gate checks that the persisted layout round-trips the
+    * index bit-exactly. */
+  def v66IvfSearchPersisted(s: SparkSession, d: String): DataFrame =
+    v7SearchPersisted(s, d,
+      "/tmp/graft_ivfidx_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+        graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet"))
+
+  /** v13's IVFPQ search served from PERSISTED codes (9-byte rows
+    * partitioned by coarse centroid), gated — the compressed-index
+    * twin of v66: at 100 TB the codes table is ~1/60th the vector
+    * bytes and the probe scans 2/nlist of THAT. Oracle = v13's SQL
+    * verbatim. */
+  def v67IvfpqSearchPersisted(s: SparkSession, d: String): DataFrame =
+    v13SearchPersisted(s, d,
+      "/tmp/graft_pqidx_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+        graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet"))
 }
