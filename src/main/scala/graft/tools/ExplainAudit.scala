@@ -83,7 +83,14 @@ object ExplainAudit {
     // with the df-capped keyword ranking.
     "v62_tombstone_search", "v63_hybrid_rrf",
     // v64's walk entry node is a 1-row scalar crossjoin (v57's class).
-    "v64_graph_search_persisted")
+    "v64_graph_search_persisted",
+    // v66/v67 serve v7's/v13's probe chains from the persisted index:
+    // the same centroids × broadcast(queries) routing crossjoins as
+    // their gated parents (the v7/v13 batch-KNN class).
+    "v66_ivf_search_persisted", "v67_ivfpq_search_persisted",
+    // e32's merged-register estimate and exact-total rows ride back as
+    // 1-row scalar crossjoins (the q20/e19 class).
+    "e32_hll_dau")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
