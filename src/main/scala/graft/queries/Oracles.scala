@@ -3626,6 +3626,63 @@ FROM t""",
     // fourth application of the SAME round template as the add step
     // (asn4 = gallery assigned to trained centroids), then v7's
     // probe/search shape against the trained (n, sum) table.
+    // Trained residual IVFPQ: 3 Lloyd rounds → grid-floored trained
+    // centroids (one deterministic IEEE division + floor per dim) →
+    // v21's integer residual/codebook/ADC chain verbatim against them.
+    "v68_trained_ivfpq" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
+asn0 AS (SELECT gid, cid AS lab FROM (
+          SELECT g.gid, c.cid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+${(1 to 3).map(lloydRoundCtes).mkString(",\n")},
+cnt4 AS (SELECT lab AS c, CAST(count(*) AS BIGINT) AS n
+         FROM asn3 GROUP BY 1),
+cm4 AS (SELECT a.lab AS c, i, sum(g.v[CAST(i AS INT)+1]) AS s
+        FROM asn3 a JOIN g ON g.gid = a.gid
+        CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+tc AS (SELECT m.c AS ccid,
+              list(CAST(floor(CAST(m.s AS DOUBLE) / cnt4.n) AS BIGINT)
+                ORDER BY m.i) AS cv
+       FROM cm4 m JOIN cnt4 ON cnt4.c = m.c GROUP BY 1),
+asn AS (SELECT gid, ccid AS acid FROM (
+          SELECT g.gid, t.ccid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "t.cv")}, t.ccid) AS rn
+          FROM g CROSS JOIN tc t) WHERE rn = 1),
+r AS (SELECT g.gid, asn.acid,
+             list_transform(range(64), i -> g.v[i+1] - t.cv[i+1]) AS rv
+      FROM g JOIN asn USING (gid) JOIN tc t ON t.ccid = asn.acid),
+cb AS (SELECT gid AS cid, rv AS cbv FROM r WHERE gid < 16),
+jj AS (SELECT unnest(range(8)) AS j),
+enc AS (SELECT gid, acid, j, cid AS code FROM (
+          SELECT r.gid, r.acid, jj.j, cb.cid,
+                 row_number() OVER (PARTITION BY r.gid, jj.j
+                   ORDER BY ${subL2("r.rv", "cb.cbv", "jj.j", 8)}, cb.cid) AS rn
+          FROM r CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+probe AS (SELECT query_id, ccid AS pcid FROM (
+            SELECT q.query_id, t.ccid,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${l2sq("q.qvec", "t.cv")}, t.ccid) AS rn
+            FROM q CROSS JOIN tc t) WHERE rn <= 2),
+qr AS (SELECT p.query_id, p.pcid,
+              list_transform(range(64), i -> q.qvec[i+1] - t.cv[i+1]) AS qres
+       FROM probe p JOIN q USING (query_id) JOIN tc t ON t.ccid = p.pcid),
+adc AS (SELECT qr.query_id, e.gid,
+               CAST(sum(${subL2("qr.qres", "cb.cbv", "e.j", 8)}) AS BIGINT) AS adc
+        FROM qr
+        JOIN enc e ON e.acid = qr.pcid
+        JOIN cb ON cb.cid = e.code
+        GROUP BY 1, 2),
+rk AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+       FROM adc)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
+FROM rk WHERE rnk <= 5""",
+
     "v65_trained_ivf_search" -> s"""
 WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
 c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),

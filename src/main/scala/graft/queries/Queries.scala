@@ -707,6 +707,45 @@ object Queries {
         distFromIntSq(col("d2")).as("dist"))
   }
 
+  /** TRAINED residual IVFPQ — faiss IndexIVFPQ's actual production
+    * construction (train THEN encode, by_residual=true,
+    * faiss_utils.py:4-22): v26's three exact Lloyd rounds train the
+    * coarse quantizer, the converged (n, Σ) mean is FLOORED onto the
+    * fixed-point grid (c_i = floor(s_i / n) via one deterministic IEEE
+    * division — both engines compute the identical double then the
+    * identical floor, and a grid-snapped centroid is exactly what a
+    * fixed-point deployment ships), and from there v21's
+    * integer-exact residual machinery applies verbatim: residuals vs
+    * the trained centroids, seeded residual codebooks, map-only
+    * encode, driver-routed nprobe=2 probes, integer ADC. Closes the
+    * trained-vs-seeded gap for the COMPRESSED index the way v65
+    * closes it for flat IVF. Scale shape: training collects only the
+    * O(nlist·dim) (n, sum) table per round; the centroid table is a
+    * 10-row literal; encode is map-only; the only exchange is the
+    * O(Q·k) partial top-k. */
+  def v68TrainedIvfPq(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64; val ksub = 16
+    var cur = lloydSeedAssign(emb(s, d))
+    for (_ <- 1 to 3) cur = lloydRound(cur).localCheckpoint(false)
+    val centRows = collectClassSums(cur).map { case (lab, n, svec) =>
+      (lab, svec.toIndexedSeq.map(si => math.floor(si.toDouble / n)))
+    }.toIndexedSeq
+    import s.implicits._
+    val cents = centRows.toDF("cid", "qemb")
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      transform(quantize(col("embedding")), x => x.cast("double"))
+        .as("qemb"))
+    val res = IvfPq.residuals(g, cents, "id", "qemb", "cid", scale = 1)
+    val book = PqIndex.seededBook(res, "id", "rvec", dim, m, ksub)
+    val codes = IvfPq.encodeResidual(g, cents, "id", "qemb", "cid",
+      dim, m, book, scale = 1)
+    val queries = g.filter(col("id") % 100 === 0)
+    IvfPq.searchResidual(codes, cents, queries, "cid", "id", "qemb",
+      dim, m, book, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
   /** Per-cluster membership stats of the LAST round: size after, and
     * how many members kept their previous assignment. */
   private def lloydStats(last: DataFrame): DataFrame =
