@@ -4878,9 +4878,9 @@ object Queries {
     * bits — pure string ops both engines evaluate identically, no
     * hex→int conversion to disagree on). rho caps at 35 so the scaled
     * harmonic sum stays an exact Long: 4096 · 2^40 < 2^53. */
-  private def hllBucket(hx: Column): Column = substring(hx, 1, 3)
+  private[graft] def hllBucket(hx: Column): Column = substring(hx, 1, 3)
 
-  private def hllRho(hx: Column): Column = {
+  private[graft] def hllRho(hx: Column): Column = {
     val rest = substring(hx, 4, 29)
     val stripped = ltrim(rest, "0")
     val zeroHex = lit(29) - length(stripped)

@@ -371,6 +371,28 @@ object StreamingOps {
 
   /** Tumbling 1-hour windowed counts per event type with a 30-min
     * watermark (streaming twin of e1). */
+  /** Streaming twin of e32/t30's deterministic-HLL register
+    * maintenance: the per-(key, bucket) MAX-rho table kept
+    * incrementally over an unbounded stream. `max` is
+    * duplicate-insensitive and order-free, so the registers are
+    * correct under micro-batch replays without any dedup state, and
+    * the emitted table merges with any other register table (another
+    * stream, a batch backfill, yesterday's persisted snapshot) by one
+    * further bucket-keyed max — the mergeability contract e32's
+    * day=−1 row gates in batch. State is O(keys · 4096) registers
+    * regardless of stream volume; the identical expressions
+    * (md5 → 3-hex-char bucket → string-derived rho) make a streamed
+    * register bit-equal to its batch twin. */
+  def hllRegisters(stream: DataFrame, keyCol: String,
+                   valueCol: String): DataFrame = {
+    val hx = stream.select(col(keyCol),
+      md5(col(valueCol).cast("string")).as("hx"))
+    hx.select(col(keyCol),
+        graft.queries.Queries.hllBucket(col("hx")).as("bucket"),
+        graft.queries.Queries.hllRho(col("hx")).as("rho"))
+      .groupBy(col(keyCol), col("bucket")).agg(max("rho").as("m"))
+  }
+
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")

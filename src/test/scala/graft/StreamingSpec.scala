@@ -423,4 +423,42 @@ class StreamingSpec extends SparkSpec {
       assert(weeks.map(_ - weeks.min) === fin.offsets)
     } finally q.stop()
   }
+
+  test("hllRegisters: streamed registers are bit-equal to the batch " +
+    "register table across two micro-batches, and used_registers " +
+    "reconciles with the gated e32 output") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(expr("((ts) - pmod((ts), 86400000000000L)) div " +
+        "86400000000000L").as("day"),
+        $"user_id".cast("long").as("user_id"))
+      .as[(Long, Long)].collect()
+    val mem = MemoryStream[(Long, Long)]
+    val (first, second) = ev.splitAt(ev.length / 2)
+    mem.addData(first.toSeq: _*)
+    val q = StreamingOps.hllRegisters(
+        mem.toDF().toDF("day", "user_id"), "day", "user_id")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hllreg").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("hllreg")
+        .as[(Long, String, Int)].collect().toSet
+      val batch = StreamingOps.hllRegisters(
+          ev.toSeq.toDF("day", "user_id"), "day", "user_id")
+        .as[(Long, String, Int)].collect().toSet
+      assert(got == batch)
+      assert(batch.nonEmpty)
+      // the register table drives the gated estimate: bucket counts
+      // per day must equal e32's published used_registers
+      val usedGot = got.groupBy(_._1).map { case (d, rs) => (d, rs.size.toLong) }
+      val usedGate = graft.queries.Queries.e32HllDau(spark, sf)
+        .filter($"day" >= 0)
+        .select($"day", $"used_registers")
+        .as[(Long, Long)].collect().toMap
+      assert(usedGot == usedGate)
+    } finally q.stop()
+  }
 }
