@@ -3918,7 +3918,101 @@ SELECT CAST(-1 AS BIGINT) AS day, mex.n_exact, mroll.used_registers,
        ${hllEstSql("mroll")} AS est_distinct
 FROM mex CROSS JOIN mroll""")
 
-  val sql: Map[String, String] = base ++ hllExtra ++ Map(
+  private val r7bExtra: Map[String, String] = Map(
+    // OPQ recall: v36's eval shape with the gallery CTE swapped for
+    // v31's rotated one. The exact side ranks over the ROTATED gallery
+    // — a signed permutation is an exact isometry in integer
+    // arithmetic, so this IS v1's exact ranking (identical distances,
+    // identical gid tie-breaks).
+    "v69_opq_recall" -> {
+      val (perm, signs) = graft.functions.VectorFunctions
+        .signedPerm(64, seed = 42L)
+      val permLit = perm.map(_ + 1).mkString("[", ",", "]")
+      val signLit = signs.mkString("[", ",", "]")
+      val rotG = s"""g0 AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v0 FROM embeddings),
+g AS (SELECT gid, list_transform(range(64),
+         i -> ($signLit)[i+1] * v0[($permLit)[i+1]]) AS v FROM g0)"""
+      s"""
+WITH ${pqAdcCtes(rotG)},
+ha AS (SELECT query_id, gid FROM r WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1"""
+    },
+
+    // Retrain migration matrix: the seeded assignment (asn0) joined to
+    // the trained one (asn4 — v65's add step) per gallery vector. Both
+    // sides are the SAME shared round template v65 already gates.
+    "v70_assign_drift" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
+asn0 AS (SELECT gid, cid AS lab FROM (
+          SELECT g.gid, c.cid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+${(1 to 4).map(lloydRoundCtes).mkString(",\n")}
+SELECT a0.lab AS seed_cid, a4.lab AS trained_cid, count(*) AS n
+FROM asn0 a0 JOIN asn4 a4 ON a4.gid = a0.gid
+GROUP BY 1, 2""",
+
+    // Session path mining: per-user double-lead with both hops inside
+    // e2's 30-minute session boundary.
+    "e33_session_paths" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(event_id AS BIGINT) AS event_id,
+                  event_type, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, event_type AS p1, us, event_id,
+             lead(event_type, 1) OVER w AS p2, lead(us, 1) OVER w AS us2,
+             lead(event_type, 2) OVER w AS p3, lead(us, 2) OVER w AS us3
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT p1, p2, p3, count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM l
+WHERE p3 IS NOT NULL AND us2 - us <= 1800000000
+  AND us3 - us2 <= 1800000000
+GROUP BY 1, 2, 3""",
+
+    // Asset near-dup: m2's stride-mean features quantized to exact
+    // integers, coarse-grid-blocked with the binding 64-asset bucket
+    // cap, exact integer L2 verify within cells.
+    "m14_asset_neardup" -> """
+WITH ch AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                   unnest(range(strlen(text))) AS i, text AS t
+            FROM documents),
+bx AS (SELECT asset_id, CAST(i % 8 AS BIGINT) AS dim,
+              ascii(substr(t, CAST(i AS INT) + 1, 1)) AS code
+       FROM ch),
+f AS (SELECT asset_id, dim, CAST(sum(code) AS BIGINT) / count(*) AS feature
+      FROM bx GROUP BY 1, 2),
+qfx AS (SELECT asset_id, dim, CAST(round(feature * 100) AS BIGINT) AS q
+        FROM f),
+v AS (SELECT asset_id, list(q ORDER BY dim) AS qf FROM qfx GROUP BY 1),
+b AS (SELECT asset_id, qf,
+             array_to_string(list_transform(qf,
+               x -> CAST(x // 1000 AS VARCHAR)), ':') AS bucket
+      FROM v),
+bs AS (SELECT bucket, count(*) AS bn FROM b GROUP BY 1),
+bk AS (SELECT b.* FROM b JOIN bs USING (bucket) WHERE bs.bn <= 64),
+pairs AS (SELECT x.asset_id AS a_id, y.asset_id AS b_id,
+                 CAST(list_sum(list_transform(range(8),
+                   i -> (x.qf[i+1] - y.qf[i+1]) * (x.qf[i+1] - y.qf[i+1])))
+                   AS BIGINT) AS d2
+          FROM bk x JOIN bk y ON x.bucket = y.bucket
+            AND x.asset_id < y.asset_id)
+SELECT a_id, b_id, d2, sqrt(d2) / 100.0 AS dist
+FROM pairs WHERE d2 <= 250000""")
+
+  val sql: Map[String, String] = base ++ hllExtra ++ r7bExtra ++ Map(
     // persisted-index serving twins: identical math (and therefore
     // identical oracle SQL) to the rebuild-shape keys — the gate checks
     // that the persisted layouts round-trip the index bit-exactly.

@@ -4997,4 +4997,108 @@ object Queries {
     v13SearchPersisted(s, d,
       "/tmp/graft_pqidx_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
         graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet"))
+
+  /** OPQ-path retrieval quality — recall@5 of the pre-rotated PQ
+    * search (v31) vs the exact scan, the last missing row of the
+    * per-index-family eval matrix (flat v20, PQ v36, IVF v39, binary
+    * v49, IVFPQ v56, filtered v59, SQ8 v60, graph v61). Reads next to
+    * v36: the delta between the two rows is what the rotation buys
+    * (balanced subspace variance → better codebook fit) at identical
+    * code size. Both inputs are gated O(Q·k) frames → broadcast join +
+    * tiny aggregate; the oracle reuses v31's rotated-ADC CTEs, and the
+    * exact side runs over the ROTATED gallery (a signed permutation is
+    * an exact isometry in integer arithmetic — spec-proved at v31 — so
+    * the exact ranking is v1's, with identical tie-breaks). */
+  def v69OpqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v31OpqPrerotate(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
+  /** Retrain migration matrix — the (seed list → trained list) flow of
+    * every gallery vector between the SEEDED coarse quantizer (v6's
+    * assignment, what the index serves today) and the TRAINED one
+    * (v65's 3-round Lloyd output, what a retrain would ship). The
+    * off-diagonal mass is the fraction of the index that must be
+    * re-written on rollout — the number that sizes a re-index job and
+    * decides staged vs big-bang migration at 100 TB. Scale shape: the
+    * trained centroids arrive as the O(nlist·dim) literal (n, Σ) table
+    * (collectClassSums — broadcast-sized by contract), so the relabel
+    * is MAP-ONLY over the already-assigned seeded frame: one scan, one
+    * O(nlist²)-row map-side-combined groupBy, zero joins. */
+  def v70AssignDrift(s: SparkSession, d: String): DataFrame = {
+    val seed = lloydSeedAssign(emb(s, d))
+    var cur = seed
+    for (_ <- 1 to 3) cur = lloydRound(cur).localCheckpoint(false)
+    val cands = lloydCands(collectClassSums(cur))
+    seed.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
+      .groupBy(col("c").as("seed_cid"), col("best.lab").as("trained_cid"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Session path mining — the count of every 3-step event-type
+    * sequence occurring INSIDE a session (both hops ≤ 30 min, e2's
+    * boundary), the navigation-pattern report behind funnel design
+    * (e5 checks one fixed path; this surfaces which paths exist). Per-
+    * user lead windows are per-key state (bounded — the thing windows
+    * are for); the rollup output is O(|event types|³), corpus-
+    * independent, via one map-side-combined groupBy. */
+  def e33SessionPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    eventsUs(s, d)
+      .withColumn("p2", lead(col("event_type"), 1).over(w))
+      .withColumn("us2", lead(col("us"), 1).over(w))
+      .withColumn("p3", lead(col("event_type"), 2).over(w))
+      .withColumn("us3", lead(col("us"), 2).over(w))
+      .filter(col("p3").isNotNull &&
+        col("us2") - col("us") <= 1800000000L &&
+        col("us3") - col("us2") <= 1800000000L)
+      .groupBy(col("event_type").as("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Asset near-dup by FEATURE distance — d5's embedding-near-dup
+    * recipe applied to the multimodal decode output: m2's per-asset
+    * features (deterministic stride-mean stub — the plug-in point for
+    * a real image embedding) are quantized to exact integers
+    * (round(f·100)), coarse-grid-blocked (floor(q/1000) per dim — a
+    * 10-byte-mean-unit cell), and only same-cell candidates pay the
+    * exact integer L2 verify (≤ 5.0 units). Catches re-encoded /
+    * lightly-edited assets that m8's exact digest can't. The MEGA-
+    * BUCKET GUARD (d2's recipe, oracle-mirrored) drops cells holding
+    * > 64 assets BEFORE the self-join — and the cap BINDS at both gate
+    * SFs (hottest cell: 65 at sf0.01, 76 at sf0.001), so the gate
+    * tests the guard semantics themselves, the d13/d14 precedent. At
+    * 100 TB: features are map-only, the cell join shuffles once on the
+    * cell key with guard-bounded candidate volume, output is
+    * O(verified pairs). */
+  def m14AssetNeardup(s: SparkSession, d: String): DataFrame = {
+    val feats = BinaryPipeline.decodeStub(
+      BinaryPipeline.toAssets(docs(s, d), "doc_id", "text"), featureDim = 8)
+    val q = feats.select(col("asset_id"),
+      transform(col("features"),
+        f => round(f * lit(100)).cast("long")).as("qf"))
+    val b = q.withColumn("bucket",
+      concat_ws(":", transform(col("qf"),
+        x => floor(x / lit(1000)).cast("long").cast("string"))))
+    val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val guarded = b.join(sizes.filter(col("bn") <= 64), "bucket")
+    guarded.as("x").join(guarded.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a_id"), col("y.asset_id").as("b_id"),
+        intL2Sq(col("x.qf"), col("y.qf")).as("d2"))
+      .filter(col("d2") <= 250000L)
+      .select(col("a_id"), col("b_id"), col("d2"),
+        (sqrt(col("d2").cast("double")) / lit(100.0)).as("dist"))
+  }
 }

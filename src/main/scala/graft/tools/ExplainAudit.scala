@@ -90,7 +90,10 @@ object ExplainAudit {
     "v66_ivf_search_persisted", "v67_ivfpq_search_persisted",
     // e32's merged-register estimate and exact-total rows ride back as
     // 1-row scalar crossjoins (the q20/e19 class).
-    "e32_hll_dau")
+    "e32_hll_dau",
+    // v69 composes v1's exact and v31's rotated-ADC chains (the
+    // v36/v39 eval class).
+    "v69_opq_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

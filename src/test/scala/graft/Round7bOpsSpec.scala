@@ -1,0 +1,116 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-7b batch: OPQ recall (v69), the
+  * retrain migration matrix (v70), session path mining (e33), and
+  * feature-space asset near-dup (m14). Exact value parity is covered
+  * by the DuckDB oracle gate; these assert the semantic properties the
+  * oracle can't name.
+  */
+class Round7bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("v69: one row per query, 0 <= n_hit <= 5, recall = n_hit/5, " +
+    "and n_hit replays exactly from the gated v31/v1 results") {
+    val out = Queries.v69OpqRecall(spark, sf).collect()
+    val nQ = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 100 === 0).count()
+    assert(out.length == nQ)
+    out.foreach { r =>
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0 && h <= 5)
+      assert(r.getAs[Double]("recall_at_5") == h / 5.0)
+    }
+    val exact = Queries.v1KnnL2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Queries.v31OpqPrerotate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("n_hit") ==
+        (exact(q) intersect approx(q)).size.toLong)
+    }
+  }
+
+  test("v70: the flow matrix partitions the gallery (sum n = N), both " +
+    "axes are seed-centroid ids, and the seed marginal equals v6's " +
+    "gated occupancy") {
+    val out = Queries.v70AssignDrift(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.map(_.getAs[Long]("n")).sum == n)
+    out.foreach { r =>
+      assert((0L to 9L).contains(r.getAs[Long]("seed_cid")))
+      assert((0L to 9L).contains(r.getAs[Long]("trained_cid")))
+    }
+    val seedMarginal = out.groupBy(_.getAs[Long]("seed_cid"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val v6 = Queries.v6IvfAssign(spark, sf).collect()
+      .map(r => r.getAs[Long]("centroid_id") -> r.getAs[Long]("n")).toMap
+    assert(seedMarginal == v6)
+  }
+
+  test("e33: trigram totals replay exactly from a driver-side pass " +
+    "over the (tiny) test events, and n_users <= n per path") {
+    val out = Queries.e33SessionPaths(spark, sf).collect()
+      .map(r => (r.getAs[String]("p1"), r.getAs[String]("p2"),
+        r.getAs[String]("p3")) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("n_users"))).toMap
+    out.values.foreach { case (n, u) => assert(u >= 1 && u <= n) }
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id".cast("long"), $"event_id".cast("long"),
+        $"ts".cast("long"), $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Math.floorDiv(r.getLong(2), 1000L), r.getString(3)))
+    val replay = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._3, r._2)).toList
+      s.sliding(3).filter(_.size == 3).collect {
+        case a :: b :: c :: Nil
+          if b._3 - a._3 <= 1800000000L && c._3 - b._3 <= 1800000000L =>
+          (a._4, b._4, c._4)
+      }
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    assert(out.view.mapValues(_._1).toMap == replay)
+  }
+
+  test("m14: pairs are ordered (a<b) within the verify radius, a " +
+    "sampled pair's d2 replays from scratch, and no over-cap cell " +
+    "contributes a pair (the guard binds)") {
+    val out = Queries.m14AssetNeardup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      val d2 = r.getAs[Long]("d2")
+      assert(d2 <= 250000L)
+      assert(r.getAs[Double]("dist") == math.sqrt(d2.toDouble) / 100.0)
+    }
+    // driver-side replay of the full chain on the tiny test corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def qf(t: String): Array[Long] = {
+      val bytes = t.getBytes("UTF-8")
+      val acc = new Array[Double](8); val cnt = new Array[Long](8)
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        acc(i % 8) += (b & 0xff); cnt(i % 8) += 1 }
+      (0 until 8).map(d => math.round(acc(d) / cnt(d) * 100)).toArray
+    }
+    val feats = docs.map { case (id, t) => id -> qf(t) }.toMap
+    val buckets = feats.toSeq
+      .groupBy { case (_, f) => f.map(x => x / 1000).mkString(":") }
+    val expected = buckets.values.filter(_.size <= 64).flatMap { cell =>
+      for {
+        (a, fa) <- cell; (b, fb) <- cell if a < b
+        d2 = fa.zip(fb).map { case (x, y) => (x - y) * (x - y) }.sum
+        if d2 <= 250000L
+      } yield (math.min(a, b), math.max(a, b)) -> d2
+    }.toMap
+    val got = out.map(r => (r.getAs[Long]("a_id"),
+      r.getAs[Long]("b_id")) -> r.getAs[Long]("d2")).toMap
+    assert(got == expected)
+  }
+}
