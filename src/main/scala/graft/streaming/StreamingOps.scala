@@ -393,6 +393,48 @@ object StreamingOps {
       .groupBy(col(keyCol), col("bucket")).agg(max("rho").as("m"))
   }
 
+  /** Continuous IVF serving (streaming twin of the gated v66): an
+    * unbounded query stream probing a PERSISTED centroid-partitioned
+    * index (the faiss_utils.py:11-17 persist-once/serve-many contract
+    * under Structured Streaming). Probe routing is MAP-ONLY — the
+    * broadcast-sized centroid table folds in as literals (v65's route
+    * shape), so the stream pays no shuffle before the index join; the
+    * index side is a STREAM-STATIC equi join on centroid_id (only
+    * probed lists' rows match — at scale, with the static side
+    * partitioned by centroid_id, a batch touches nprobe/nlist of the
+    * data); the per-query top-k is the SAME bounded native aggregate
+    * the batch path runs, so results match `IvfIndex.search`
+    * bit-for-bit. State per query is the k-element heap. */
+  def ivfServeStream(queries: DataFrame, index: DataFrame,
+                     centroids: Array[(Long, Array[Long])],
+                     qidCol: String, vecCol: String,
+                     k: Int, nprobe: Int,
+                     scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
+    import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
+    require(centroids.nonEmpty, "ivfServeStream: empty centroid set")
+    val cands = centroids.toIndexedSeq.map { case (cid, cv) =>
+      struct(intL2Sq(col("qv"), array(cv.map(lit).toIndexedSeq: _*))
+        .as("d2"), lit(cid).as("cid"))
+    }
+    val probes = queries
+      .select(col(qidCol).cast("long").as("query_id"),
+        quantize(col(vecCol), scale).as("qv"))
+      .withColumn("pc", explode(transform(
+        slice(array_sort(array(cands: _*)), 1, nprobe),
+        s => s.getField("cid"))))
+    val g = index.select(
+      col("centroid_id").cast("long").as("pc"),
+      col("id").cast("long").as("neighbor_id"),
+      quantize(col("vec"), scale).as("nqv"))
+    val scored = probes.join(g, Seq("pc"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("nqv"), col("qv")).cast("double").as("d2"))
+    graft.operators.TopK.perGroup(scored, "query_id", "neighbor_id",
+        "d2", k, ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
+  }
+
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")

@@ -32,6 +32,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfServeStream matches batch IvfIndex.search bit-for-bit " +
+    "across two micro-batches (persist-once/serve-many under streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val gallery = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(200)
+    val cents = gallery.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding")
+    val index = graft.operators.IvfIndex.assign(
+      gallery, cents, "vec_id", "embedding", "cid")
+    val centArr = cents
+      .select($"cid".cast("long"),
+        graft.functions.VectorFunctions.quantize($"embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val qRows = gallery.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".cast("long"), $"embedding").as[(Long, Seq[Double])]
+      .collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.ivfServeStream(stream, index, centArr,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ivf_serve").start()
+    try {
+      mem.addData(qRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(qRows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("ivf_serve")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      val batch = graft.operators.IvfIndex.search(index, cents,
+          qRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          "cid", "vec_id", k = 3, nprobe = 2)
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(got === batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("knnStream matches the batch KNN bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val gallery = Seq(
