@@ -3965,6 +3965,26 @@ SELECT a0.lab AS seed_cid, a4.lab AS trained_cid, count(*) AS n
 FROM asn0 a0 JOIN asn4 a4 ON a4.gid = a0.gid
 GROUP BY 1, 2""",
 
+    // Compaction report: v6's assignment chain rolled up per list with
+    // v62's delete predicate; the rewrite flag cross-multiplies Longs.
+    "v71_compaction_report" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+d AS (SELECT gid, cid, ${l2sq("gvec", "cvec")} AS d2 FROM g CROSS JOIN c),
+a AS (SELECT gid, cid, d2,
+             row_number() OVER (PARTITION BY gid ORDER BY d2, cid) AS rn
+      FROM d),
+cnt AS (SELECT cid AS centroid_id, count(*) AS n_total,
+               CAST(sum(CASE WHEN gid % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dead
+        FROM a WHERE rn = 1 GROUP BY 1)
+SELECT centroid_id, n_total, n_total - n_dead AS n_live, n_dead,
+       n_dead / n_total AS dead_frac,
+       CAST(CASE WHEN n_dead * 8 > n_total THEN 1 ELSE 0 END AS BIGINT)
+         AS needs_compaction
+FROM cnt""",
+
     // Session path mining: per-user double-lead with both hops inside
     // e2's 30-minute session boundary.
     "e33_session_paths" -> """

@@ -5066,6 +5066,30 @@ object Queries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Tombstone compaction report — per IVF list, live/dead occupancy
+    * under v62's delete set and an exact-integer rewrite flag
+    * (8·n_dead > n_total, i.e. > 12.5% dead): the index-maintenance
+    * planner behind faiss `remove_ids` at scale, where deletes are
+    * tombstones until a list's dead fraction justifies rewriting its
+    * partition (v62 serves AROUND tombstones; this decides when to
+    * stop paying for them). One map-only literal-argmin assignment
+    * (v6's) + one O(nlist) map-side-combined aggregate; the flag
+    * cross-multiplies exact Longs — no float threshold a boundary
+    * list could flip across engines; ONE IEEE division for the
+    * reported fraction. */
+  def v71CompactionReport(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    IvfIndex.assign(e, seedCentroids(e), "vec_id", "embedding", "cid")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("id") % 7 === 0, 1L).otherwise(0L)).as("n_dead"))
+      .select(col("centroid_id"), col("n_total"),
+        (col("n_total") - col("n_dead")).as("n_live"), col("n_dead"),
+        (col("n_dead") / col("n_total")).as("dead_frac"),
+        when(col("n_dead") * 8 > col("n_total"), 1L).otherwise(0L)
+          .as("needs_compaction"))
+  }
+
   /** Asset near-dup by FEATURE distance — d5's embedding-near-dup
     * recipe applied to the multimodal decode output: m2's per-asset
     * features (deterministic stride-mean stub — the plug-in point for

@@ -77,6 +77,24 @@ class Round7bOpsSpec extends SparkSpec {
     assert(out.view.mapValues(_._1).toMap == replay)
   }
 
+  test("v71: list occupancies partition the gallery, dead counts " +
+    "match the v62 tombstone set per list, and the rewrite flag is " +
+    "exactly the 12.5% cross-multiply") {
+    val out = Queries.v71CompactionReport(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.map(_.getAs[Long]("n_total")).sum == n)
+    val nDead = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 7 === 0).count()
+    assert(out.map(_.getAs[Long]("n_dead")).sum == nDead)
+    out.foreach { r =>
+      val total = r.getAs[Long]("n_total"); val dead = r.getAs[Long]("n_dead")
+      assert(r.getAs[Long]("n_live") == total - dead)
+      assert(r.getAs[Double]("dead_frac") == dead.toDouble / total)
+      assert(r.getAs[Long]("needs_compaction") ==
+        (if (dead * 8 > total) 1L else 0L))
+    }
+  }
+
   test("m14: pairs are ordered (a<b) within the verify radius, a " +
     "sampled pair's d2 replays from scratch, and no over-cap cell " +
     "contributes a pair (the guard binds)") {
