@@ -435,6 +435,55 @@ object StreamingOps {
         distFromIntSq(col("d2"), scale).as("dist"))
   }
 
+  /** Continuous asset near-dup admission (streaming twin of the gated
+    * m14): arriving DECODED assets — the stream enters AFTER m2's
+    * decode boundary, where a real image embedding plugs in — are
+    * feature-quantized and grid-celled map-only, then joined
+    * STREAM-STATIC against the persisted guard-filtered cell index of
+    * the base corpus; only same-cell candidates pay the exact integer
+    * L2 verify. Each asset maps to exactly ONE cell, so a pair can
+    * surface only once and the whole query is STATELESS (map work +
+    * one stream-static equi join — no watermark state to size), the
+    * strongest possible shape for an unbounded 100 TB/day ingest.
+    * Same arithmetic as m14, so on a bounded stream the admitted pair
+    * set equals the batch pairs for the same split. `baseCells` is
+    * (base_id, qf, bucket) with the > maxBucket cells already dropped
+    * (the m14 guard — build it once with [[cellIndex]] and persist). */
+  def assetNearDupAdmission(featStream: DataFrame, baseCells: DataFrame,
+                            radiusSq: Long = 250000L,
+                            grid: Long = 1000L): DataFrame = {
+    import graft.functions.VectorFunctions.intL2Sq
+    val q = featStream
+      .select(col("asset_id").cast("long").as("batch_id"),
+        transform(col("features"),
+          f => round(f * lit(100)).cast("long")).as("qfb"))
+      .withColumn("bucket", concat_ws(":", transform(col("qfb"),
+        x => floor(x / lit(grid)).cast("long").cast("string"))))
+    q.join(baseCells, Seq("bucket"))
+      .select(col("batch_id"), col("base_id"),
+        intL2Sq(col("qfb"), col("qf")).as("d2"))
+      .filter(col("batch_id") =!= col("base_id") &&
+        col("d2") <= radiusSq)
+  }
+
+  /** The guard-filtered (base_id, qf, bucket) cell index over a static
+    * decoded-asset corpus — m14's blocking front end, shared by the
+    * batch operator and [[assetNearDupAdmission]] so the two cannot
+    * drift. Cells holding more than `maxBucket` assets generate no
+    * candidates (the mega-bucket guard, by operator semantics). */
+  def cellIndex(feats: DataFrame, maxBucket: Long = 64L,
+                grid: Long = 1000L): DataFrame = {
+    val b = feats
+      .select(col("asset_id").cast("long").as("base_id"),
+        transform(col("features"),
+          f => round(f * lit(100)).cast("long")).as("qf"))
+      .withColumn("bucket", concat_ws(":", transform(col("qf"),
+        x => floor(x / lit(grid)).cast("long").cast("string"))))
+    val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    b.join(sizes.filter(col("bn") <= maxBucket), "bucket")
+      .select("base_id", "qf", "bucket")
+  }
+
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")

@@ -71,6 +71,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("assetNearDupAdmission: streamed admissions equal the batch " +
+    "same-cell verified pairs on the real corpus split (stateless " +
+    "stream-static shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def feats(df: org.apache.spark.sql.DataFrame) =
+      graft.multimodal.BinaryPipeline.decodeStub(
+        graft.multimodal.BinaryPipeline.toAssets(df, "doc_id", "text"))
+    val baseCells = StreamingOps.cellIndex(
+      feats(docs.filter(col("doc_id") % 4 =!= 0)))
+    val batchFeatRows = feats(docs.filter(col("doc_id") % 4 === 0))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("asset_id", "features")
+    val q = StreamingOps.assetNearDupAdmission(stream, baseCells)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asset_adm").start()
+    try {
+      val (h, t) = batchFeatRows.splitAt(batchFeatRows.size / 2)
+      mem.addData(h: _*); q.processAllAvailable()
+      mem.addData(t: _*); q.processAllAvailable()
+      val got = spark.table("asset_adm")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val expected = StreamingOps.assetNearDupAdmission(
+          feats(docs.filter(col("doc_id") % 4 === 0)), baseCells)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got === expected)
+      assert(got.forall(_._3 <= 250000L))
+    } finally q.stop()
+  }
+
   test("knnStream matches the batch KNN bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val gallery = Seq(
