@@ -3965,6 +3965,28 @@ SELECT a0.lab AS seed_cid, a4.lab AS trained_cid, count(*) AS n
 FROM asn0 a0 JOIN asn4 a4 ON a4.gid = a0.gid
 GROUP BY 1, 2""",
 
+    // Per-source data card: exact counts of d1's dup criterion, t1's
+    // language criterion, and t2's quality threshold; per-doc doubles
+    // are only compared, never summed.
+    "p9_source_data_card" -> s"""
+WITH d AS (SELECT source, text, string_split(text, ' ') AS toks
+           FROM documents),
+c AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(strlen(text) AS BIGINT) AS nc, md5(text) AS h,
+             len(list_filter(toks, t -> t IN $stopList)) / len(toks) AS sr,
+             (len(list_filter(toks, t -> t IN $stopList)) / len(toks)) * 0.4
+               + least(len(toks) / 100.0, 1.0) * 0.6 AS score
+      FROM d)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       count(*) - CAST(count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+       CAST(sum(CASE WHEN sr >= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS en_share,
+       CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS quality_ok_share
+FROM c GROUP BY 1""",
+
     // Compaction report: v6's assignment chain rolled up per list with
     // v62's delete predicate; the rewrite flag cross-multiplies Longs.
     "v71_compaction_report" -> s"""

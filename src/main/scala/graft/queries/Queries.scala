@@ -5066,6 +5066,35 @@ object Queries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Per-source DATA CARD — the one-row-per-source summary a mixture
+    * designer reads before weighting sources (p2) or sampling quotas
+    * (p4): volume (docs/tokens/chars), exact-dup mass (d1's hash
+    * criterion), language share (t1's criterion), and quality-pass
+    * share (t2's score ≥ 0.5). Every cell is an exact Long count or
+    * ONE IEEE division of exact Longs — the per-doc score/ratio
+    * doubles are only ever COMPARED to a threshold (deterministic:
+    * both engines compute bit-identical doubles, gated at t1/t2),
+    * never summed, so no float-accumulation order can drift. One scan,
+    * one map-side-combined O(sources) aggregate. */
+  def p9SourceDataCard(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("nc"),
+        md5(col("text")).as("h"),
+        stopwordRatio(col("text")).as("sr"),
+        qualityScore(col("text")).as("score"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        sum("nc").cast("long").as("n_chars"),
+        countDistinct("h").as("nd"),
+        sum(when(col("sr") >= 0.1, 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_q"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), (col("n_docs") - col("nd")).as("n_exact_dups"),
+        (col("n_en") / col("n_docs")).as("en_share"),
+        (col("n_q") / col("n_docs")).as("quality_ok_share"))
+
   /** Tombstone compaction report — per IVF list, live/dead occupancy
     * under v62's delete set and an exact-integer rewrite flag
     * (8·n_dead > n_total, i.e. > 12.5% dead): the index-maintenance

@@ -95,6 +95,33 @@ class Round7bOpsSpec extends SparkSpec {
     }
   }
 
+  test("p9: card totals reconcile with the gated t1/t2/t3 chains and " +
+    "d1's duplicate-group mass") {
+    val card = Queries.p9SourceDataCard(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(card.values.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val t1 = Queries.t1LangId(spark, sf).collect()
+    val en = t1.count(_.getAs[Double]("stop_ratio") >= 0.1)
+    assert(card.values.map(r =>
+      math.round(r.getAs[Double]("en_share") *
+        r.getAs[Long]("n_docs"))).sum == en)
+    val tokTotal = Queries.t3TokenCount(spark, sf).collect()
+      .map(_.getAs[Long]("ws_tokens")).sum
+    assert(card.values.map(_.getAs[Long]("n_tokens")).sum == tokTotal)
+    // exact-dup mass: Σ per-source (n_docs − distinct hashes) equals a
+    // direct per-source distinct count
+    import org.apache.spark.sql.functions.{col, countDistinct, md5 => smd5}
+    val dd = docs.groupBy("source")
+      .agg((org.apache.spark.sql.functions.count(col("doc_id"))
+        - countDistinct(smd5(col("text")))).as("dups"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("dups"))
+      .toMap
+    card.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_exact_dups") == dd(src))
+    }
+  }
+
   test("m14: pairs are ordered (a<b) within the verify radius, a " +
     "sampled pair's d2 replays from scratch, and no over-cap cell " +
     "contributes a pair (the guard binds)") {
