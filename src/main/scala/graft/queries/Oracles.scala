@@ -3965,6 +3965,25 @@ SELECT a0.lab AS seed_cid, a4.lab AS trained_cid, count(*) AS n
 FROM asn0 a0 JOIN asn4 a4 ON a4.gid = a0.gid
 GROUP BY 1, 2""",
 
+    // Novel-query KNN: queries are exact floor-midpoints of two
+    // gallery vectors (app.py's upload path — the query is NOT in the
+    // index), then v1's exact ranking.
+    "v72_novel_query_knn" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+qa AS (SELECT gid AS query_id, v AS va FROM g WHERE gid % 100 = 0),
+qb AS (SELECT gid - 1 AS query_id, v AS vb FROM g WHERE gid % 100 = 1),
+q AS (SELECT qa.query_id,
+             list_transform(range(64),
+               i -> CAST(floor((va[i+1] + vb[i+1]) / 2.0) AS BIGINT)) AS qvec
+      FROM qa JOIN qb ON qb.query_id = qa.query_id),
+d AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+      FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM d)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
+FROM r WHERE rnk <= 5""",
+
     // Per-source data card: exact counts of d1's dup criterion, t1's
     // language criterion, and t2's quality threshold; per-doc doubles
     // are only compared, never summed.

@@ -5066,6 +5066,39 @@ object Queries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** NOVEL-query KNN — the reference's actual serving path (app.py:
+    * 91-114: a NEW image is uploaded, embedded, and searched), which
+    * every other gated search approximates with gallery members as
+    * queries. The novel query is the exact floor-midpoint of two
+    * gallery vectors (deterministic, index-free: floor((a+b)/2) per
+    * dim — one IEEE division + floor on exact integers < 2⁵³, bit-
+    * identical both engines), so no query can self-hit and rank 1 is
+    * a genuine nearest-neighbor retrieval. Same harness as v1:
+    * broadcast(queries) × streaming gallery through the codegen'd
+    * integer kernel into the bounded native top-k. */
+  def v72NovelQueryKnn(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qa = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").cast("long").as("query_id"),
+        quantize(col("embedding")).as("va"))
+    val qb = e.filter(col("vec_id") % 100 === 1)
+      .select((col("vec_id") - 1).cast("long").as("query_id"),
+        quantize(col("embedding")).as("vb"))
+    val novel = qa.join(qb, "query_id")
+      .select(col("query_id"),
+        zip_with(col("va"), col("vb"),
+          (a, b) => floor((a + b) / lit(2.0)).cast("long")).as("qv"))
+    val g = e.select(col("vec_id").cast("long").as("neighbor_id"),
+      quantize(col("embedding")).as("gv"))
+    val scored = g.join(broadcast(novel))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    TopK.perGroup(scored, "query_id", "neighbor_id", "d2", k = 5,
+        ascending = true)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2")).as("dist"))
+  }
+
   /** Per-source DATA CARD — the one-row-per-source summary a mixture
     * designer reads before weighting sources (p2) or sampling quotas
     * (p4): volume (docs/tokens/chars), exact-dup mass (d1's hash

@@ -93,7 +93,10 @@ object ExplainAudit {
     "e32_hll_dau",
     // v69 composes v1's exact and v31's rotated-ADC chains (the
     // v36/v39 eval class).
-    "v69_opq_recall")
+    "v69_opq_recall",
+    // v72 is v1's broadcast(queries) scoring crossjoin with midpoint
+    // queries (the batch-KNN class).
+    "v72_novel_query_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -158,4 +158,43 @@ class Round7bOpsSpec extends SparkSpec {
       r.getAs[Long]("b_id")) -> r.getAs[Long]("d2")).toMap
     assert(got == expected)
   }
+
+  test("v72: 5 ranked neighbors per novel query, distances " +
+    "nondecreasing in rank, and every query's full ranking replays " +
+    "from the midpoint construction driver-side") {
+    val out = Queries.v72NovelQueryKnn(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("dist") <= b.getAs[Double]("dist"))
+      }
+    }
+    // driver-side replay on the tiny corpus: quantize, build the
+    // floor-midpoint novel queries, exact L2 rank with (d2, gid)
+    // tie-break — must match every emitted (query, rank, neighbor).
+    val scale = graft.functions.VectorFunctions.DefaultScale
+    val g = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * scale)).toArray)
+      .toMap
+    val queries = g.keys.filter(id => id % 100 == 0 && g.contains(id + 1))
+    val expected = queries.flatMap { qid =>
+      val qv = g(qid).zip(g(qid + 1)).map { case (a, b) =>
+        math.floor((a + b) / 2.0).toLong }
+      g.toSeq.map { case (gid, gv) =>
+        val d2 = gv.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d2, gid)
+      }.sorted.take(5).zipWithIndex.map { case ((d2, gid), i) =>
+        (qid, i + 1L, gid) -> (math.sqrt(d2.toDouble) / scale)
+      }
+    }.toMap
+    val gotMap = out.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id")) ->
+      r.getAs[Double]("dist")).toMap
+    assert(gotMap == expected)
+  }
 }
