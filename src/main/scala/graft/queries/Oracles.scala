@@ -153,6 +153,28 @@ r$r AS (SELECT gid, lab,
         FROM d$r),
 asn$r AS (SELECT gid, lab FROM r$r WHERE rn = 1)"""
 
+  /** One greedy MMR step as CTEs: from `sel${t-1}(query_id, pick_rnk,
+    * gid, d2)` to `sel$t` by picking, per query, the remaining top-10
+    * candidate maximizing the exact-integer objective
+    * `min_sel ds − d2q` (ties to smaller gid). Expects `c10(query_id,
+    * gid, d2, rnk)` and the candidate-pair distances `ds(query_id,
+    * a_gid, b_gid, ds)` to be in scope — see v73. */
+  private def mmrStepCtes(t: Int): String = s"""
+m$t AS (SELECT ds.query_id, ds.a_gid AS gid, min(ds.ds) AS minsel
+        FROM ds JOIN sel${t - 1} s
+          ON s.query_id = ds.query_id AND s.gid = ds.b_gid
+        GROUP BY 1, 2),
+p$t AS (SELECT query_id, $t AS pick_rnk, gid, d2 FROM (
+         SELECT c.query_id, c.gid, c.d2,
+                row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY (m$t.minsel - c.d2) DESC, c.gid) AS rn
+         FROM c10 c
+         JOIN m$t ON m$t.query_id = c.query_id AND m$t.gid = c.gid
+         WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+                           WHERE s.query_id = c.query_id AND s.gid = c.gid))
+        WHERE rn = 1),
+sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)"""
+
   /** The greedy graph-walk query (v28 bucket-blocked graph + 3-step
     * monotone descent from the min-id entry), shared verbatim by
     * v57 (in-session build) and v64 (persisted edge list) — the two
@@ -3983,6 +4005,30 @@ r AS (SELECT query_id, gid, d2,
       FROM d)
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM r WHERE rnk <= 5""",
+
+    // MMR diversified re-ranking: greedy selection over the top-10
+    // relevance pool with the exact-integer λ=1/2 objective
+    // min_sel d2(c,s) − d2(q,c); four unrolled greedy-step CTEs
+    // (the v65 Lloyd-template pattern), ties to smaller id.
+    "v73_mmr_diversify" -> s"""
+WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+d AS (SELECT query_id, gid, ${l2sq("v", "qvec")} AS d2 FROM g CROSS JOIN q),
+c10 AS (SELECT * FROM (
+         SELECT query_id, gid, d2,
+                row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+         FROM d) WHERE rnk <= 10),
+cv AS (SELECT c10.query_id, c10.gid, c10.d2, g.v
+       FROM c10 JOIN g ON g.gid = c10.gid),
+ds AS (SELECT a.query_id, a.gid AS a_gid, b.gid AS b_gid,
+              ${l2sq("a.v", "b.v")} AS ds
+       FROM cv a JOIN cv b ON b.query_id = a.query_id),
+sel1 AS (SELECT query_id, 1 AS pick_rnk, gid, d2 FROM c10 WHERE rnk = 1),
+${(2 to 5).map(mmrStepCtes).mkString(",\n")}
+SELECT query_id, CAST(pick_rnk AS BIGINT) AS rnk, gid AS neighbor_id,
+       sqrt(d2) / $vscale.0 AS dist
+FROM sel5""",
 
     // Per-source data card: exact counts of d1's dup criterion, t1's
     // language criterion, and t2's quality threshold; per-doc doubles

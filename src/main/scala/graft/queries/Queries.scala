@@ -5099,6 +5099,67 @@ object Queries {
         distFromIntSq(col("d2")).as("dist"))
   }
 
+  /** MMR DIVERSIFIED re-ranking (Carbonell & Goldstein, SIGIR'98) —
+    * the production answer to "the top-k is five near-copies of the
+    * same image": greedily re-pick 5 of the top-10 relevance pool,
+    * each step taking the candidate that maximizes marginal relevance.
+    * With sim = −d2 and λ = 1/2 the MMR objective is EXACT-INTEGER:
+    *   argmax over remaining c of  min_{s∈selected} d2(c,s) − d2(q,c)
+    * (ties to smaller id), so both engines agree bit-for-bit — no
+    * float similarity to drift. Scale shape: the pool is the v1
+    * harness (broadcast queries × streaming gallery → bounded native
+    * top-10), localCheckpointed at O(Q·10) rows; the four greedy steps
+    * are joins/aggs over THAT frame only (O(Q·10·t) work per step),
+    * never the gallery — at 100 TB the gallery is scanned exactly
+    * once. Selection argmax is a max-struct aggregate (obj, −id), the
+    * same rank-free pattern as q32's cheapest-supplier pick. */
+  def v73MmrDiversify(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val g = e.select(col("vec_id").cast("long").as("neighbor_id"),
+      quantize(col("embedding")).as("gv"))
+    val q = queryVecs(e).select(col("vec_id").cast("long").as("query_id"),
+      quantize(col("embedding")).as("qv"))
+    val scored = g.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    val pool = TopK.perGroup(scored, "query_id", "neighbor_id", "d2",
+        k = 10, ascending = true)
+      .select(col("query_id"), col("rnk"),
+        col("neighbor_id"), col("d2").cast("long").as("d2q"))
+      .join(g, "neighbor_id")
+      .localCheckpoint(false) // O(Q·10); the greedy loop reads only this
+    var sel = pool.filter(col("rnk") === 1)
+      .select(col("query_id"), lit(1L).as("pick_rnk"),
+        col("neighbor_id").as("sel_id"), col("gv").as("sel_gv"),
+        col("d2q").as("sel_d2q"))
+    for (t <- 2 to 5) {
+      val rem = pool.join(
+        sel.select(col("query_id"), col("sel_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val obj = rem
+        .join(sel.select(col("query_id"), col("sel_gv")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("d2q"),
+          intL2Sq(col("gv"), col("sel_gv")).as("ds"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(min(col("d2q")).as("d2q"), min(col("ds")).as("minsel"))
+      val pick = obj.groupBy("query_id")
+        .agg(max(struct((col("minsel") - col("d2q")).as("obj"),
+          (-col("neighbor_id")).as("nid"))).as("p"))
+        .select(col("query_id"), (-col("p.nid")).as("neighbor_id"),
+          lit(t.toLong).as("pick_rnk"))
+      sel = sel.unionByName(
+        pick.join(pool.select(col("query_id"), col("neighbor_id"),
+            col("d2q"), col("gv")), Seq("query_id", "neighbor_id"))
+          .select(col("query_id"), col("pick_rnk"),
+            col("neighbor_id").as("sel_id"), col("gv").as("sel_gv"),
+            col("d2q").as("sel_d2q")))
+        .localCheckpoint(false)
+    }
+    sel.select(col("query_id"), col("pick_rnk").as("rnk"),
+      col("sel_id").as("neighbor_id"),
+      distFromIntSq(col("sel_d2q").cast("double")).as("dist"))
+  }
+
   /** Per-source DATA CARD — the one-row-per-source summary a mixture
     * designer reads before weighting sources (p2) or sampling quotas
     * (p4): volume (docs/tokens/chars), exact-dup mass (d1's hash

@@ -96,7 +96,10 @@ object ExplainAudit {
     "v69_opq_recall",
     // v72 is v1's broadcast(queries) scoring crossjoin with midpoint
     // queries (the batch-KNN class).
-    "v72_novel_query_knn")
+    "v72_novel_query_knn",
+    // v73's pool build is v1's scoring crossjoin; the greedy steps
+    // join only O(Q·10) checkpointed frames.
+    "v73_mmr_diversify")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

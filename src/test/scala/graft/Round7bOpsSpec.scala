@@ -197,4 +197,46 @@ class Round7bOpsSpec extends SparkSpec {
       r.getAs[Double]("dist")).toMap
     assert(gotMap == expected)
   }
+
+  test("v73: 5 distinct picks per query from the top-10 pool, pick 1 " +
+    "is the exact nearest neighbor, and the full greedy MMR selection " +
+    "replays driver-side") {
+    val out = Queries.v73MmrDiversify(spark, sf).collect()
+    val scale = graft.functions.VectorFunctions.DefaultScale
+    val g = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * scale)).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = g.keys.filter(_ % 100 == 0)
+    val expected = queries.flatMap { qid =>
+      val pool = g.toSeq.map { case (gid, gv) => (d2(gv, g(qid)), gid) }
+        .sorted.take(10).map { case (dq, gid) => (gid, dq) }
+      var sel = List(pool.head)
+      for (_ <- 2 to 5) {
+        val pick = pool.filterNot(c => sel.exists(_._1 == c._1))
+          .map { case (gid, dq) =>
+            val minsel = sel.map(s => d2(g(gid), g(s._1))).min
+            (minsel - dq, -gid, gid, dq)
+          }.max
+        sel = sel :+ (pick._3 -> pick._4)
+      }
+      sel.zipWithIndex.map { case ((gid, dq), i) =>
+        (qid, i + 1L, gid) -> (math.sqrt(dq.toDouble) / scale) }
+    }.toMap
+    val gotMap = out.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id")) ->
+      r.getAs[Double]("dist")).toMap
+    assert(gotMap == expected)
+    // diversification actually moved something: at least one query's
+    // MMR set differs from its plain top-5
+    val plain = queries.map { qid =>
+      qid -> g.toSeq.map { case (gid, gv) => (d2(gv, g(qid)), gid) }
+        .sorted.take(5).map(_._2).toSet }.toMap
+    val mmrSets = out.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(mmrSets.exists { case (q, s) => s != plain(q) })
+  }
 }
