@@ -4030,6 +4030,28 @@ SELECT query_id, CAST(pick_rnk AS BIGINT) AS rnk, gid AS neighbor_id,
        sqrt(d2) / $vscale.0 AS dist
 FROM sel5""",
 
+    // Per-vector silhouette vs the seed quantizer: a2 = nearest
+    // centroid d2, b2 = runner-up, s = (sqrt(b2)-sqrt(a2))/sqrt(max) —
+    // exact integer a2/b2, two IEEE sqrts + one divide in mirrored
+    // order (the fixed-point scale cancels).
+    "v74_silhouette" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+d AS (SELECT gid, cid, ${l2sq("gvec", "cvec")} AS d2 FROM g CROSS JOIN c),
+a AS (SELECT gid, cid, d2,
+             row_number() OVER (PARTITION BY gid ORDER BY d2, cid) AS rn
+      FROM d),
+f AS (SELECT gid,
+             CAST(max(CASE WHEN rn = 1 THEN cid END) AS BIGINT) AS centroid_id,
+             CAST(max(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS a2,
+             CAST(max(CASE WHEN rn = 2 THEN d2 END) AS BIGINT) AS b2
+      FROM a WHERE rn <= 2 GROUP BY gid)
+SELECT gid AS vec_id, centroid_id, a2, b2,
+       (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+         / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) AS sil
+FROM f""",
+
     // Per-source data card: exact counts of d1's dup criterion, t1's
     // language criterion, and t2's quality threshold; per-doc doubles
     // are only compared, never summed.

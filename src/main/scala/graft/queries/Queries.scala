@@ -5160,6 +5160,41 @@ object Queries {
       distFromIntSq(col("sel_d2q").cast("double")).as("dist"))
   }
 
+  /** Per-vector SILHOUETTE against the IVF seed quantizer — the
+    * clustering-quality eval read before choosing nlist: a2 = d2 to
+    * the OWN (nearest) centroid, b2 = d2 to the runner-up, and the
+    * simplified silhouette s = (√b2 − √a2)/√max(a2,b2) ∈ [0,1]
+    * (Rousseeuw '87 with the centroid as cluster proxy — the O(N·nlist)
+    * form; the O(N²) original is not a 100 TB shape). Near-0 rows sit
+    * on a list boundary (they are the vectors nprobe=1 would lose —
+    * v39's recall number, explained per vector). MAP-ONLY: centroids
+    * are an O(nlist·dim) collected literal (v6's contract), the
+    * top-2-of-nlist is one array_sort over the codegen'd integer
+    * kernel, no join, no shuffle; a2/b2 are exact Longs and the fixed
+    * point scale cancels in s, which is two IEEE sqrts, one subtract,
+    * one divide in mirrored order. */
+  def v74Silhouette(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = seedCentroids(e)
+      .select(col("cid").cast("long"), quantize(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val cands = cents.map { case (cid, cv) =>
+      struct(intL2Sq(col("qv"), array(cv.map(lit).toIndexedSeq: _*)).as("d2"),
+        lit(cid).as("cid"))
+    }
+    e.select(col("vec_id").cast("long").as("vec_id"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("srt", array_sort(array(cands.toIndexedSeq: _*)))
+      .select(col("vec_id"),
+        col("srt")(0).getField("cid").as("centroid_id"),
+        col("srt")(0).getField("d2").as("a2"),
+        col("srt")(1).getField("d2").as("b2"))
+      .withColumn("sil",
+        (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double")))
+          / sqrt(greatest(col("a2"), col("b2")).cast("double")))
+  }
+
   /** Per-source DATA CARD — the one-row-per-source summary a mixture
     * designer reads before weighting sources (p2) or sampling quotas
     * (p4): volume (docs/tokens/chars), exact-dup mass (d1's hash

@@ -239,4 +239,31 @@ class Round7bOpsSpec extends SparkSpec {
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
     assert(mmrSets.exists { case (q, s) => s != plain(q) })
   }
+
+  test("v74: one row per vector, a2 <= b2, sil in [0,1], centroid " +
+    "vectors score a2 = 0 and sil = 1, assignment matches v6's " +
+    "argmin, and a2/b2 replay from scratch") {
+    val out = Queries.v74Silhouette(spark, sf).collect()
+    val scale = graft.functions.VectorFunctions.DefaultScale
+    val g = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * scale)).toArray)
+      .toMap
+    assert(out.length == g.size)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cents = g.filter(_._1 < 10).toSeq.sortBy(_._1)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val ds = cents.map { case (cid, cv) => (d2(g(id), cv), cid) }.sorted
+      assert(r.getAs[Long]("centroid_id") == ds.head._2)
+      assert(r.getAs[Long]("a2") == ds.head._1)
+      assert(r.getAs[Long]("b2") == ds(1)._1)
+      val sil = r.getAs[Double]("sil")
+      assert(r.getAs[Long]("a2") <= r.getAs[Long]("b2"))
+      assert(sil >= 0.0 && sil <= 1.0)
+      if (id < 10) { assert(r.getAs[Long]("a2") == 0L); assert(sil == 1.0) }
+    }
+  }
 }
