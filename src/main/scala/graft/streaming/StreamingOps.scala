@@ -490,6 +490,64 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** State for [[sessionPaths]]: the last two events of one user —
+    * exact microsecond times (the batch e33 arithmetic) plus how many
+    * slots are filled. Bounded by CONSTRUCTION: two events per active
+    * user, evicted on event-time timeout. */
+  case class PathState(t1Us: Long, p1: String, t2Us: Long, p2: String,
+                       filled: Int)
+  case class PathHit(user_id: Long, p1: String, p2: String, p3: String,
+                     start_us: Long)
+
+  /** Continuous 3-step session-path mining — the streaming twin of the
+    * gated e33 (both hop gaps ≤ `gapSeconds`): each arriving event
+    * emits the (p1, p2, p3) triple it completes, from per-user state
+    * that is just the LAST TWO events. Times are exact microseconds
+    * (java.sql.Timestamp carries them; ms-truncation would disagree
+    * with the batch key on sub-ms gaps), so on a bounded in-order
+    * stream the emitted triples aggregate to e33's rows exactly —
+    * the parity spec proves it against the gated batch operator.
+    * At 100 TB/day: state is two (ts, type) pairs per ACTIVE user
+    * (idle users evicted when the watermark passes their last event +
+    * gap), and the rollup e33 publishes is a downstream windowed
+    * aggregate over these hits. */
+  def sessionPaths(events: Dataset[Event], gapSeconds: Long = 1800,
+                   watermarkDelay: String = "30 minutes")
+      : Dataset[PathHit] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[PathState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // order by EXACT microseconds (the batch e33 sort key) —
+            // an ms-precision key could swap same-ms events
+            def us(e: Event): Long =
+              (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+            val sorted = batch.toSeq.sortBy(e => (us(e), e.event_id))
+            var s = state.getOption.getOrElse(PathState(0L, "", 0L, "", 0))
+            val hits = Seq.newBuilder[PathHit]
+            sorted.foreach { e =>
+              val tUs = us(e)
+              if (s.filled >= 2 && s.t2Us - s.t1Us <= gapUs &&
+                  tUs - s.t2Us <= gapUs)
+                hits += PathHit(userId, s.p1, s.p2, e.event_type, s.t1Us)
+              s = PathState(s.t2Us, s.p2, tUs, e.event_type,
+                math.min(s.filled + 1, 2))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.t2Us / 1000 + gapSeconds * 1000)
+            hits.result().iterator
+          }
+      }
+  }
+
   /** Inactivity-gap sessionization (streaming twin of e2): a new session
     * starts when a user is idle > gapSeconds. Emits one row per closed
     * session. The open session flushes on an EVENT-TIME timeout — it

@@ -319,6 +319,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionPaths aggregates to the gated batch e33 rows " +
+    "exactly on real events (microsecond-exact parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows: Seq[Event] = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_id", "ts div 1000 as us", "user_id",
+        "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+      .map { r =>
+        val t = new Timestamp(r._2 / 1000000 * 1000)
+        t.setNanos((r._2 % 1000000).toInt * 1000)
+        Event(r._1, t, r._3, r._4, r._5)
+      }
+    val mem = MemoryStream[Event]
+    mem.addData(rows: _*)
+    val q = StreamingOps.sessionPaths(mem.toDS())
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("paths").start()
+    try {
+      q.awaitTermination(180000)
+      val got = spark.table("paths")
+        .as[StreamingOps.PathHit].collect()
+        .groupBy(h => (h.p1, h.p2, h.p3))
+        .map { case (k, hs) =>
+          k -> ((hs.length.toLong, hs.map(_.user_id).distinct.length.toLong)) }
+      val expected = graft.queries.Queries.e33SessionPaths(spark, sf)
+        .collect()
+        .map(r => (r.getAs[String]("p1"), r.getAs[String]("p2"),
+          r.getAs[String]("p3")) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("n_users"))))
+        .toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates tumbling windows over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
