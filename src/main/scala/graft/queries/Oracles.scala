@@ -4052,6 +4052,58 @@ SELECT gid AS vec_id, centroid_id, a2, b2,
          / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) AS sil
 FROM f""",
 
+    // Pair alignment: m2's stub feature recipe vs the embedding folded
+    // to 8 stride sums; exact integer dot/norms, sign-exact mismatch
+    // flag, one IEEE cosine division.
+    "m15_pair_alignment" -> s"""
+WITH ch AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                   unnest(range(strlen(text))) AS i, text AS t
+            FROM documents),
+bx AS (SELECT asset_id, CAST(i % 8 AS BIGINT) AS dim,
+              ascii(substr(t, CAST(i AS INT) + 1, 1)) AS code
+       FROM ch),
+f AS (SELECT asset_id, dim, CAST(sum(code) AS BIGINT) / count(*) AS feature
+      FROM bx GROUP BY 1, 2),
+qfx AS (SELECT asset_id, dim, CAST(round(feature * 100) AS BIGINT) AS qx
+        FROM f),
+e AS (SELECT CAST(vec_id AS BIGINT) AS pair_id, ${qv("embedding")} AS qe FROM embeddings),
+tel AS (SELECT pair_id, CAST(i % 8 AS BIGINT) AS dim,
+               qe[CAST(i AS INT) + 1] AS x
+        FROM e CROSS JOIN (SELECT unnest(range(64)) AS i)),
+tbl AS (SELECT pair_id, dim, CAST(sum(x) AS BIGINT) AS tx FROM tel GROUP BY 1, 2),
+j AS (SELECT q.asset_id AS pair_id,
+             CAST(sum(q.qx * t.tx) AS BIGINT) AS align_dot,
+             CAST(sum(q.qx * q.qx) AS BIGINT) AS a2,
+             CAST(sum(t.tx * t.tx) AS BIGINT) AS b2
+      FROM qfx q JOIN tbl t ON t.pair_id = q.asset_id AND t.dim = q.dim
+      GROUP BY 1)
+SELECT pair_id, align_dot,
+       CAST(align_dot AS DOUBLE)
+         / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE))) AS cos_align,
+       CAST(CASE WHEN align_dot < 0 THEN 1 ELSE 0 END AS BIGINT) AS mismatch
+FROM j""",
+
+    // Per-doc source affinity: TF cosine of each doc against its own
+    // source's aggregate term counts; HUGEINT products, one IEEE
+    // division per doc in mirrored order.
+    "t31_source_affinity" -> """
+WITH tc AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents),
+cd AS (SELECT doc_id, source, term, count(*) AS cd FROM tc GROUP BY 1, 2, 3),
+cs AS (SELECT source, term, CAST(sum(cd) AS BIGINT) AS cs FROM cd GROUP BY 1, 2),
+sn AS (SELECT source, sum(CAST(cs AS HUGEINT) * cs) AS b2 FROM cs GROUP BY 1),
+dv AS (SELECT cd.doc_id, cd.source,
+              sum(CAST(cd.cd AS HUGEINT) * cs.cs) AS num,
+              sum(CAST(cd.cd AS HUGEINT) * cd.cd) AS a2,
+              count(*) AS n_terms
+       FROM cd JOIN cs ON cs.source = cd.source AND cs.term = cd.term
+       GROUP BY 1, 2)
+SELECT dv.doc_id, dv.source, dv.n_terms,
+       CAST(num AS DOUBLE)
+         / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE))) AS affinity
+FROM dv JOIN sn ON sn.source = dv.source""",
+
     // Per-source data card: exact counts of d1's dup criterion, t1's
     // language criterion, and t2's quality threshold; per-doc doubles
     // are only compared, never summed.

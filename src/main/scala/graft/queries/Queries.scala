@@ -5195,6 +5195,75 @@ object Queries {
           / sqrt(greatest(col("a2"), col("b2")).cast("double")))
   }
 
+  /** Image-text PAIR ALIGNMENT audit — the CLIP-style filtering step a
+    * multimodal curation run applies to m6's pair manifest: score each
+    * (asset, text) pair by the cosine between the asset's decoded
+    * features (m2's stub kernel at the mapPartitions decode boundary —
+    * where a real image embedding plugs in) and the text embedding
+    * folded to the same width (exact stride sums), then flag
+    * mismatches by the SIGN of the exact integer dot (no float
+    * threshold to flip). Both sides explode to (id, dim) rows,
+    * map-side-combine, and meet in ONE (id, dim)-keyed equi join with
+    * fanout exactly 1 — never a feature matrix in driver memory; the
+    * cosine is one IEEE division over exact Long dot/norms. */
+  def m15PairAlignment(s: SparkSession, d: String): DataFrame = {
+    val feats = BinaryPipeline.decodeStub(
+      BinaryPipeline.toAssets(docs(s, d), "doc_id", "text"), featureDim = 8)
+    val qfl = feats.select(col("asset_id").cast("long").as("pair_id"),
+        posexplode(transform(col("features"),
+          f => round(f * lit(100)).cast("long"))).as(Seq("dim", "qx")))
+      .select(col("pair_id"), col("dim").cast("long").as("dim"), col("qx"))
+    val tbl = emb(s, d)
+      .select(col("vec_id").cast("long").as("pair_id"),
+        posexplode(quantize(col("embedding"))).as(Seq("i", "x")))
+      .groupBy(col("pair_id"), (col("i") % 8).cast("long").as("dim"))
+      .agg(sum("x").cast("long").as("tx"))
+    qfl.join(tbl, Seq("pair_id", "dim"))
+      .groupBy("pair_id")
+      .agg(sum(col("qx") * col("tx")).cast("long").as("align_dot"),
+        sum(col("qx") * col("qx")).cast("long").as("a2"),
+        sum(col("tx") * col("tx")).cast("long").as("b2"))
+      .select(col("pair_id"), col("align_dot"),
+        (col("align_dot").cast("double")
+          / (sqrt(col("a2").cast("double")) * sqrt(col("b2").cast("double"))))
+          .as("cos_align"),
+        when(col("align_dot") < 0, 1L).otherwise(0L).as("mismatch"))
+  }
+
+  /** Per-doc SOURCE AFFINITY — term-frequency cosine between each doc
+    * and its own source's aggregate term distribution (the centroid in
+    * count space): the in-domain outlier score a curation run reads to
+    * find mis-sourced or boilerplate documents (low affinity = the doc
+    * does not use its source's vocabulary the way the source does).
+    * t29 scores source PAIRS; this scores every DOC against its
+    * source. All counts exact; products ride as Decimal(38,0) ≡
+    * HUGEINT (a web-scale source's term count crosses Long when
+    * squared); the (source, term) join-back has fanout exactly 1 per
+    * doc-term (t8's hot-stop-term argument: groupBys are map-side
+    * combined, and no term-partitioned window anywhere); ONE IEEE
+    * division per doc in mirrored order. */
+  def t31SourceAffinity(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dt = docs(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("cd"))
+    val st = dt.groupBy("source", "term")
+      .agg(sum("cd").cast("long").as("cs"))
+    val srcNorm = st.groupBy("source")
+      .agg(sum(col("cs").cast(dec) * col("cs").cast(dec)).as("b2"))
+    dt.join(st, Seq("source", "term"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cd").cast(dec) * col("cs").cast(dec)).as("num"),
+        sum(col("cd").cast(dec) * col("cd").cast(dec)).as("a2"),
+        count(lit(1)).as("n_terms"))
+      .join(srcNorm, "source")
+      .select(col("doc_id"), col("source"), col("n_terms"),
+        (col("num").cast("double")
+          / (sqrt(col("a2").cast("double")) * sqrt(col("b2").cast("double"))))
+          .as("affinity"))
+  }
+
   /** Per-source DATA CARD — the one-row-per-source summary a mixture
     * designer reads before weighting sources (p2) or sampling quotas
     * (p4): volume (docs/tokens/chars), exact-dup mass (d1's hash

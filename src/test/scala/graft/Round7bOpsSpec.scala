@@ -240,6 +240,78 @@ class Round7bOpsSpec extends SparkSpec {
     assert(mmrSets.exists { case (q, s) => s != plain(q) })
   }
 
+  test("m15: one row per pair, mismatch = sign of the exact dot, and " +
+    "dot/norms replay from the stub-feature + stride-fold construction") {
+    val out = Queries.m15PairAlignment(spark, sf).collect()
+    val scale = graft.functions.VectorFunctions.DefaultScale
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * scale)).toArray)
+      .toMap
+    val ids = docs.keySet intersect embs.keySet
+    assert(out.length == ids.size)
+    def qf(t: String): Array[Long] = {
+      val bytes = t.getBytes("UTF-8")
+      val acc = new Array[Double](8); val cnt = new Array[Long](8)
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        acc(i % 8) += (b & 0xff); cnt(i % 8) += 1 }
+      (0 until 8).map(d => math.round(acc(d) / cnt(d) * 100)).toArray
+    }
+    out.foreach { r =>
+      val id = r.getAs[Long]("pair_id")
+      val f = qf(docs(id))
+      val tb = new Array[Long](8)
+      embs(id).zipWithIndex.foreach { case (x, i) => tb(i % 8) += x }
+      val dot = f.zip(tb).map { case (a, b) => a * b }.sum
+      val a2 = f.map(x => x * x).sum
+      val b2 = tb.map(x => x * x).sum
+      assert(r.getAs[Long]("align_dot") == dot)
+      assert(r.getAs[Double]("cos_align") ==
+        dot.toDouble / (math.sqrt(a2.toDouble) * math.sqrt(b2.toDouble)))
+      assert(r.getAs[Long]("mismatch") == (if (dot < 0) 1L else 0L))
+    }
+    // both flag values occur on the test corpus (the gate would pass
+    // trivially if the stub features never disagreed with the text side)
+    assert(out.map(_.getAs[Long]("mismatch")).toSet == Set(0L, 1L))
+  }
+
+  test("t31: one row per doc, affinity in (0, 1+eps], and every " +
+    "doc's cosine replays from raw term counts") {
+    val out = Queries.t31SourceAffinity(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("long"), $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length == docs.length)
+    val docCounts = docs.map { case (id, src, t) =>
+      (id, src, t.split(" ", -1).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap)
+    }
+    val srcCounts = docCounts.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.flatMap(_._3).groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toMap
+    }
+    val bySrcNorm = srcCounts.map { case (src, m) =>
+      src -> m.values.map(c => BigInt(c) * c).sum }
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (_, src, cd) = docCounts.find(_._1 == id).get
+      val cs = srcCounts(src)
+      val num = cd.map { case (t, c) => BigInt(c) * cs(t) }.sum
+      val a2 = cd.values.map(c => BigInt(c) * c).sum
+      assert(r.getAs[String]("source") == src)
+      assert(r.getAs[Long]("n_terms") == cd.size.toLong)
+      val aff = r.getAs[Double]("affinity")
+      assert(aff == num.toDouble /
+        (math.sqrt(a2.toDouble) * math.sqrt(bySrcNorm(src).toDouble)))
+      // <= 1 up to one ulp of sqrt rounding (sqrt(x)*sqrt(x) vs x)
+      assert(aff > 0.0 && aff <= 1.0 + 1e-12)
+    }
+  }
+
   test("v74: one row per vector, a2 <= b2, sil in [0,1], centroid " +
     "vectors score a2 = 0 and sil = 1, assignment matches v6's " +
     "argmin, and a2/b2 replay from scratch") {
