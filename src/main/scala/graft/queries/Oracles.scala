@@ -4104,6 +4104,88 @@ SELECT dv.doc_id, dv.source, dv.n_terms,
          / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE))) AS affinity
 FROM dv JOIN sn ON sn.source = dv.source""",
 
+    // Split-leakage audit: d2's guarded pair set joined to v9's
+    // portable mod-hash split labels, keep pairs crossing the boundary.
+    "p10_split_leakage" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+${minhashPairCtes("d")},
+pp AS (SELECT a_id, b_id, inter / uni AS jaccard
+       FROM v WHERE inter / uni >= 0.5),
+sp AS (SELECT CAST(doc_id AS BIGINT) AS id,
+              CASE WHEN ((CAST(doc_id AS BIGINT) % 2147483647) * 2654435761) % 2147483647 % 5 = 0
+                   THEN 'val' ELSE 'train' END AS split
+       FROM documents)
+SELECT p.a_id, p.b_id, sa.split AS a_split, sb.split AS b_split, p.jaccard
+FROM pp p
+JOIN sp sa ON sa.id = p.a_id
+JOIN sp sb ON sb.id = p.b_id
+WHERE sa.split <> sb.split""",
+
+    // Query-batch dedup serving: the oracle is the PLAIN v1 ranking
+    // over the doubled request batch — the gate proves the Spark
+    // side's dedup-then-fan-out is bit-transparent.
+    "v75_query_dedup_serve" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS gvec FROM embeddings),
+q0 AS (SELECT CAST(vec_id AS BIGINT) AS query_id, ${qv("embedding")} AS qvec
+       FROM embeddings WHERE vec_id % 100 = 0),
+q AS (SELECT query_id, qvec FROM q0
+      UNION ALL SELECT query_id + 1000000, qvec FROM q0),
+dq AS (SELECT query_id, gid, ${l2sq("qvec", "gvec")} AS d2 FROM g CROSS JOIN q),
+r AS (SELECT query_id, gid, d2,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+      FROM dq)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
+FROM r WHERE rnk <= 5""",
+
+    // Cross-doc duplicated-trigram mass: occurrence counts (NOT the
+    // distinct shingle set), df over docs, join-back, per-doc rollup.
+    "d24_dup_ngram_mass" -> """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(coalesce(text, ''), ' ') AS toks
+           FROM documents),
+b AS (SELECT doc_id,
+             CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_tri,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(len(toks) - 2),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM d),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM b),
+m AS (SELECT doc_id, gram, count(*) AS m FROM g GROUP BY 1, 2),
+df AS (SELECT gram, count(*) AS n_docs FROM m GROUP BY 1),
+dd AS (SELECT m.doc_id,
+              CAST(sum(CASE WHEN df.n_docs >= 2 THEN m.m ELSE 0 END) AS BIGINT)
+                AS dup_mass
+       FROM m JOIN df USING (gram) GROUP BY 1)
+SELECT b.doc_id, b.n_tri,
+       CAST(coalesce(dd.dup_mass, 0) AS BIGINT) AS dup_mass,
+       CASE WHEN b.n_tri > 0
+            THEN CAST(coalesce(dd.dup_mass, 0) AS BIGINT) / b.n_tri
+            ELSE 0.0 END AS dup_frac
+FROM b LEFT JOIN dd ON dd.doc_id = b.doc_id""",
+
+    // Re-split fix on p10's audit: every val doc with >=1 train
+    // near-copy moves to train (counted per doc).
+    "p11_resplit" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+${minhashPairCtes("d")},
+pp AS (SELECT a_id, b_id FROM v WHERE inter / uni >= 0.5),
+sp AS (SELECT CAST(doc_id AS BIGINT) AS id,
+              CASE WHEN ((CAST(doc_id AS BIGINT) % 2147483647) * 2654435761) % 2147483647 % 5 = 0
+                   THEN 'val' ELSE 'train' END AS split
+       FROM documents),
+lk AS (SELECT p.a_id, p.b_id, sa.split AS a_split, sb.split AS b_split
+       FROM pp p
+       JOIN sp sa ON sa.id = p.a_id
+       JOIN sp sb ON sb.id = p.b_id
+       WHERE sa.split <> sb.split),
+mv AS (SELECT a_id AS doc_id FROM lk WHERE a_split = 'val'
+       UNION ALL
+       SELECT b_id AS doc_id FROM lk WHERE b_split = 'val')
+SELECT doc_id, count(*) AS n_train_dups,
+       'val' AS old_split, 'train' AS new_split
+FROM mv GROUP BY 1""",
+
     // Per-source data card: exact counts of d1's dup criterion, t1's
     // language criterion, and t2's quality threshold; per-doc doubles
     // are only compared, never summed.

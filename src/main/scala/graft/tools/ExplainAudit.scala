@@ -99,7 +99,10 @@ object ExplainAudit {
     "v72_novel_query_knn",
     // v73's pool build is v1's scoring crossjoin; the greedy steps
     // join only O(Q·10) checkpointed frames.
-    "v73_mmr_diversify")
+    "v73_mmr_diversify",
+    // v75 is v1's scoring crossjoin over the deduped representative
+    // batch (the request-dedup serving class).
+    "v75_query_dedup_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -312,6 +312,84 @@ class Round7bOpsSpec extends SparkSpec {
     }
   }
 
+  test("p10: leakage set is exactly d2's pairs with differing " +
+    "portable-hash split labels") {
+    val out = Queries.p10SplitLeakage(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[String]("a_split"), r.getAs[String]("b_split"),
+        r.getAs[Double]("jaccard")))
+    def split(id: Long): String =
+      if (((id % 2147483647L) * 2654435761L) % 2147483647L % 5 == 0) "val"
+      else "train"
+    out.foreach { case (a, b, sa, sb, _) =>
+      assert(sa == split(a) && sb == split(b) && sa != sb)
+    }
+    val d2pairs = Queries.d2MinhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val expected = d2pairs.filter { case ((a, b), _) => split(a) != split(b) }
+    assert(out.map { case (a, b, _, _, j) => (a, b) -> j }.toMap == expected)
+  }
+
+  test("v75: dedup-then-fan-out serving is transparent — both request " +
+    "copies of every query get exactly the plain v1 ranking") {
+    val out = Queries.v75QueryDedupServe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist"))))
+      .toMap
+    val v1 = Queries.v1KnnL2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist"))))
+      .toMap
+    assert(out.size == 2 * v1.size)
+    v1.foreach { case ((q, rnk), hit) =>
+      assert(out((q, rnk)) == hit)
+      assert(out((q + 1000000L, rnk)) == hit)
+    }
+  }
+
+  test("d24: dup_mass replays exactly from a driver-side trigram " +
+    "multiset + cross-doc df, one row per doc, dup_frac = mass/total") {
+    val out = Queries.d24DupNgramMass(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tri"), r.getAs[Long]("dup_mass"),
+          r.getAs[Double]("dup_frac")))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1).toSeq)
+    assert(out.size == docs.length)
+    val grams = docs.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+    }
+    val df = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    grams.foreach { case (id, gs) =>
+      val mass = gs.count(g => df(g) >= 2).toLong
+      val (nTri, dupMass, frac) = out(id)
+      assert(nTri == gs.size.toLong)
+      assert(dupMass == mass)
+      assert(frac == (if (gs.nonEmpty) mass.toDouble / gs.size else 0.0))
+    }
+    assert(out.values.exists(_._2 > 0), "corpus should contain cross-doc dups")
+  }
+
+  test("p11: the moved set is exactly p10's val members, counted per " +
+    "doc, and every row flips val -> train") {
+    val out = Queries.p11Resplit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_train_dups"), r.getAs[String]("old_split"),
+          r.getAs[String]("new_split")))).toMap
+    out.values.foreach { case (_, o, n) => assert(o == "val" && n == "train") }
+    val leaks = Queries.p10SplitLeakage(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[String]("a_split"), r.getAs[String]("b_split")))
+    val expected = leaks.flatMap { case (a, b, sa, sb) =>
+      (if (sa == "val") Seq(a) else Nil) ++ (if (sb == "val") Seq(b) else Nil)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.view.mapValues(_._1).toMap == expected)
+  }
+
   test("v74: one row per vector, a2 <= b2, sil in [0,1], centroid " +
     "vectors score a2 = 0 and sil = 1, assignment matches v6's " +
     "argmin, and a2/b2 replay from scratch") {
