@@ -4186,6 +4186,72 @@ SELECT doc_id, count(*) AS n_train_dups,
        'val' AS old_split, 'train' AS new_split
 FROM mv GROUP BY 1""",
 
+    // Selectivity-routed filtered KNN: exact-integer route predicate
+    // (n_class * n_classes > n_total), both branches replayed.
+    "v76_selectivity_route" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, CAST(label AS BIGINT) AS glab,
+                  ${qv("embedding")} AS gvec FROM embeddings),
+tot AS (SELECT count(*) AS n_total, count(DISTINCT label) AS n_classes
+        FROM embeddings),
+sz AS (SELECT CAST(label AS BIGINT) AS lab, count(*) AS n_class
+       FROM embeddings GROUP BY 1),
+rt AS (SELECT lab, CASE WHEN n_class * n_classes > n_total
+                        THEN 'ivf' ELSE 'exact' END AS route
+       FROM sz CROSS JOIN tot),
+q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(label AS BIGINT) AS qlab,
+             ${qv("embedding")} AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+qr AS (SELECT q.query_id, q.qlab, q.qvec, rt.route
+       FROM q JOIN rt ON rt.lab = q.qlab),
+ce AS (SELECT query_id, gid, ${l2sq("gvec", "qvec")} AS d2
+       FROM qr JOIN g ON g.glab = qr.qlab WHERE qr.route = 'exact'),
+re AS (SELECT query_id, gid, d2,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk,
+              'exact' AS route
+       FROM ce),
+c AS (SELECT CAST(vec_id AS BIGINT) AS cid, ${qv("embedding")} AS cvec
+      FROM embeddings WHERE vec_id < 10),
+asn AS (SELECT gid, glab, gvec, cid FROM (
+          SELECT g.gid, g.glab, g.gvec, c.cid,
+                 row_number() OVER (PARTITION BY g.gid ORDER BY ${l2sq("gvec", "cvec")}, cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+probe AS (SELECT query_id, cid FROM (
+            SELECT qr.query_id, c.cid,
+                   row_number() OVER (PARTITION BY qr.query_id ORDER BY ${l2sq("qvec", "cvec")}, cid) AS rn
+            FROM qr CROSS JOIN c WHERE qr.route = 'ivf') WHERE rn <= 2),
+ci AS (SELECT p.query_id, a.gid, ${l2sq("gvec", "qvec")} AS d2
+       FROM probe p
+       JOIN asn a ON a.cid = p.cid
+       JOIN qr ON qr.query_id = p.query_id AND qr.qlab = a.glab),
+ri AS (SELECT query_id, gid, d2,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk,
+              'ivf' AS route
+       FROM ci),
+u AS (SELECT * FROM re WHERE rnk <= 5 UNION ALL SELECT * FROM ri WHERE rnk <= 5)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist, route
+FROM u""",
+
+    // Per-type cadence quantiles: same-type per-user gaps, second
+    // granularity clipped at one day, t7's exact positional selection.
+    "e34_gap_quantiles" -> """
+WITH x AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                  CAST(event_id AS BIGINT) AS event_id,
+                  event_type, epoch_us(ts) AS us FROM events),
+gp AS (SELECT event_type,
+              us - lag(us) OVER (PARTITION BY user_id, event_type
+                ORDER BY us, event_id) AS gap
+       FROM x),
+g2 AS (SELECT event_type, least(gap // 1000000, 86400) AS gap_s
+       FROM gp WHERE gap IS NOT NULL),
+rk AS (SELECT event_type, gap_s,
+              row_number() OVER (PARTITION BY event_type ORDER BY gap_s) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM g2)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+       max(CASE WHEN rn = (n + 1) // 2 THEN gap_s END) AS p50_s,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_s END) AS p90_s,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_s END) AS p99_s
+FROM rk GROUP BY 1""",
+
     // Per-source data card: exact counts of d1's dup criterion, t1's
     // language criterion, and t2's quality threshold; per-doc doubles
     // are only compared, never summed.

@@ -5384,6 +5384,119 @@ object Queries {
         lit("val").as("old_split"), lit("train").as("new_split"))
   }
 
+  /** SELECTIVITY-ROUTED filtered KNN — the per-request plan choice a
+    * filtered-ANN serving layer makes (faiss IDSelector vs probe): each
+    * query searches only ITS OWN label class; classes SMALLER than the
+    * mean class size are brute-force scanned (the filter already
+    * shrinks the candidate set below what probing saves), classes
+    * LARGER go through the IVF probe (nprobe=2 of the seeded
+    * quantizer). The routing predicate is exact-integer cross-
+    * multiplication (n_class · n_classes > n_total — never a float
+    * selectivity threshold), so both engines route identically and the
+    * oracle replays BOTH branches. At 100 TB this is the difference
+    * between scanning a 10⁴-row filtered slice and probing a 10¹⁰-row
+    * index — per query, decided from an O(classes) statistics frame.
+    *
+    * Scale shape: the route table is O(classes) and broadcast; the
+    * exact branch joins the gallery to broadcast same-class queries
+    * (gallery scanned once, map-side filtered); the IVF branch is v7's
+    * broadcast probe join with the class equality folded into the join
+    * condition; both funnel through the bounded native top-k. */
+  def v76SelectivityRoute(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val sizes = e.groupBy(col("label").cast("long").as("lab"))
+      .agg(count(lit(1)).as("n_class"))
+    val tot = e.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("label")).as("n_classes"))
+    val route = sizes.crossJoin(broadcast(tot))
+      .select(col("lab"),
+        when(col("n_class") * col("n_classes") > col("n_total"),
+          lit("ivf")).otherwise(lit("exact")).as("route"))
+    val qr = queryVecs(e)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("qlab"))
+      .join(broadcast(route), col("qlab") === col("lab")).drop("lab")
+    val g = e.select(col("vec_id").cast("long").as("neighbor_id"),
+      col("label").cast("long").as("glab"),
+      quantize(col("embedding")).as("gv"))
+    // exact branch: same-class brute force via broadcast queries.
+    val qe = qr.filter(col("route") === "exact")
+      .select(col("vec_id").cast("long").as("query_id"), col("qlab"),
+        quantize(col("embedding")).as("qv"))
+    val candE = g.join(broadcast(qe), col("glab") === col("qlab"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    val hitsE = TopK.perGroup(candE, "query_id", "neighbor_id", "d2",
+      k = 5, ascending = true).withColumn("route", lit("exact"))
+    // ivf branch: v7's probe shape + the class filter in the join.
+    val qi = qr.filter(col("route") === "ivf")
+    val probes = KnnJoin.knnL2(seedCentroids(e), qi,
+      "cid", "embedding", "vec_id", k = 2)
+      .select(col("query_id"), col("neighbor_id").as("pcid"))
+    val qiq = qi.select(col("vec_id").cast("long").as("query_id"),
+      col("qlab"), quantize(col("embedding")).as("qv"))
+    val probeQ = probes.join(qiq, Seq("query_id"))
+    val centArr = seedCentroids(e)
+      .select(col("cid").cast("long"), quantize(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val centCands = centArr.map { case (cid, cv) =>
+      struct(intL2Sq(col("gv"), array(cv.map(lit).toIndexedSeq: _*))
+        .as("d2"), lit(cid).as("cid"))
+    }
+    val gAsn = g.withColumn("centroid_id",
+      array_min(array(centCands.toIndexedSeq: _*)).getField("cid"))
+    val candI = gAsn.join(broadcast(probeQ),
+        gAsn("centroid_id") === probeQ("pcid") &&
+          gAsn("glab") === probeQ("qlab"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    val hitsI = TopK.perGroup(candI, "query_id", "neighbor_id", "d2",
+      k = 5, ascending = true).withColumn("route", lit("ivf"))
+    hitsE.unionByName(hitsI)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2")).as("dist"), col("route"))
+  }
+
+  /** Per-event-type CADENCE QUANTILES — p50/p90/p99 of the gap between
+    * a user's consecutive events of the SAME type, second granularity,
+    * clipped at one day: the retry/poll/engagement periodicity report
+    * (e14 gives per-user mean/variance; this gives the per-type
+    * distribution shape an alerting threshold is read from). The clip
+    * is semantic, not defensive: cadence beyond a day is churn (e6's
+    * territory), and it HARD-BOUNDS the quantile histogram domain at
+    * 86,401 distinct values — corpus-independent by construction.
+    *
+    * Scale shape: gaps are per-(user, type) windows (per-key state,
+    * bounded); the only corpus-sized shuffle is the map-side-combined
+    * (type, gap_s) histogram; the cumulative window runs over the
+    * clipped distinct-value domain per type (t7's two-phase positional
+    * selection), never a per-type row sort; rank positions exact
+    * integer ((9n+9) div 10 — no float ceil). */
+  def e34GapQuantiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val gaps = eventsUs(s, d)
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        least(expr("(us - prev) div 1000000"), lit(86400L)).as("gap_s"))
+    val hist = gaps.groupBy("event_type", "gap_s")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("event_type").orderBy("gap_s")
+    val wAll = Window.partitionBy("event_type")
+    def pick(rank: String) =
+      max(when(expr(s"cum - cnt < $rank AND $rank <= cum"), col("gap_s")))
+    hist
+      .withColumn("cum", sum("cnt").over(wCum).cast("long"))
+      .withColumn("n", sum("cnt").over(wAll).cast("long"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_gaps"),
+        pick("(n + 1) div 2").as("p50_s"),
+        pick("(9 * n + 9) div 10").as("p90_s"),
+        pick("(99 * n + 99) div 100").as("p99_s"))
+  }
+
   /** Per-source DATA CARD — the one-row-per-source summary a mixture
     * designer reads before weighting sources (p2) or sampling quotas
     * (p4): volume (docs/tokens/chars), exact-dup mass (d1's hash

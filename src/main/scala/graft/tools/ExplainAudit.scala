@@ -102,7 +102,11 @@ object ExplainAudit {
     "v73_mmr_diversify",
     // v75 is v1's scoring crossjoin over the deduped representative
     // batch (the request-dedup serving class).
-    "v75_query_dedup_serve")
+    "v75_query_dedup_serve",
+    // v76's probe routing is v7's centroids × broadcast(queries)
+    // crossjoin, plus the O(classes) × 1-row totals scalar crossjoin
+    // (the q20/e19 class) feeding the route table.
+    "v76_selectivity_route")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -390,6 +390,80 @@ class Round7bOpsSpec extends SparkSpec {
     assert(out.view.mapValues(_._1).toMap == expected)
   }
 
+  test("v76: route matches the exact-integer predicate, both routes " +
+    "are exercised, the exact branch replays the same-class ranking, " +
+    "and ivf hits stay inside probed-list ∩ class candidates") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long"), $"label".cast("long"),
+        $"embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val sizes = e.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTotal = e.length.toLong
+    val nClasses = sizes.size.toLong
+    def route(lab: Long): String =
+      if (sizes(lab) * nClasses > nTotal) "ivf" else "exact"
+    val out = Queries.v76SelectivityRoute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[String]("route")))
+    assert(out.map(_._4).toSet == Set("exact", "ivf"),
+      "both routes must be exercised by the corpus")
+    val byId = e.map(v => v._1 -> v).toMap
+    def q(x: Array[Double]): Array[Long] =
+      x.map(v => BigDecimal(v * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val (_, qlab, qv) = byId(qid)
+      assert(rows.forall(_._4 == route(qlab)))
+      if (route(qlab) == "exact") {
+        val expected = e.filter(_._2 == qlab)
+          .map(v => (d2(q(v._3), q(qv)), v._1)).sorted.take(5).map(_._2)
+        assert(rows.sortBy(_._2).map(_._3).toSeq == expected.toSeq)
+      } else {
+        val cents = e.filter(_._1 < 10).sortBy(_._1)
+        val probed = cents.map(c => (d2(q(c._3), q(qv)), c._1))
+          .sorted.take(2).map(_._2).toSet
+        val cand = e.filter(v => v._2 == qlab &&
+          probed(cents.map(c => (d2(q(c._3), q(v._3)), c._1)).min._2))
+        val expected = cand.map(v => (d2(q(v._3), q(qv)), v._1))
+          .sorted.take(5).map(_._2)
+        assert(rows.sortBy(_._2).map(_._3).toSeq == expected.toSeq)
+      }
+    }
+  }
+
+  test("e34: per-type gap quantiles replay from a driver-side sorted " +
+    "pick over clipped same-type per-user gaps") {
+    val out = Queries.e34GapQuantiles(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("p50_s"),
+          r.getAs[Long]("p90_s"), r.getAs[Long]("p99_s")))).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id".cast("long"), $"event_id".cast("long"),
+        $"event_type", expr("cast(ts as long) div 1000").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._3)).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._4, e._2)).toList.sliding(2).collect {
+        case a :: b :: Nil =>
+          (a._3, math.min((b._4 - a._4) / 1000000L, 86400L))
+      }
+    }
+    gaps.groupBy(_._1).foreach { case (t, gs) =>
+      val sorted = gs.map(_._2).sorted
+      val n = sorted.length
+      def pick(r: Long): Long = sorted((r - 1).toInt)
+      val (nG, p50, p90, p99) = out(t)
+      assert(nG == n.toLong)
+      assert(p50 == pick((n + 1) / 2))
+      assert(p90 == pick((9L * n + 9) / 10))
+      assert(p99 == pick((99L * n + 99) / 100))
+    }
+    assert(out.keySet == gaps.map(_._1).toSet)
+  }
+
   test("v74: one row per vector, a2 <= b2, sil in [0,1], centroid " +
     "vectors score a2 = 0 and sil = 1, assignment matches v6's " +
     "argmin, and a2/b2 replay from scratch") {
