@@ -333,6 +333,38 @@ object StreamingOps {
     * self-filter, RRF = Σ 1/(60+rank), ties to lowest doc id), so a
     * bounded stream's union of batch outputs equals the batch v63
     * rows for the same queries. */
+  /** Per-micro-batch REQUEST-DEDUP serving (streaming twin of the
+    * gated v75): each arriving batch of (request_id, embedding)
+    * requests is collapsed to one representative per md5 vector
+    * digest, the kernel scores only representatives against the
+    * static gallery, and a digest-keyed O(batch·k) join fans results
+    * back to every request id. Scoring is deterministic and the dedup
+    * is BATCH-SCOPED, so ANY partitioning of requests across
+    * micro-batches yields the identical per-request rows — two copies
+    * of a query landing in different batches each pay one
+    * representative scan, same answer (the transparency property v75
+    * gates in batch). Stateless: no watermark state to size. */
+  def dedupServeBatch(requests: DataFrame, gallery: DataFrame,
+                      k: Int = 5,
+                      scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
+    import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
+    val batch = requests
+      .select(col("request_id").cast("long").as("query_id"),
+        quantize(col("embedding"), scale).as("qv"))
+      .withColumn("qkey", md5(concat_ws(",", col("qv"))))
+    val reps = batch.groupBy("qkey").agg(first(col("qv")).as("qv"))
+    val g = gallery.select(col("vec_id").cast("long").as("neighbor_id"),
+      quantize(col("embedding"), scale).as("gv"))
+    val scored = g.join(broadcast(reps))
+      .select(col("qkey"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    val hits = graft.operators.TopK.perGroup(scored, "qkey",
+      "neighbor_id", "d2", k, ascending = true)
+    batch.select("query_id", "qkey").join(hits, "qkey")
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
+  }
+
   def hybridRrfBatch(queryBatch: DataFrame, gallery: DataFrame,
                      inv: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.shingles

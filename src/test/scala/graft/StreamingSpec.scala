@@ -262,6 +262,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupServeBatch via foreachBatch: request copies split across " +
+    "micro-batches still get exactly the gated v75 rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".cast("long").as("request_id"),
+        $"embedding".cast("array<double>").as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    // first micro-batch: the original requests; second: their copies
+    // under shifted request ids — every duplicate pair straddles the
+    // batch boundary, the worst case for batch-scoped dedup.
+    mem.addData(base: _*)
+    val q = mem.toDF().toDF("request_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= StreamingOps.dedupServeBatch(b, emb)
+            .as[(Long, Long, Long, Double)].collect()
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      mem.addData(base.map { case (id, v) => (id + 1000000L, v) }: _*)
+      q.processAllAvailable()
+      val expected = graft.queries.Queries.v75QueryDedupServe(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(buf.toSet == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream emits each content hash once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
