@@ -4230,6 +4230,19 @@ u AS (SELECT * FROM re WHERE rnk <= 5 UNION ALL SELECT * FROM ri WHERE rnk <= 5)
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist, route
 FROM u""",
 
+    // Per-term burstiness: df, total/max tf, total_tf/df for df >= 10.
+    "t32_term_burstiness" -> """
+WITH u AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  unnest(string_split(coalesce(text, ''), ' ')) AS term
+           FROM documents),
+c AS (SELECT doc_id, term, count(*) AS c FROM u GROUP BY 1, 2),
+a AS (SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS total_tf,
+             CAST(max(c) AS BIGINT) AS max_tf
+      FROM c GROUP BY 1)
+SELECT term, df, total_tf, max_tf,
+       CAST(total_tf AS DOUBLE) / df AS burstiness
+FROM a WHERE df >= 10""",
+
     // Per-type cadence quantiles: same-type per-user gaps, second
     // granularity clipped at one day, t7's exact positional selection.
     "e34_gap_quantiles" -> """
@@ -4346,5 +4359,8 @@ FROM pairs WHERE d2 <= 250000""")
     // identical oracle SQL) to the rebuild-shape keys — the gate checks
     // that the persisted layouts round-trip the index bit-exactly.
     "v66_ivf_search_persisted" -> base("v7_ivf_search"),
-    "v67_ivfpq_search_persisted" -> base("v13_ivfpq_search"))
+    "v67_ivfpq_search_persisted" -> base("v13_ivfpq_search"),
+    // segment-merge serving: two persisted half-indexes unioned at
+    // serve time — bit-transparent, so v7's oracle verbatim.
+    "v77_index_merge_serve" -> base("v7_ivf_search"))
 }

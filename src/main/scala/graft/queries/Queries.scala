@@ -5458,6 +5458,58 @@ object Queries {
         distFromIntSq(col("d2")).as("dist"), col("route"))
   }
 
+  /** Per-term BURSTINESS (Church & Gale '95 shape): for every term
+    * with df ≥ 10, its document frequency, total occurrence count,
+    * within-doc max, and burstiness = total_tf/df — the mean count
+    * among docs that CONTAIN the term. Uniform-topic terms sit near 1;
+    * template/boilerplate terms burst (a nav-bar term appears 40× in
+    * every page that has it). Read next to t23's gini: that scores
+    * SOURCES, this scores TERMS.
+    *
+    * Scale shape: d24's stacked map-side-combined groupBys ((doc,
+    * term) counts, then term rollup) — no join at all here, no
+    * term-partitioned window (t8's hot-stop-term rule), output
+    * O(vocab past the df floor). */
+  def t32TermBurstiness(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").cast("long").as("total_tf"),
+        max("c").cast("long").as("max_tf"))
+      .filter(col("df") >= 10)
+      .withColumn("burstiness", col("total_tf") / col("df"))
+
+  /** INDEX-MERGE serving — two PERSISTED half-indexes (vec_id parity
+    * split, each centroid-partitioned, `_SUCCESS`-validated,
+    * fingerprinted paths) unioned at serve time and probed by v7's
+    * search: the rolling-build/compaction shape (faiss `merge_from`) —
+    * a production corpus is indexed in per-snapshot segments and
+    * served from their union until compaction rewrites them. The
+    * oracle is v7's SQL VERBATIM: the gate proves segment-merge
+    * serving is bit-transparent, v66's persisted-serving argument
+    * applied to segmented builds. Probe pruning still holds per
+    * segment (both sides are centroid-partitioned layouts), so the
+    * scan stays 2/nlist of each segment. */
+  def v77IndexMergeServe(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = seedCentroids(e)
+    val fp = graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    def half(par: Int): String = {
+      val path = s"/tmp/graft_ivfidx_h${par}_${tag}_$fp"
+      if (!persistedComplete(path))
+        IvfIndex.save(IvfIndex.assign(e.filter(col("vec_id") % 2 === par),
+          cents, "vec_id", "embedding", "cid"), path)
+      path
+    }
+    val merged = IvfIndex.load(s, half(0))
+      .unionByName(IvfIndex.load(s, half(1)))
+    IvfIndex.search(merged, cents, queryVecs(e),
+      "vec_id", "embedding", "cid", "vec_id", k = 3, nprobe = 2)
+  }
+
   /** Per-event-type CADENCE QUANTILES — p50/p90/p99 of the gap between
     * a user's consecutive events of the SAME type, second granularity,
     * clipped at one day: the retry/poll/engagement periodicity report

@@ -106,7 +106,10 @@ object ExplainAudit {
     // v76's probe routing is v7's centroids × broadcast(queries)
     // crossjoin, plus the O(classes) × 1-row totals scalar crossjoin
     // (the q20/e19 class) feeding the route table.
-    "v76_selectivity_route")
+    "v76_selectivity_route",
+    // v77 serves v7's probe chain from the merged persisted segments
+    // (the v66 persisted-serving class).
+    "v77_index_merge_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -464,6 +464,42 @@ class Round7bOpsSpec extends SparkSpec {
     assert(out.keySet == gaps.map(_._1).toSet)
   }
 
+  test("t32: df/total_tf/max_tf/burstiness replay from driver-side " +
+    "per-doc term counts, only df >= 10 terms appear") {
+    val out = Queries.t32TermBurstiness(spark, sf).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("total_tf"),
+          r.getAs[Long]("max_tf"), r.getAs[Double]("burstiness")))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("long"), $"text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1).toSeq)
+    val perDoc = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, os) => (t, id, os.size.toLong) }
+    }
+    val expected = perDoc.groupBy(_._1).collect {
+      case (t, rows) if rows.length >= 10 =>
+        val tf = rows.map(_._3)
+        t -> ((rows.length.toLong, tf.sum, tf.max,
+          tf.sum.toDouble / rows.length))
+    }.toMap
+    assert(out == expected)
+    assert(out.nonEmpty)
+  }
+
+  test("v77: segment-merged persisted serving returns exactly v7's " +
+    "rows, twice in a row, and the two halves persist disjoint ids") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist")))
+      .sortBy(t => (t._1, t._2))
+    val live = key(Queries.v7IvfSearch(spark, sf))
+    val p1 = key(Queries.v77IndexMergeServe(spark, sf))
+    val p2 = key(Queries.v77IndexMergeServe(spark, sf))
+    assert(p1.sameElements(live))
+    assert(p2.sameElements(live))
+  }
+
   test("v74: one row per vector, a2 <= b2, sil in [0,1], centroid " +
     "vectors score a2 = 0 and sil = 1, assignment matches v6's " +
     "argmin, and a2/b2 replay from scratch") {
