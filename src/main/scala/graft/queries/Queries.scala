@@ -5373,7 +5373,11 @@ object Queries {
     * (doc_id, n_train_dups, old_split, new_split). Pure rollup of
     * p10's O(leaking pairs) frame — one map-side-combined groupBy. */
   def p11Resplit(s: SparkSession, d: String): DataFrame = {
-    val leaks = p10SplitLeakage(s, d)
+    // localCheckpoint: the leak set is O(leaking pairs) tiny, and both
+    // union branches read it — without the cut the whole p10 MinHash
+    // chain is re-evaluated per branch (measured: 2× the scans in the
+    // plan audit; the v73 pool pattern).
+    val leaks = p10SplitLeakage(s, d).localCheckpoint()
     val movedVal = leaks.filter(col("a_split") === "val")
         .select(col("a_id").as("doc_id"))
       .unionByName(leaks.filter(col("b_split") === "val")
