@@ -4230,6 +4230,31 @@ u AS (SELECT * FROM re WHERE rnk <= 5 UNION ALL SELECT * FROM ri WHERE rnk <= 5)
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist, route
 FROM u""",
 
+    // LSH precision curve: candidates grouped by band-collision count,
+    // verified at Jaccard >= 0.5 via exact cross-multiplication. Reuses
+    // the shared band CTEs; the template's cand/v CTEs go unreferenced.
+    "d25_lsh_precision" -> s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+${minhashPairCtes("d")},
+pc AS (SELECT CAST(x.doc_id AS BIGINT) AS a_id,
+              CAST(y.doc_id AS BIGINT) AS b_id,
+              CAST(count(*) AS BIGINT) AS n_bands
+       FROM bk x JOIN bk y ON x.band_idx = y.band_idx
+        AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+       GROUP BY 1, 2),
+vv AS (SELECT pc.n_bands,
+              CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS inter,
+              CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+                - CAST(len(list_filter(sa.sh, e -> list_contains(sb.sh, e))) AS BIGINT) AS uni
+       FROM pc JOIN s sa ON sa.doc_id = pc.a_id
+               JOIN s sb ON sb.doc_id = pc.b_id)
+SELECT n_bands, CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_verified,
+       CAST(sum(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS precision
+FROM vv GROUP BY 1""",
+
     // Per-term burstiness: df, total/max tf, total_tf/df for df >= 10.
     "t32_term_burstiness" -> """
 WITH u AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

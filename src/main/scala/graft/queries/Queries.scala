@@ -5388,6 +5388,46 @@ object Queries {
         lit("val").as("old_split"), lit("train").as("new_split"))
   }
 
+  /** LSH PRECISION CURVE — the measured S-curve the (bands, rows)
+    * parameters of the whole MinHash family are tuned against: for
+    * each band-collision count b ∈ [1, 4], how many candidate pairs
+    * collided in exactly b bands and how many of them VERIFY at
+    * Jaccard ≥ 0.5. More colliding bands → higher collision
+    * probability under the S-curve 1−(1−j^r)^b → higher precision;
+    * reading this table is how an operator picks banding for a new
+    * corpus instead of trusting the formula. d20 sweeps the VERIFY
+    * threshold; this sweeps the CANDIDATE evidence.
+    *
+    * Scale shape: d2's guarded band index (over-full buckets dropped
+    * before any join), one merge self-join per band bucket, and the
+    * pair rollup is a map-side-combined groupBy over O(candidate)
+    * rows; verification joins shingle sets only for surviving pairs
+    * (candidate-then-verify, d12's contract). The verify predicate is
+    * exact-integer cross-multiplication (2·inter ≥ uni). */
+  def d25LshPrecision(s: SparkSession, d: String): DataFrame = {
+    val bi = Dedup.bandIndex(docs(s, d), "doc_id", "text")
+    val pairs = bi.as("x").join(bi.as("y").hint("merge"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+    val sh = docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
+      shingles(col("text"), 3).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+      .groupBy("n_bands")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("inter") * lit(2L) >= col("uni"), 1L).otherwise(0L))
+          .cast("long").as("n_verified"))
+      .withColumn("precision", col("n_verified") / col("n_candidates"))
+  }
+
   /** SELECTIVITY-ROUTED filtered KNN — the per-request plan choice a
     * filtered-ANN serving layer makes (faiss IDSelector vs probe): each
     * query searches only ITS OWN label class; classes SMALLER than the

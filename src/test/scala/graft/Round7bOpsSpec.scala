@@ -500,6 +500,22 @@ class Round7bOpsSpec extends SparkSpec {
     assert(p2.sameElements(live))
   }
 
+  test("d25: collision counts bounded by the band count, precision = " +
+    "verified/candidates, and the verified total reconciles with d2") {
+    val out = Queries.d25LshPrecision(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_bands"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_verified"), r.getAs[Double]("precision")))
+    assert(out.nonEmpty)
+    out.foreach { case (b, c, v, p) =>
+      assert(b >= 1 && b <= 4)
+      assert(v >= 0 && v <= c)
+      assert(p == v.toDouble / c)
+    }
+    val d2n = Queries.d2MinhashPairs(spark, sf).count()
+    assert(out.map(_._3).sum == d2n,
+      "every d2 pair verifies in exactly one collision-count bucket")
+  }
+
   test("v74: one row per vector, a2 <= b2, sil in [0,1], centroid " +
     "vectors score a2 = 0 and sil = 1, assignment matches v6's " +
     "argmin, and a2/b2 replay from scratch") {
