@@ -29,6 +29,20 @@ object GraftSession {
       // excluding it is semantics-preserving.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // ObjectHashAggregate (every TypedImperativeAggregate: the native
+      // top-k, vector-sum, sketch buffers) falls back to SORT-BASED
+      // aggregation once a partition sees more than this many groups —
+      // default 128. A batch-KNN partial top-k has one group per QUERY
+      // (thousands), so the default silently re-sorted the entire
+      // scored input (O(N log N) + spill-sensitive UnsafeExternalSorter
+      // traffic) instead of O(N) hash updates into bounded buffers.
+      // Measured at the data-bound point: v22 after a 19-key suite
+      // prefix 37 s → 14 s with the raised threshold; solo 16 s → 14 s.
+      // Buffers are bounded (k-element heaps / fixed registers), so
+      // hash-map memory is O(groups·k) — safe at any realistic group
+      // count; a group explosion spills via the hash map's own path.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
 
   /** Local session sized for this container (tests / local runs). */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

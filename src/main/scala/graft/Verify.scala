@@ -17,6 +17,10 @@ object Verify {
       // see GraftSession: re-evaluates generator inputs as pushed filters
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // see GraftSession: >128 groups/partition must not demote the
+      // native top-k/sketch aggregates to sort-based aggregation.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
