@@ -75,7 +75,13 @@ object TextFunctions {
     * projection barrier survives CollapseProject for a singly-referenced
     * alias. Here the hex array is an aggregate input, evaluated once per
     * row by construction. */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.plans.TextExpressions.simhash64(
+      coalesce(distinctTokens(text), array().cast("array<string>")))
+
+  /** Composed-builtin variant of [[simhash64]] (the HOF form the native
+    * kernel replaced; kept for the randomized-equivalence spec). */
+  def simhash64Hof(text: Column): Column = {
     // NULL text folds to an empty token set so the aggregate keeps its
     // all-zero initial votes and the fingerprint stays the documented
     // 64-char zero string (aggregate over NULL would return NULL and

@@ -10,6 +10,28 @@ import org.apache.spark.sql.functions._
 class RandomizedEquivalenceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native simhash64 == composed HOF form on random corpora " +
+    "(unicode, empty, null, single-token, heavy-duplicate texts)") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("the", "café", "δx", "a", "b", "zzz", "東京", "q1")
+    val texts: Seq[String] = Seq(null, "", "a", "the the the") ++
+      (1 to 60).map { _ =>
+        Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = df.select($"id",
+        graft.functions.TextFunctions.simhash64($"text").as("native"),
+        graft.functions.TextFunctions.simhash64Hof($"text").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"id=${r.getLong(0)}: ${r.getString(1)} != ${r.getString(2)}")
+      assert(r.getString(1).length == 64)
+    }
+  }
+
   test("ngramJaccardPairs == naive all-pairs on random hot-vocab corpora") {
     val rnd = new scala.util.Random(7)
     // sweep thresholds whose FP products land exactly ON integers
