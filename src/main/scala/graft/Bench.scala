@@ -34,6 +34,14 @@ object Bench {
       // native top-k/sketch aggregates to sort-based aggregation.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      // The ContextCleaner frees broadcasts/shuffles only when the
+      // DRIVER GCs; a 64 GiB single-JVM suite of ~700 sequential
+      // queries barely GCs the old gen, so executor-side storage fills
+      // with dead broadcasts and random mid-suite keys pay 2-5× in
+      // execution-memory contention (measured: the >2× victim set
+      // wandered between otherwise-identical sweeps). Default interval
+      // is 30 min — longer than the whole suite.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
