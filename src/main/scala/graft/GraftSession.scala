@@ -38,9 +38,16 @@ object GraftSession {
       // traffic) instead of O(N) hash updates into bounded buffers.
       // Measured at the data-bound point: v22 after a 19-key suite
       // prefix 37 s → 14 s with the raised threshold; solo 16 s → 14 s.
-      // Buffers are bounded (k-element heaps / fixed registers), so
-      // hash-map memory is O(groups·k) — safe at any realistic group
-      // count; a group explosion spills via the hash map's own path.
+      // The sort-based fallback IS ObjectHashAggregate's only spill
+      // path — until this threshold trips, every aggregation buffer
+      // stays memory-resident, so memory is bounded only by
+      // groups-per-partition × buffer size. That is safe HERE because
+      // the gated shapes keep group counts structurally small: top-k
+      // groups are per-QUERY (broadcast-sized batch contract, ≤ ~10⁴)
+      // and sketch groups are calendar/source keys (≤ ~10³). A
+      // high-cardinality groupBy over these aggregates (e.g. HLL per
+      // user at 10⁷ users/partition) should scope this back down
+      // per-query rather than inherit the session-wide setting.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
 

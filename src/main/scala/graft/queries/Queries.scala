@@ -270,10 +270,13 @@ object Queries {
     * map-only pass over the gallery after the same broadcast-sized
     * (min,max) stats pass v17 runs — zero joins, one O(1)-row
     * aggregate. Exact-Long headroom: residual < rng ≤ data range, so
-    * per-vector error < 64·rng² (~2·10¹¹ here) and the corpus sum
-    * stays inside Long to ~10⁷ vectors per report partition — at
-    * larger corpora roll up per-shard reports. */
+    * per-vector error < 64·rng² (~2·10¹¹ here) stays Long-exact; the
+    * CORPUS rollup rides Decimal(38,0) ≡ HUGEINT (the t23/e14
+    * pattern — a Long sum would wrap silently past ~4·10⁷ vectors),
+    * cast back to Long at the output where a true overflow turns
+    * loudly null instead of wrapping. */
   def v47Sq8Error(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = emb(s, d).select(col("vec_id").cast("long").as("gid"),
       quantize(col("embedding")).as("v"))
     val stats = g.select(posexplode(col("v")).as(Seq("i", "x")))
@@ -287,9 +290,11 @@ object Queries {
       zip_with(col("v"), mnLit, (x, mn) => (x - mn) * lit(255L)), rgLit,
       (num, rg) => pmod(num, rg))
     g.select(aggregate(resid, lit(0L), (a, b) => a + b * b).as("err"))
-      .agg(count(lit(1)).as("n"), sum("err").cast("long").as("sum_err"),
+      .agg(count(lit(1)).as("n"), sum(col("err").cast(dec)).as("sum_err_d"),
         max("err").as("max_err"))
-      .withColumn("mean_err", col("sum_err") / col("n"))
+      .select(col("n"), col("sum_err_d").cast("long").as("sum_err"),
+        col("max_err"),
+        (col("sum_err_d").cast("long") / col("n")).as("mean_err"))
   }
 
   /** Inter-class centroid margins — per label, the nearest OTHER class
@@ -4064,19 +4069,28 @@ object Queries {
     * float sum neither engine can mirror bit-for-bit). Low Simpson =
     * diverse vocabulary; 1.0 = one token repeated. Two map-side
     * combined aggregates: corpus → (source, term) counts → O(sources)
-    * rows. Long headroom: T(T−1) overflows past ~3·10⁹ tokens per
-    * source — shard the source key before that point. */
-  def t25Simpson(s: SparkSession, d: String): DataFrame =
+    * rows. The Σc(c−1) sum and the T(T−1) denominator both ride
+    * Decimal(38,0) ≡ HUGEINT (the t23/e14 pattern — in Long both wrap
+    * past ~3·10⁹ tokens per source, a real count at 100 TB); rep_pairs
+    * casts back to Long at the output where overflow turns loudly
+    * null, and the Simpson ratio is the same ONE IEEE division of
+    * integer-exact doubles on both engines. */
+  def t25Simpson(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     docs(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("c"))
       .groupBy("source")
       .agg(count(lit(1)).as("vocab"), sum("c").cast("long").as("n_tok"),
-        sum(col("c") * (col("c") - 1)).cast("long").as("rep_pairs"))
-      .withColumn("simpson",
+        sum(col("c").cast(dec) * (col("c") - 1).cast(dec)).as("rep_d"))
+      .select(col("source"), col("vocab"), col("n_tok"),
+        col("rep_d").cast("long").as("rep_pairs"),
         when(col("n_tok") > 1,
-          col("rep_pairs") / (col("n_tok") * (col("n_tok") - 1)))
-          .otherwise(lit(0.0)))
+          col("rep_d").cast("double")
+            / (col("n_tok").cast(dec) * (col("n_tok").cast(dec) - 1))
+              .cast("double"))
+          .otherwise(lit(0.0)).as("simpson"))
+  }
 
   /** Duplicate-trigram fraction per doc — the Gopher/C4 repetition
     * signal t9's modal-token stats don't capture: what share of a
@@ -5067,7 +5081,7 @@ object Queries {
   }
 
   /** NOVEL-query KNN — the reference's actual serving path (app.py:
-    * 91-114: a NEW image is uploaded, embedded, and searched), which
+    * 124-168: a NEW image is uploaded, embedded, and searched), which
     * every other gated search approximates with gallery members as
     * queries. The novel query is the exact floor-midpoint of two
     * gallery vectors (deterministic, index-free: floor((a+b)/2) per
@@ -5309,7 +5323,7 @@ object Queries {
       base.select((col("query_id") + 1000000L).as("query_id"), col("qv")))
       .withColumn("qkey", md5(concat_ws(",", col("qv"))))
     val reps = batch.groupBy("qkey")
-      .agg(min(col("query_id")).as("rep_id"), first(col("qv")).as("qv"))
+      .agg(first(col("qv")).as("qv"))
     val g = e.select(col("vec_id").cast("long").as("neighbor_id"),
       quantize(col("embedding")).as("gv"))
     val scored = g.join(broadcast(reps))
