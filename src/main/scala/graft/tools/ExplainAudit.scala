@@ -111,6 +111,32 @@ object ExplainAudit {
     // (the v66 persisted-serving class).
     "v77_index_merge_serve")
 
+  /** Queries whose PARTITION-LESS windows run over frames bounded by a
+    * VALUE DOMAIN rather than a salted-rank cap — boundedness the
+    * structural rule below cannot see. Each entry names its domain;
+    * anything not listed must satisfy the structural proof (a Limit or
+    * a salted `rk <= k` filter below the window). */
+  private val globalWindowDomainBounded: Set[String] = Set(
+    // cumulative pairs over Jaccard DECILES: groupBy(bucket) with
+    // bucket = (10·inter) div uni ∈ 0..10 — ≤ 11 rows by construction.
+    "d20_threshold_curve",
+    // largest-remainder ranking over O(sources) quota rows.
+    "p6_token_budget",
+    // 7-day moving average over O(days) daily-revenue rows.
+    "q11_moving_avg",
+    // daily z-scores over O(days) rows (calendar-bounded).
+    "e16_spike_days",
+    // e19/e23: two-phase positional quantile selection — the
+    // cumulative window runs over a distinct-VALUE histogram (events
+    // per user / recency days / whole dollars), domains bounded by the
+    // value range, never the user count (the t7 rule).
+    "e19_power_users", "e23_rfm",
+    // WAU lag over O(weeks); growth-accounting lags over O(weeks).
+    "e25_wow_trend", "e29_lifecycle",
+    // two-level sweep line: the only unpartitioned window prefix-sums
+    // per-HOUR nets — O(#hours) rows, 8760/year by construction.
+    "e27_peak_concurrent")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -149,6 +175,89 @@ object ExplainAudit {
               violations ::= s"$name: Window partitioned by " +
                 s"data-sized key '$k' (use groupBy + join-back)")
           case _ => ()
+        }
+        // The q36 rule as a machine gate: a PARTITION-LESS Window sorts
+        // its whole input in ONE task, so it is only legal when that
+        // input is provably bounded. Proof obligations, checked
+        // structurally on the optimized plan below the window: either a
+        // Limit, or a `rank <= k` Filter (k ≤ 1000) where rank is a
+        // row_number over a SALTED window — a partitionSpec that
+        // resolves through the Project chain to pmod(_, lit(S)) with
+        // S ≤ 64 — i.e. phase 1 of the t5/q36 two-phase top-k caps the
+        // global phase at S·k rows. An edit that drops phase 1 (or
+        // un-salts it) now fails the audit instead of silently creating
+        // a single-task global sort.
+        locally {
+          import org.apache.spark.sql.catalyst.expressions.{Alias,
+            Attribute, AttributeReference, Expression, LessThan,
+            LessThanOrEqual, Literal, Pmod, RowNumber, WindowExpression}
+          import org.apache.spark.sql.catalyst.plans.logical.{Filter,
+            GlobalLimit, LocalLimit, LogicalPlan,
+            Window => LogicalWindow}
+          def litVal(e: Expression): Option[Long] = e match {
+            case Literal(v: Int, _) => Some(v.toLong)
+            case Literal(v: Long, _) => Some(v)
+            case _ => None
+          }
+          // alias map of the whole subtree, for chasing _salt → pmod
+          def aliasMap(p: LogicalPlan): Map[Long, Expression] =
+            p.collect { case n => n.expressions.flatMap(_.collect {
+              case a: Alias => a.exprId.id -> a.child }) }
+              .flatten.toMap
+          @scala.annotation.tailrec
+          def resolve(e: Expression, m: Map[Long, Expression],
+                      fuel: Int = 8): Expression = e match {
+            case a: AttributeReference
+              if fuel > 0 && m.contains(a.exprId.id) =>
+              resolve(m(a.exprId.id), m, fuel - 1)
+            case other => other
+          }
+          def saltMod(e: Expression, m: Map[Long, Expression]): Option[Long] =
+            resolve(e, m) match {
+              case Pmod(_, r, _) => litVal(resolve(r, m))
+              case _ => None
+            }
+          // attributes that are row_numbers over a salted (pmod ≤ 64)
+          // window anywhere in the subtree
+          def saltedRankAttrs(p: LogicalPlan): Set[Long] = {
+            val m = aliasMap(p)
+            p.collect { case w: LogicalWindow
+              if w.partitionSpec.nonEmpty &&
+                w.partitionSpec.forall(saltMod(_, m).exists(_ <= 64)) =>
+              w.windowExpressions.collect {
+                case a @ Alias(we: WindowExpression, _)
+                  if we.windowFunction.isInstanceOf[RowNumber] =>
+                  a.exprId.id
+              }
+            }.flatten.toSet
+          }
+          def bounded(p: LogicalPlan): Boolean = {
+            val ranks = saltedRankAttrs(p)
+            def capFilter(cond: Expression): Boolean = cond.collect {
+              case LessThanOrEqual(a: AttributeReference, l)
+                if ranks.contains(a.exprId.id) &&
+                  litVal(l).exists(_ <= 1000L) => true
+              case LessThan(a: AttributeReference, l)
+                if ranks.contains(a.exprId.id) &&
+                  litVal(l).exists(_ <= 1000L) => true
+            }.nonEmpty
+            p.collectFirst {
+              case _: GlobalLimit => true
+              case _: LocalLimit => true
+              case Filter(cond, _) if capFilter(cond) => true
+            }.isDefined
+          }
+          df.queryExecution.optimizedPlan.foreach {
+            case w: LogicalWindow
+              if w.partitionSpec.isEmpty &&
+                !globalWindowDomainBounded.contains(name) =>
+              if (!bounded(w.child))
+                violations ::= s"$name: partition-less Window over an " +
+                  "input not provably bounded (need a Limit or a " +
+                  "salted-rank `rk <= k` filter below — the t5/q36 " +
+                  "two-phase pattern)"
+            case _ => ()
+          }
         }
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -220,6 +329,6 @@ object ExplainAudit {
       sys.exit(1)
     }
     println("\n[audit] PASS: no cartesians, no unexpected BNLJ, " +
-      "bucketed d9 verified")
+      "bucketed d9 verified, global windows bounded")
   }
 }
