@@ -153,6 +153,31 @@ r$r AS (SELECT gid, lab,
         FROM d$r),
 asn$r AS (SELECT gid, lab FROM r$r WHERE rn = 1)"""
 
+  /** One exact Lloyd round on the PQ (subspace, code) grid — v26's
+    * round template keyed by (j, lab): from `pasn${r-1}(gid, j, lab)`
+    * to `pasn$r` via per-(j, lab) (n, HUGEINT sum) over the sliced
+    * state `sv(gid, j, sv)` and the scaled-distance reassignment
+    * `sqrt(A)/(n·scale)` — all 8×16 codebook clusters advance in one
+    * template application, mirroring the Spark side's single shared
+    * pass (see Queries.v78TrainedPq). */
+  private def pqLloydRoundCtes(r: Int): String = s"""
+pcnt$r AS (SELECT j, lab, CAST(count(*) AS BIGINT) AS n
+           FROM pasn${r - 1} GROUP BY 1, 2),
+pcm$r AS (SELECT a.j, a.lab, i, sum(s.sv[CAST(i AS INT)+1]) AS sm
+          FROM pasn${r - 1} a JOIN sv s ON s.gid = a.gid AND s.j = a.j
+          CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2, 3),
+pd$r AS (SELECT s.gid, s.j, m.lab, pcnt$r.n,
+                sum((pcnt$r.n * s.sv[CAST(m.i AS INT)+1] - m.sm)
+                      * (pcnt$r.n * s.sv[CAST(m.i AS INT)+1] - m.sm)) AS a2
+         FROM sv s JOIN pcm$r m ON m.j = s.j
+         JOIN pcnt$r ON pcnt$r.j = m.j AND pcnt$r.lab = m.lab
+         GROUP BY 1, 2, 3, 4),
+pr$r AS (SELECT gid, j, lab,
+                row_number() OVER (PARTITION BY gid, j
+                  ORDER BY sqrt(a2) / CAST(n * $vscale AS DOUBLE), lab) AS rn
+         FROM pd$r),
+pasn$r AS (SELECT gid, j, lab FROM pr$r WHERE rn = 1)"""
+
   /** One greedy MMR step as CTEs: from `sel${t-1}(query_id, pick_rnk,
     * gid, d2)` to `sel$t` by picking, per query, the remaining top-10
     * candidate maximizing the exact-integer objective
@@ -208,6 +233,37 @@ SELECT s3.query_id, s3.cur AS node_id,
        sqrt(${l2sq("gv.v", "q.qv")}) / $vscale.0 AS dist
 FROM s3 JOIN g gv ON gv.gid = s3.cur
 JOIN q ON q.query_id = s3.query_id"""
+
+  /** The ef=4 BEAM-search CTE chain (v28's bucket-blocked graph + 3
+    * unrolled frontier-expansion steps: candidates = DISTINCT(frontier
+    * ∪ neighbors(frontier)), keep the ef best by (d2, nid)), shared by
+    * v79 (the search) and v81 (its recall row) so the walk arithmetic
+    * cannot diverge between them. Exposes `fr3(query_id, nid, d2, rn)`
+    * (the final frontier ranking) and `f3` (its rn ≤ 4 cut). */
+  private def beamSearchCtes: String = s"""
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand),
+e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
+q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0),
+f0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS nid FROM q),
+${(1 to 3).map(i => s"""c$i AS (SELECT DISTINCT query_id, nid FROM (
+         SELECT query_id, nid FROM f${i - 1}
+         UNION ALL
+         SELECT f.query_id, e.dst_id AS nid
+         FROM f${i - 1} f JOIN e ON e.src_id = f.nid) t),
+fr$i AS (SELECT c.query_id, c.nid, ${l2sq("gv.v", "q.qv")} AS d2,
+                row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
+         FROM c$i c JOIN g gv ON gv.gid = c.nid
+         JOIN q ON q.query_id = c.query_id),
+f$i AS (SELECT query_id, nid FROM fr$i WHERE rn <= 4)""").mkString(",\n")}"""
 
   /** LSH sign-bucket expression over a quantized list column: the SAME
     * seed-fixed quantized hyperplanes the Spark side uses
@@ -4379,7 +4435,80 @@ pairs AS (SELECT x.asset_id AS a_id, y.asset_id AS b_id,
 SELECT a_id, b_id, d2, sqrt(d2) / 100.0 AS dist
 FROM pairs WHERE d2 <= 250000""")
 
-  val sql: Map[String, String] = base ++ hllExtra ++ r7bExtra ++ Map(
+  /** Round-8 additions: trained PQ codebooks. */
+  private val r8Extra: Map[String, String] = Map(
+    // Trained-codebook PQ: sliced state → seed books (first-16
+    // sub-slices) → three (j, lab)-keyed Lloyd rounds → grid-floored
+    // trained codebooks → v11's encode/ADC shape against them.
+    "v78_trained_pq" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+jj AS (SELECT unnest(range(8)) AS j),
+sv AS (SELECT gid, j, list_transform(range(8), i -> v[CAST(8*j+i AS INT)+1]) AS sv
+       FROM g CROSS JOIN jj),
+cb0 AS (SELECT j, gid AS cid, sv AS cv FROM sv WHERE gid < 16),
+pasn0 AS (SELECT gid, j, cid AS lab FROM (
+            SELECT s.gid, s.j, c.cid,
+                   row_number() OVER (PARTITION BY s.gid, s.j
+                     ORDER BY ${l2sq("s.sv", "c.cv")}, c.cid) AS rn
+            FROM sv s JOIN cb0 c ON c.j = s.j) WHERE rn = 1),
+${(1 to 3).map(pqLloydRoundCtes).mkString(",\n")},
+tn AS (SELECT j, lab, CAST(count(*) AS BIGINT) AS n FROM pasn3 GROUP BY 1, 2),
+tm AS (SELECT a.j, a.lab, i, sum(s.sv[CAST(i AS INT)+1]) AS sm
+       FROM pasn3 a JOIN sv s ON s.gid = a.gid AND s.j = a.j
+       CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2, 3),
+tcb AS (SELECT m.j, m.lab AS cid,
+               list(CAST(floor(CAST(m.sm AS DOUBLE) / tn.n) AS BIGINT)
+                 ORDER BY i) AS cv
+        FROM tm m JOIN tn ON tn.j = m.j AND tn.lab = m.lab GROUP BY 1, 2),
+enc AS (SELECT gid, j, code FROM (
+          SELECT s.gid, s.j, t.cid AS code,
+                 row_number() OVER (PARTITION BY s.gid, s.j
+                   ORDER BY ${l2sq("s.sv", "t.cv")}, t.cid) AS rn
+          FROM sv s JOIN tcb t ON t.j = s.j) WHERE rn = 1),
+q AS (SELECT gid AS query_id, j, sv AS qsv FROM sv WHERE gid % 100 = 0),
+adc AS (SELECT q.query_id, e.gid,
+               CAST(sum(${l2sq("q.qsv", "t.cv")}) AS BIGINT) AS adc
+        FROM enc e JOIN tcb t ON t.j = e.j AND t.cid = e.code
+        JOIN q ON q.j = e.j
+        GROUP BY 1, 2),
+rk AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+       FROM adc)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
+FROM rk WHERE rnk <= 5""",
+
+    // ef=4 beam search on the persisted graph: the final frontier
+    // ranking, rn ≤ ef.
+    "v79_beam_search" -> s"""
+WITH $beamSearchCtes
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
+       sqrt(d2) / $vscale.0 AS dist
+FROM fr3 WHERE rn <= 4""",
+
+    // Beam recall: the beam's rank-1 endpoint vs the exact top-5, plus
+    // how many final-frontier nodes land in the exact top-5.
+    "v81_beam_recall" -> s"""
+WITH $beamSearchCtes,
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qv")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid, rnk FROM rex WHERE rnk <= 5),
+b1 AS (SELECT query_id, nid FROM fr3 WHERE rn = 1),
+hits AS (SELECT f.query_id, CAST(count(hx.gid) AS BIGINT) AS frontier_hits
+         FROM f3 f LEFT JOIN hx ON hx.query_id = f.query_id
+           AND hx.gid = f.nid
+         GROUP BY 1)
+SELECT b1.query_id, b1.nid AS node_id,
+       CAST(coalesce(h2.rnk, 0) AS BIGINT) AS exact_rank,
+       CAST(CASE WHEN h2.rnk IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_top5,
+       hits.frontier_hits
+FROM b1 LEFT JOIN hx h2 ON h2.query_id = b1.query_id AND h2.gid = b1.nid
+JOIN hits ON hits.query_id = b1.query_id""")
+
+  val sql: Map[String, String] = base ++ hllExtra ++ r7bExtra ++ r8Extra ++ Map(
     // persisted-index serving twins: identical math (and therefore
     // identical oracle SQL) to the rebuild-shape keys — the gate checks
     // that the persisted layouts round-trip the index bit-exactly.
@@ -4387,5 +4516,9 @@ FROM pairs WHERE d2 <= 250000""")
     "v67_ivfpq_search_persisted" -> base("v13_ivfpq_search"),
     // segment-merge serving: two persisted half-indexes unioned at
     // serve time — bit-transparent, so v7's oracle verbatim.
-    "v77_index_merge_serve" -> base("v7_ivf_search"))
+    "v77_index_merge_serve" -> base("v7_ivf_search"),
+    // incremental graph upsert: merged (stored base top-3 + localized
+    // batch repair) must equal the graph REBUILT on the union corpus —
+    // v28's full-corpus oracle verbatim is the gate for that claim.
+    "v80_graph_upsert" -> base("v28_knn_graph"))
 }

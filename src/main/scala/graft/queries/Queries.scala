@@ -751,6 +751,92 @@ object Queries {
         (col("dist") / lit(10000.0)).as("dist"))
   }
 
+  /** TRAINED-codebook PQ search — closes the train-vs-seed fidelity
+    * gap to faiss `index_factory("PQx")` for the PURE PQ index the way
+    * v65/v68 close it for IVF/IVFPQ (faiss trains per-subspace
+    * codebooks with k-means, the scale path of faiss_utils.py:4-22;
+    * v11 searches SEEDED books). Each subspace's ksub=16 codebook
+    * trains with three exact Lloyd rounds — v26's (n, Σ)-carried
+    * scaled-distance arithmetic applied to the (subspace, code) grid,
+    * so all 8×16 clusters train in ONE shared pass over the sliced
+    * state, never 8 serial jobs — then the converged means are
+    * FLOORED onto the fixed-point grid (v68's trick: one
+    * deterministic IEEE division + floor per dim, identical on both
+    * engines) and v11's encode/ADC chain runs verbatim against the
+    * trained books.
+    *
+    * Scale shape: each round collects only the O(m·ksub·sub) (n, Σ)
+    * table (1,024 longs) and reassigns MAP-ONLY via per-subspace
+    * literal argmins over the sliced state (8 dim-8 rows per vector —
+    * the same bytes as the gallery, shuffled once by the (lab, dim)
+    * aggregate per round); encode is map-only; the only O(Q) exchange
+    * is the ADC partial top-k. */
+  def v78TrainedPq(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64; val sub = dim / m; val ksub = 16
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      quantize(col("embedding")).as("qv"))
+    val sliced = g.select(col("id"), posexplode(
+        array((0 until m).map(j =>
+          slice(col("qv"), j * sub + 1, sub)).toIndexedSeq: _*))
+        .as(Seq("j", "sv")))
+    // seed books: sub-slices of the first ksub vectors (v11's
+    // derive-from-data rule) — broadcast-sized, collected once
+    val seeds: Array[Array[Long]] = g.filter(col("id") < ksub)
+      .select(col("id"), col("qv")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    def seedCands(j: Int): Seq[Column] =
+      (0 until ksub).map { cid =>
+        val cv = array(seeds(cid).slice(j * sub, (j + 1) * sub)
+          .map(lit(_)).toIndexedSeq: _*)
+        struct(intL2Sq(col("sv"), cv).cast("double").as("dist"),
+          lit(cid.toLong).as("cid"))
+      }
+    // per-subspace literal argmin: the row's j picks its candidate set
+    def assign(cands: Int => Seq[Column]): Column =
+      coalesce((0 until m).map(j =>
+        when(col("j") === j,
+          array_min(array(cands(j): _*)).getField("cid")))
+        .toIndexedSeq: _*)
+    def gridSums(cur: DataFrame): Array[(Long, Long, Array[Long])] =
+      Centroids.classSums(
+        cur.select((col("j") * ksub + col("c")).as("lab"), col("sv")),
+        "lab", "sv")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+        .sortBy(_._1)
+    var cur = sliced.withColumn("c", assign(seedCands))
+    for (_ <- 1 to 3) {
+      val sums = gridSums(cur)
+      def roundCands(j: Int): Seq[Column] =
+        sums.filter(_._1 / ksub == j).toIndexedSeq.map {
+          case (lab, n, svec) =>
+            val sLit = array(svec.map(lit(_)).toIndexedSeq: _*)
+            val a2 = aggregate(
+              zip_with(col("sv"), sLit, (qi, si) => {
+                val diff = lit(n).cast(dec) * qi.cast(dec) - si.cast(dec)
+                diff * diff
+              }),
+              lit(0L).cast(dec), (acc, x) => acc + x)
+            struct((sqrt(a2) / lit(n * DefaultScale.toLong).cast("double"))
+              .as("dist"), lit(lab % ksub).as("cid"))
+        }
+      cur = cur.withColumn("c", assign(roundCands)).localCheckpoint(false)
+    }
+    val book = gridSums(cur).toIndexedSeq.map { case (lab, n, svec) =>
+      PqIndex.Codebook((lab / ksub).toInt, (lab % ksub).toInt,
+        svec.toIndexedSeq.map(si => math.floor(si.toDouble / n)))
+    }
+    val gd = g.select(col("id"),
+      transform(col("qv"), x => x.cast("double")).as("qemb"))
+    val codes = PqIndex.encode(gd, "id", "qemb", dim, m, book)
+    PqIndex.searchAdc(codes, gd.filter(col("id") % 100 === 0), "id",
+      "qemb", dim, m, book, k = 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
   /** Per-cluster membership stats of the LAST round: size after, and
     * how many members kept their previous assignment. */
   private def lloydStats(last: DataFrame): DataFrame =
@@ -4827,6 +4913,124 @@ object Queries {
       .select(col("query_id"), col("cur").as("node_id"),
         distFromIntSq(intL2Sq(col("nv"), col("query_v")).cast("double"))
           .as("dist"))
+  }
+
+  /** BEAM graph search (ef=4) over the persisted KNN graph — the HNSW
+    * ef-search shape (Malkov & Yashunin '16) that v57's greedy width-1
+    * walk approximates: each step expands the WHOLE frontier (current
+    * ef nodes ∪ all their neighbors), dedups, and keeps the ef best by
+    * (d2, id). The frontier's own members stay in the candidate set,
+    * so the best-so-far distance is monotone non-increasing like v57 —
+    * but ef·k candidates per step escape the local minima the greedy
+    * walk stalls in (v81 gates the measured recall gain at equal
+    * steps). Served from the persisted edge store (v64's shape): zero
+    * build cost per batch; each step broadcasts the O(Q·ef) frontier
+    * against the streaming bucketed edge scan, the candidate dedup and
+    * top-ef are O(Q·ef·k) frames, and the vector fetches join BY ID —
+    * a query batch costs O(steps·Q·ef·k) distance evals, independent
+    * of N. Output: the final ranked frontier (the top-ef the serving
+    * layer would re-rank or return). */
+  def v79BeamSearch(s: SparkSession, d: String): DataFrame = {
+    val ef = 4
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val edges = persistedKnnEdges(s, d)
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    val entry = vec.agg(min("id").as("nid"))
+    var frontier = q.select(col("query_id")).crossJoin(entry)
+    var ranked: DataFrame = null
+    for (_ <- 1 to 3) {
+      val cand = frontier
+        .unionAll(broadcast(frontier)
+          .join(edges, col("nid") === col("src_id"))
+          .select(col("query_id"), col("dst_id").as("nid")))
+        .distinct()
+      val scored = cand
+        .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+      // checkpoint the O(Q·ef) frontier per step: cand references the
+      // frontier TWICE (union + edge join), so without truncation the
+      // plan doubles per step (v26's localCheckpoint rationale applied
+      // to the walk state; v73's greedy-step precedent)
+      ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
+        ascending = true).localCheckpoint(false)
+      frontier = ranked.select(col("query_id"), col("nid"))
+    }
+    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+      distFromIntSq(col("d2")).as("dist"))
+  }
+
+  /** Beam-search quality eval — v61's recall row for v79: per query,
+    * the beam's rank-1 endpoint against the exact top-5 (node, exact
+    * rank, hit flag) PLUS how many of the final ef-frontier nodes land
+    * in the exact top-5. Read next to v61 at equal steps: the delta is
+    * what the ef=4 frontier buys over the greedy walk (the spec
+    * asserts beam recall ≥ greedy recall — beam candidates are a
+    * superset at every step). Both inputs gated O(Q·k) frames →
+    * broadcast join + tiny aggregate. */
+  def v81BeamRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d)
+      .select(col("query_id").as("qx"),
+        col("rnk").cast("long").as("exact_rnk"), col("neighbor_id"))
+    val beam = v79BeamSearch(s, d).localCheckpoint(false)
+    val joined = beam.join(broadcast(exact),
+      col("query_id") === col("qx") &&
+        col("node_id") === col("neighbor_id"), "left")
+    val hits = joined.groupBy("query_id")
+      .agg(sum(when(col("exact_rnk").isNotNull, 1L).otherwise(0L))
+        .as("frontier_hits"))
+    joined.filter(col("rnk") === 1)
+      .select(col("query_id"), col("node_id"),
+        coalesce(col("exact_rnk"), lit(0L)).as("exact_rank"),
+        when(col("exact_rnk").isNotNull, 1L).otherwise(0L).as("in_top5"))
+      .join(hits, "query_id")
+  }
+
+  /** INCREMENTAL graph maintenance — v27's persisted-upsert recipe
+    * applied to the KNN graph (the index family where a full rebuild
+    * hurts most: the graph build is the O(N·k) cost every other graph
+    * key amortizes away). The base corpus's edge list persists ONCE
+    * (WITH distances — the repair needs them); an arriving batch
+    * (vec_id % 4 = 0, the d9/v27 split) then pays only (a) its OWN
+    * bucket-blocked edges against the union corpus and (b) a LOCALIZED
+    * repair of base nodes: merge each base node's stored top-3 with
+    * its batch bucket-mates and re-rank. This is EXACT, not an
+    * approximation: removing non-top-3 base mates cannot change the
+    * top-3 of the union, so merged ≡ rebuilt-on-union (the spec proves
+    * it; the oracle IS v28's full-corpus SQL). Untouched base nodes
+    * flow through unchanged (their stored ≤3 edges re-rank to
+    * themselves). At 100 TB: batch work is O(batch · bucket), repair
+    * fanout is bucket-bounded, and the base corpus is never
+    * re-scanned — the stored edges stream from the bucketed store. */
+  def v80GraphUpsert(s: SparkSession, d: String): DataFrame = {
+    val v = bucketedVecs(s, d)
+    val base = v.filter(col("id") % 4 =!= 0)
+    val batch = v.filter(col("id") % 4 === 0)
+    // fingerprint suffix: regenerated embeddings ⇒ fresh edge store
+    val table = "graft_knn_base_edges_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
+    val stored = graft.sources.BucketedStore.ensure(s, table,
+      knnGraphRanked(base).select(col("src_id"), col("dst_id"), col("d2")),
+      "src_id", numBuckets = 32)
+    // batch-side edges: batch sources against ALL same-bucket mates
+    val batchCand = batch.as("x").join(v.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src_id"), col("y.id").as("dst_id"),
+        intL2Sq(col("x.qv"), col("y.qv")).cast("double").as("d2"))
+    // localized repair: base sources against same-bucket BATCH mates
+    // only — never base × base again
+    val repairCand = base.as("x").join(batch.as("y"),
+        col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("src_id"), col("y.id").as("dst_id"),
+        intL2Sq(col("x.qv"), col("y.qv")).cast("double").as("d2"))
+    TopK.perGroup(
+      stored.unionByName(repairCand).unionByName(batchCand),
+      "src_id", "dst_id", "d2", k = 3, ascending = true)
+      .select(col("src_id"), col("rnk"), col("dst_id"),
+        distFromIntSq(col("d2")).as("dist"))
   }
 
   /** Shard-balance audit — v37's imbalance factor applied to m3's

@@ -467,6 +467,80 @@ object StreamingOps {
         distFromIntSq(col("d2"), scale).as("dist"))
   }
 
+  /** Continuous SEGMENT-MERGE serving (streaming twin of the gated
+    * v77 — faiss `merge_from` under Structured Streaming): the query
+    * stream probes the UNION of persisted per-snapshot index segments.
+    * The union precedes the stream-static centroid_id join, so probe
+    * pruning holds per segment (each segment is centroid-partitioned
+    * and only probed lists' rows match) and the result is bit-equal to
+    * [[ivfServeStream]] over the compacted index — a rolling build can
+    * add a segment between micro-batches without a restart, and
+    * compaction is invisible to serving. */
+  def ivfServeSegments(queries: DataFrame, segments: Seq[DataFrame],
+                       centroids: Array[(Long, Array[Long])],
+                       qidCol: String, vecCol: String,
+                       k: Int, nprobe: Int,
+                       scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
+    require(segments.nonEmpty, "ivfServeSegments: no index segments")
+    ivfServeStream(queries, segments.reduce(_ unionByName _), centroids,
+      qidCol, vecCol, k, nprobe, scale)
+  }
+
+  /** Per-micro-batch SELECTIVITY-ROUTED filtered KNN (streaming twin
+    * of the gated v76): run from `writeStream.foreachBatch` — the two
+    * independent branch rankings plus the union need more stateful
+    * operators than one continuous query supports (the v63/v75
+    * foreachBatch precedent). Statics persist across batches: `g` the
+    * labeled ASSIGNED gallery (neighbor_id, glab, gv, centroid_id —
+    * the assignment is part of the persisted index, not per-batch
+    * work), `route` the O(classes) (lab, route) decision table, and
+    * `centroids` the literal probe table. Routing, both branches, and
+    * the bounded top-k are v76's arithmetic exactly, and every request
+    * routes independently, so ANY partitioning of queries across
+    * micro-batches unions to the gated v76 rows. Stateless: no
+    * watermark state to size. */
+  def routeServeBatch(queryBatch: DataFrame, g: DataFrame,
+                      route: DataFrame,
+                      centroids: Array[(Long, Array[Long])],
+                      k: Int = 5, nprobe: Int = 2,
+                      scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
+    import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
+    val qr = queryBatch
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("label").cast("long").as("qlab"),
+        quantize(col("embedding"), scale).as("qv"))
+      .join(broadcast(route), col("qlab") === col("lab")).drop("lab")
+    // exact branch: same-class brute force via broadcast queries
+    val qe = qr.filter(col("route") === "exact")
+    val candE = g.join(broadcast(qe), col("glab") === col("qlab"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    val hitsE = graft.operators.TopK.perGroup(candE, "query_id",
+      "neighbor_id", "d2", k, ascending = true)
+      .withColumn("route", lit("exact"))
+    // ivf branch: literal-folded probe routing (the ivfServeStream
+    // shape — same (d2, cid) order as v76's centroid KNN) + the class
+    // equality folded into the index join
+    val qi = qr.filter(col("route") === "ivf")
+    val cands = centroids.toIndexedSeq.map { case (cid, cv) =>
+      struct(intL2Sq(col("qv"), array(cv.map(lit).toIndexedSeq: _*))
+        .as("d2"), lit(cid).as("cid"))
+    }
+    val probeQ = qi.withColumn("pcid", explode(transform(
+      slice(array_sort(array(cands: _*)), 1, nprobe),
+      s => s.getField("cid"))))
+    val candI = g.join(broadcast(probeQ),
+        g("centroid_id") === probeQ("pcid") && g("glab") === probeQ("qlab"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).cast("double").as("d2"))
+    val hitsI = graft.operators.TopK.perGroup(candI, "query_id",
+      "neighbor_id", "d2", k, ascending = true)
+      .withColumn("route", lit("ivf"))
+    hitsE.unionByName(hitsI)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        distFromIntSq(col("d2"), scale).as("dist"), col("route"))
+  }
+
   /** Continuous asset near-dup admission (streaming twin of the gated
     * m14): arriving DECODED assets — the stream enters AFTER m2's
     * decode boundary, where a real image embedding plugs in — are

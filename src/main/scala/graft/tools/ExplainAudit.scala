@@ -109,7 +109,13 @@ object ExplainAudit {
     "v76_selectivity_route",
     // v77 serves v7's probe chain from the merged persisted segments
     // (the v66 persisted-serving class).
-    "v77_index_merge_serve")
+    "v77_index_merge_serve",
+    // v78 is v11's broadcast ADC-table crossjoin against the codes
+    // scan (the batch-KNN class, trained books).
+    "v78_trained_pq",
+    // v79's walk entry node is a 1-row scalar crossjoin (v57's class);
+    // v81 composes v79's walk and v1's exact chain (the v61 class).
+    "v79_beam_search", "v81_beam_recall")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

@@ -601,4 +601,111 @@ class StreamingSpec extends SparkSpec {
       assert(usedGot == usedGate)
     } finally q.stop()
   }
+
+  test("ivfServeSegments: streaming over two persisted half-index " +
+    "segments equals batch search over the compacted index, across " +
+    "two micro-batches (the gated v77 under streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val gallery = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(200)
+    val cents = gallery.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding")
+    def half(par: Int): String = {
+      val path = s"/tmp/graft_test_seg_${par}_${System.nanoTime()}"
+      graft.operators.IvfIndex.save(graft.operators.IvfIndex.assign(
+        gallery.filter($"vec_id" % 2 === par), cents,
+        "vec_id", "embedding", "cid"), path)
+      path
+    }
+    val segs = Seq(half(0), half(1))
+      .map(graft.operators.IvfIndex.load(spark, _))
+    val centArr = cents
+      .select($"cid".cast("long"),
+        graft.functions.VectorFunctions.quantize($"embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val qRows = gallery.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".cast("long"), $"embedding").as[(Long, Seq[Double])]
+      .collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.ivfServeSegments(
+        mem.toDF().toDF("vec_id", "embedding"), segs, centArr,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("seg_serve").start()
+    try {
+      mem.addData(qRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(qRows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("seg_serve")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      val compacted = graft.operators.IvfIndex.assign(
+        gallery, cents, "vec_id", "embedding", "cid")
+      val batch = graft.operators.IvfIndex.search(compacted, cents,
+          qRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          "cid", "vec_id", k = 3, nprobe = 2)
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(got === batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("routeServeBatch via foreachBatch: queries split across two " +
+    "micro-batches union to exactly the gated v76 rows (routes, both " +
+    "branches, ranks, distances)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.{intL2Sq, quantize}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sizes = e.groupBy($"label".cast("long").as("lab"))
+      .agg(count(lit(1)).as("n_class"))
+    val tot = e.agg(count(lit(1)).as("n_total"),
+      countDistinct($"label").as("n_classes"))
+    val route = sizes.crossJoin(broadcast(tot))
+      .select($"lab",
+        when($"n_class" * $"n_classes" > $"n_total", lit("ivf"))
+          .otherwise(lit("exact")).as("route"))
+    val centArr = e.filter($"vec_id" < 10)
+      .select($"vec_id".cast("long"), quantize($"embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val centCands = centArr.toIndexedSeq.map { case (cid, cv) =>
+      struct(intL2Sq($"gv", array(cv.map(lit).toIndexedSeq: _*))
+        .as("d2"), lit(cid).as("cid"))
+    }
+    val g = e.select($"vec_id".cast("long").as("neighbor_id"),
+        $"label".cast("long").as("glab"),
+        quantize($"embedding").as("gv"))
+      .withColumn("centroid_id",
+        array_min(array(centCands: _*)).getField("cid"))
+      .localCheckpoint()
+    val qRows = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".cast("long"), $"label".cast("long"),
+        $"embedding".cast("array<double>"))
+      .as[(Long, Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Long, Seq[Double])]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, String)]
+    mem.addData(qRows.take(2): _*)
+    val q = mem.toDF().toDF("vec_id", "label", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= StreamingOps.routeServeBatch(b, g, route, centArr)
+            .as[(Long, Long, Long, Double, String)].collect()
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      mem.addData(qRows.drop(2): _*)
+      q.processAllAvailable()
+      val expected = graft.queries.Queries.v76SelectivityRoute(spark, sf)
+        .as[(Long, Long, Long, Double, String)].collect().toSet
+      assert(buf.toSet == expected && expected.nonEmpty)
+      // both routes must actually exercise (the split is the point)
+      assert(buf.map(_._5).toSet == Set("exact", "ivf"))
+    } finally q.stop()
+  }
 }
