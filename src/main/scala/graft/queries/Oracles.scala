@@ -25,6 +25,35 @@ object Oracles {
   private def idot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1])) AS BIGINT)"
 
+  /** CTEs g/mm/mma/enc — gallery → per-dim (min,max) stats →
+    * `levels`-scaled integer codes by exact floor division (operands
+    * non-negative, so `//` matches Spark's truncating div). Shared by
+    * the SQ8 (255) and SQ4 (15) twins so the quantizer arithmetic is
+    * one definition. */
+  private def sqEncCtes(levels: Int): String = s"""
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+mm AS (SELECT i, CAST(min(v[CAST(i AS INT)+1]) AS BIGINT) AS mn,
+               CAST(max(v[CAST(i AS INT)+1]) AS BIGINT) AS mx
+       FROM g CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1),
+mma AS (SELECT list(mn ORDER BY i) AS mns,
+               list(greatest(mx - mn, 1) ORDER BY i) AS rgs FROM mm),
+enc AS (SELECT gid, list_transform(range(64),
+              i -> ((v[i+1] - mns[i+1]) * $levels) // rgs[i+1]) AS cv
+        FROM g CROSS JOIN mma)"""
+
+  /** Scalar-quantizer code-space KNN (v17 = 255 levels, v82 = 15):
+    * exact integer L2 on the codes, top-5 per query. */
+  private def sqKnnSql(levels: Int): String = s"""
+WITH ${sqEncCtes(levels)},
+q AS (SELECT gid AS query_id, cv AS qcv FROM enc WHERE gid % 100 = 0),
+d AS (SELECT query_id, gid, ${l2sq("cv", "qcv")} AS d2c
+      FROM enc CROSS JOIN q),
+r AS (SELECT query_id, gid, d2c,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2c, gid) AS rnk
+      FROM d)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2c) AS dist
+FROM r WHERE rnk <= 5"""
+
   /** Distinct word n-gram shingles of `toks` (empty if too short). */
   private def shingleSql(toks: String, n: Int): String = {
     val joined = (1 to n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
@@ -659,24 +688,7 @@ FROM rr WHERE rnk <= 5""",
     // SQ8: per-dim (min,max) over the gallery, 8-bit codes by exact
     // floor division (operands non-negative, so // matches Spark's
     // truncating div), exact integer code-space L2.
-    "v17_sq8_knn" -> s"""
-WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
-mm AS (SELECT i, CAST(min(v[CAST(i AS INT)+1]) AS BIGINT) AS mn,
-               CAST(max(v[CAST(i AS INT)+1]) AS BIGINT) AS mx
-       FROM g CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1),
-mma AS (SELECT list(mn ORDER BY i) AS mns,
-               list(greatest(mx - mn, 1) ORDER BY i) AS rgs FROM mm),
-enc AS (SELECT gid, list_transform(range(64),
-              i -> ((v[i+1] - mns[i+1]) * 255) // rgs[i+1]) AS cv
-        FROM g CROSS JOIN mma),
-q AS (SELECT gid AS query_id, cv AS qcv FROM enc WHERE gid % 100 = 0),
-d AS (SELECT query_id, gid, ${l2sq("cv", "qcv")} AS d2c
-      FROM enc CROSS JOIN q),
-r AS (SELECT query_id, gid, d2c,
-             row_number() OVER (PARTITION BY query_id ORDER BY d2c, gid) AS rnk
-      FROM d)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2c) AS dist
-FROM r WHERE rnk <= 5""",
+    "v17_sq8_knn" -> sqKnnSql(255),
 
     "v13_ivfpq_search" -> s"""
 WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
@@ -4506,7 +4518,86 @@ SELECT b1.query_id, b1.nid AS node_id,
          AS in_top5,
        hits.frontier_hits
 FROM b1 LEFT JOIN hx h2 ON h2.query_id = b1.query_id AND h2.gid = b1.nid
-JOIN hits ON hits.query_id = b1.query_id""")
+JOIN hits ON hits.query_id = b1.query_id""",
+
+    // SQ4: v17's quantizer at 15 levels — shared sqKnnSql definition.
+    "v82_sq4_knn" -> sqKnnSql(15),
+
+    // SQ4 recall: the 4-bit code ranking vs v1's exact top-5.
+    "v83_sq4_recall" -> s"""
+WITH ${sqEncCtes(15)},
+qc AS (SELECT gid AS query_id, cv AS qcv FROM enc WHERE gid % 100 = 0),
+dc AS (SELECT query_id, gid, ${l2sq("cv", "qcv")} AS d2c
+       FROM enc CROSS JOIN qc),
+rc AS (SELECT query_id, gid,
+              row_number() OVER (PARTITION BY query_id ORDER BY d2c, gid) AS rnk
+       FROM dc),
+ha AS (SELECT query_id, gid FROM rc WHERE rnk <= 5),
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+
+    // Oversampled maximin (k-means||-style): round 0 = the anchor
+    // seed, rounds 1-2 each keep the top-4 by min-distance-to-chosen
+    // (desc, ties to min vec_id) — the Spark driver loop's two
+    // TakeOrdered-4 collects unrolled into chained CTEs. Chosen points
+    // are not excluded (md = 0 ranks them last); both engines rank the
+    // identical set.
+    "v84_oversampled_maximin" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, ${qv("embedding")} AS v
+           FROM embeddings),
+s0 AS (SELECT vec_id, v FROM g ORDER BY vec_id LIMIT 1),
+c1 AS (SELECT g.vec_id, g.v, ${l2sq("g.v", "s0.v")} AS md FROM g, s0),
+p1 AS (SELECT vec_id, v, md, rn FROM (
+         SELECT vec_id, v, md,
+                row_number() OVER (ORDER BY md DESC, vec_id) AS rn
+         FROM c1) WHERE rn <= 4),
+ch1 AS (SELECT v FROM s0 UNION ALL SELECT v FROM p1),
+c2 AS (SELECT g.vec_id, min(${l2sq("g.v", "ch.v")}) AS md
+       FROM g CROSS JOIN ch1 ch GROUP BY 1),
+p2 AS (SELECT vec_id, md, rn FROM (
+         SELECT vec_id, md,
+                row_number() OVER (ORDER BY md DESC, vec_id) AS rn
+         FROM c2) WHERE rn <= 4)
+SELECT CAST(0 AS BIGINT) AS round, CAST(1 AS BIGINT) AS pick_rnk,
+       vec_id, CAST(0 AS BIGINT) AS md FROM s0
+UNION ALL SELECT 1, rn, vec_id, CAST(md AS BIGINT) FROM p1
+UNION ALL SELECT 2, rn, vec_id, CAST(md AS BIGINT) FROM p2""",
+
+    // Filtered beam search: v79's walk verbatim (shared CTEs), the
+    // visited pool = entry ∪ every step's candidate set, predicate +
+    // final top-3 rank applied to the pool (navigate-then-filter).
+    "v85_filtered_beam" -> s"""
+WITH $beamSearchCtes,
+vis AS (SELECT DISTINCT query_id, nid FROM (
+          SELECT query_id, nid FROM f0
+          UNION ALL SELECT query_id, nid FROM c1
+          UNION ALL SELECT query_id, nid FROM c2
+          UNION ALL SELECT query_id, nid FROM c3) t),
+alw AS (SELECT CAST(vec_id AS BIGINT) AS nid FROM embeddings
+        WHERE label % 3 = 0),
+fsc AS (SELECT v2.query_id, v2.nid, ${l2sq("gv.v", "q.qv")} AS d2
+        FROM vis v2 JOIN alw ON alw.nid = v2.nid
+        JOIN g gv ON gv.gid = v2.nid
+        JOIN q ON q.query_id = v2.query_id),
+frk AS (SELECT query_id, nid, d2,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY d2, nid) AS rn
+        FROM fsc)
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
+       sqrt(d2) / $vscale.0 AS dist
+FROM frk WHERE rn <= 3""")
 
   val sql: Map[String, String] = base ++ hllExtra ++ r7bExtra ++ r8Extra ++ Map(
     // persisted-index serving twins: identical math (and therefore

@@ -156,6 +156,41 @@ object Queries {
       .toDF("seed_rank", "vec_id", "d2")
   }
 
+  /** OVERSAMPLED maximin seeding — the k-means|| answer (Bahmani et
+    * al., VLDB'12) to v41's inherent serialism: instead of k rounds
+    * each collecting ONE farthest point, each round keeps the TOP-ℓ=4
+    * by min-distance-to-chosen (desc, ties to min vec_id), so an
+    * equal-size seed pool costs k/ℓ driver round-trips. The ℓ picks
+    * within a round don't see each other (exactly the oversampling
+    * trade the paper makes — slightly less diverse per pick, ℓ× fewer
+    * sequential barriers); at 100 TB each round is still ONE map-only
+    * pass (chosen seeds ride as literal arrays, never a join) into a
+    * TakeOrdered-4 reduce. Output: (round, pick_rnk, vec_id, md) — the
+    * round-0 row is the anchor seed, rounds 1-2 the two oversampled
+    * batches. Chosen points are NOT excluded from later rounds: their
+    * md is 0, so they rank last unless the corpus holds exact
+    * duplicates — and the oracle ranks the identical set, so the two
+    * engines agree regardless. */
+  def v84OversampledMaximin(s: SparkSession, d: String): DataFrame = {
+    val ell = 4
+    val e = emb(s, d).select(col("vec_id").cast("long").as("vec_id"),
+      quantize(col("embedding")).as("qv"))
+    val first = e.orderBy(col("vec_id")).limit(1).collect()(0)
+    var chosen = Vector(first.getSeq[Long](1))
+    var rows = Vector((0L, 1L, first.getLong(0), 0L))
+    for (r <- 1 to 2) {
+      val minD = chosen.map(sv => intL2Sq(col("qv"), typedLit(sv)))
+        .reduce(least(_, _))
+      val batch = e.select(col("vec_id"), col("qv"), minD.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(ell).collect()
+      rows = rows ++ batch.zipWithIndex.map { case (row, i) =>
+        (r.toLong, i + 1L, row.getLong(0), row.getLong(2)) }
+      chosen = chosen ++ batch.map(_.getSeq[Long](1))
+    }
+    import s.implicits._
+    rows.toDF("round", "pick_rnk", "vec_id", "md")
+  }
+
   /** Rocchio pseudo-relevance feedback (query expansion): each query is
     * replaced by itself plus its v1 top-5 neighbors and re-searched.
     * The expanded vector is the exact INTEGER SUM e = q + Σnᵢ (six
@@ -430,7 +465,24 @@ object Queries {
     * same broadcast × partial-top-k kernel as v1. 4× smaller scan than
     * raw fixed-point vectors at 100 TB, no index build beyond the stats
     * pass. */
-  def v17Sq8Knn(s: SparkSession, d: String): DataFrame = {
+  def v17Sq8Knn(s: SparkSession, d: String): DataFrame =
+    sqKnn(s, d, levels = 255L)
+
+  /** SQ4 search — v17 at 4 bits/dim (faiss `QT_4bit`): the SAME stats
+    * pass and code-space kernel, 16 levels instead of 256, so the scan
+    * reads HALF the code bytes of SQ8 (a nibble/dim packs 32 B/vector
+    * at dim 64 — 8× smaller than raw fixed-point). The recall price of
+    * the coarser grid is gated next to it (v83, the v60-style row), so
+    * the byte-budget/recall trade is a measured pair, not a guess —
+    * the ladder a 100 TB deployment actually walks when the SQ8 scan
+    * is still memory-bound. */
+  def v82Sq4Knn(s: SparkSession, d: String): DataFrame =
+    sqKnn(s, d, levels = 15L)
+
+  /** Shared scalar-quantizer search (v17 = 255 levels, v82 = 15): one
+    * definition so the two gates cannot diverge in stats or encode
+    * arithmetic. */
+  private def sqKnn(s: SparkSession, d: String, levels: Long): DataFrame = {
     val e = emb(s, d)
     val g = e.select(col("vec_id").cast("long").as("gid"),
       quantize(col("embedding")).as("v"))
@@ -442,12 +494,12 @@ object Queries {
     val rngs = stats.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
     val mnLit = array(mns.map(lit(_)).toIndexedSeq: _*)
     val rgLit = array(rngs.map(lit(_)).toIndexedSeq: _*)
-    // code_i = ((x_i - mn_i) * 255) div rng_i. num - (num mod rng) is an
-    // exact multiple of rng, so the double division is exact before the
-    // long cast (num <= ~5.1e6 << 2^53); matches DuckDB's `//` on the
-    // same non-negative operands.
+    // code_i = ((x_i - mn_i) * levels) div rng_i. num - (num mod rng) is
+    // an exact multiple of rng, so the double division is exact before
+    // the long cast (num <= ~5.1e6 << 2^53); matches DuckDB's `//` on
+    // the same non-negative operands.
     def encode(vc: Column): Column = zip_with(
-      zip_with(vc, mnLit, (x, mn) => (x - mn) * lit(255L)), rgLit,
+      zip_with(vc, mnLit, (x, mn) => (x - mn) * lit(levels)), rgLit,
       (num, rg) => ((num - pmod(num, rg)) / rg).cast("long"))
     val coded = g.select(col("gid"), encode(col("v")).as("cv"))
     // codes are already integers — knnL2Pre scans them directly instead
@@ -4567,6 +4619,24 @@ object Queries {
         (col("n_hit") / col("k")).as("recall_at_5"))
   }
 
+  /** SQ4 recall — v60's row for the 4-bit quantizer (v82): exact top-5
+    * vs the nibble-code ranking. Read the (v60, v83) pair as the
+    * measured recall price of halving the code bytes — same broadcast
+    * join + tiny aggregate shape as v60. */
+  def v83Sq4Recall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v82Sq4Knn(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"), col("k"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   /** Graph-search quality eval — does v57's 3-step greedy walk land
     * inside the exact top-5? The recall row for the graph path
     * (completing the eval matrix: flat v20, PQ v36, IVF v39, binary
@@ -4987,6 +5057,60 @@ object Queries {
         coalesce(col("exact_rnk"), lit(0L)).as("exact_rank"),
         when(col("exact_rnk").isNotNull, 1L).otherwise(0L).as("in_top5"))
       .join(hits, "query_id")
+  }
+
+  /** FILTERED beam search — the metadata-predicate variant of v79
+    * (label % 3 = 0, v15's predicate), completing the filtered-ANN
+    * matrix for the graph index (flat v15, IVF v58, recall v59). The
+    * production filtered-graph recipe is NAVIGATE-THEN-FILTER:
+    * restricting the FRONTIER to matching nodes would fracture the
+    * graph's connectivity (most neighbors fail a selective predicate
+    * and the walk strands), so the beam walks the UNFILTERED graph
+    * exactly as v79 does, every visited candidate set is accumulated,
+    * and the predicate + final top-3 rank apply to the visited pool at
+    * the end. Costs the same O(steps·Q·ef·k) walk as v79 plus one
+    * O(Q·ef·k·steps)-row broadcast join against the label column —
+    * still independent of N. Visited pools, frontiers, and the final
+    * rank are all bounded frames; each step's candidate set is
+    * localCheckpointed so the accumulated plan stays linear in
+    * steps. */
+  def v85FilteredBeam(s: SparkSession, d: String): DataFrame = {
+    val ef = 4
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val edges = persistedKnnEdges(s, d)
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    val entry = vec.agg(min("id").as("nid"))
+    var frontier = q.select(col("query_id")).crossJoin(entry)
+    var visited = frontier
+    for (_ <- 1 to 3) {
+      val cand = frontier
+        .unionAll(broadcast(frontier)
+          .join(edges, col("nid") === col("src_id"))
+          .select(col("query_id"), col("dst_id").as("nid")))
+        .distinct().localCheckpoint(false)
+      visited = visited.unionAll(cand)
+      val scored = cand
+        .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+      frontier = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
+        ascending = true).select(col("query_id"), col("nid"))
+        .localCheckpoint(false)
+    }
+    val allowed = emb(s, d).filter(col("label") % 3 === 0)
+      .select(col("vec_id").cast("long").as("nid"))
+    val pool = visited.distinct().join(allowed, "nid")
+    val scored = pool
+      .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
+      .join(q, "query_id")
+      .select(col("query_id"), col("nid"),
+        intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+    TopK.perGroup(scored, "query_id", "nid", "d2", k = 3, ascending = true)
+      .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+        distFromIntSq(col("d2")).as("dist"))
   }
 
   /** INCREMENTAL graph maintenance — v27's persisted-upsert recipe

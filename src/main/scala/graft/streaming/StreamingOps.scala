@@ -365,6 +365,49 @@ object StreamingOps {
         distFromIntSq(col("d2"), scale).as("dist"))
   }
 
+  /** Per-micro-batch INCREMENTAL GRAPH MAINTENANCE (streaming twin of
+    * the gated v80): each arriving micro-batch of (vec_id, embedding)
+    * vectors is LSH-bucketed with the shared seed-fixed planes and
+    * merged into the persisted base edge list — the batch pays only
+    * its own bucket-blocked edges against base ∪ batch plus the
+    * localized repair of same-bucket base nodes (their stored top-k
+    * merged with batch mates and re-ranked). EXACT by the v80
+    * argument: dropping non-top-k base mates cannot change the top-k
+    * of the union, so for a single batch the merged graph equals the
+    * graph rebuilt on the union corpus (the parity spec proves it
+    * against the gated v80). Stateless per batch; the static sides
+    * (base vectors, stored edges) never re-shuffle — this is how a
+    * graph index absorbs a continuous ingest without an O(N·k)
+    * rebuild per batch. */
+  def graphUpsertBatch(batch: DataFrame, base: DataFrame,
+                       storedEdges: DataFrame, k: Int = 3,
+                       scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
+    import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
+    import graft.operators.LshIndex
+    val planes = LshIndex.quantizePlanes(
+      LshIndex.hyperplanes(dim = 64, nPlanes = 6, seed = 42L))
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id").cast("long").as("id"),
+          quantize(col("embedding"), scale).as("qv"))
+        .withColumn("bucket", LshIndex.bucketKeyQ(col("qv"), planes))
+    val b = prep(batch)
+    val bs = prep(base)
+    val union = bs.unionByName(b)
+    val batchCand = b.as("x").join(union.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src_id"), col("y.id").as("dst_id"),
+        intL2Sq(col("x.qv"), col("y.qv")).cast("double").as("d2"))
+    val repairCand = bs.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("src_id"), col("y.id").as("dst_id"),
+        intL2Sq(col("x.qv"), col("y.qv")).cast("double").as("d2"))
+    graft.operators.TopK.perGroup(
+      storedEdges.unionByName(repairCand).unionByName(batchCand),
+      "src_id", "dst_id", "d2", k, ascending = true)
+      .select(col("src_id"), col("rnk"), col("dst_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
+  }
+
   def hybridRrfBatch(queryBatch: DataFrame, gallery: DataFrame,
                      inv: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.shingles

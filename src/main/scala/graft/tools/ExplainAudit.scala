@@ -115,7 +115,12 @@ object ExplainAudit {
     "v78_trained_pq",
     // v79's walk entry node is a 1-row scalar crossjoin (v57's class);
     // v81 composes v79's walk and v1's exact chain (the v61 class).
-    "v79_beam_search", "v81_beam_recall")
+    "v79_beam_search", "v81_beam_recall",
+    // v82 is v17's code-space scoring crossjoin at 15 levels; v83
+    // composes v1's exact and v82's code chains (the v60 eval class).
+    "v82_sq4_knn", "v83_sq4_recall",
+    // v85's walk entry node is a 1-row scalar crossjoin (v79's class).
+    "v85_filtered_beam")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

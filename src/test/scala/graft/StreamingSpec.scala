@@ -296,6 +296,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graphUpsertBatch via foreachBatch: an arriving vector batch " +
+    "merged into the persisted base edges equals the gated v80 " +
+    "(the graph rebuilt on the union corpus)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.{intL2Sq, quantize}
+    import graft.operators.{LshIndex, TopK}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val batchRows = emb.filter($"vec_id" % 4 === 0)
+      .select($"vec_id".cast("long"),
+        $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    // the stored base edge list (WITH distances) — the same
+    // bucket-blocked top-3 v80 persists for the base corpus
+    val planes = LshIndex.quantizePlanes(
+      LshIndex.hyperplanes(dim = 64, nPlanes = 6, seed = 42L))
+    val bv = base.select($"vec_id".cast("long").as("id"),
+        quantize($"embedding").as("qv"))
+      .withColumn("bucket", LshIndex.bucketKeyQ($"qv", planes))
+    val baseScored = bv.as("x").join(bv.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.id" =!= $"y.id")
+      .select($"x.id".as("src_id"), $"y.id".as("dst_id"),
+        intL2Sq($"x.qv", $"y.qv").cast("double").as("d2"))
+    val stored = TopK.perGroup(baseScored, "src_id", "dst_id", "d2",
+      k = 3, ascending = true).select("src_id", "dst_id", "d2")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    mem.addData(batchRows: _*)
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= StreamingOps.graphUpsertBatch(b, base, stored)
+            .as[(Long, Long, Long, Double)].collect()
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val expected = graft.queries.Queries.v80GraphUpsert(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(buf.toSet == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream emits each content hash once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
