@@ -39,9 +39,17 @@ object Bench {
       // queries barely GCs the old gen, so executor-side storage fills
       // with dead broadcasts and random mid-suite keys pay 2-5× in
       // execution-memory contention (measured: the >2× victim set
-      // wandered between otherwise-identical sweeps). Default interval
-      // is 30 min — longer than the whole suite.
-      .config("spark.cleaner.periodicGC.interval", "60s")
+      // wandered between otherwise-identical sweeps). BUT the cleaner's
+      // periodic System.gc() is a FULL STW collection that lands
+      // mid-query: at the data-bound point (64 GiB live heap) each
+      // pause costs seconds to tens of seconds, and two back-to-back
+      // 237-key sweeps showed disjoint contiguous >2× victim windows
+      // (e22-e25 in one, d13/e12-e18/m3-m6/t5 in the other) exactly
+      // where the 60s timer fired. So the interval stays at the 30min
+      // default (≈ off) and the SAME System.gc() runs explicitly in
+      // the harness loops BETWEEN queries — identical broadcast/shuffle
+      // reclamation, zero timed-region pauses (the JMH pattern).
+      .config("spark.cleaner.periodicGC.interval", "30min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,8 +71,19 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-    for (dir <- Seq(warmDir, sfDir); (_, fn) <- selected)
+    // Explicit GC BETWEEN queries (see the periodicGC comment above):
+    // the old-gen walk that frees dead broadcasts/shuffle refs runs in
+    // the untimed gaps, never inside a timed region. ~45s cadence keeps
+    // the old 60s reclamation rate.
+    var lastGc = System.nanoTime()
+    def gcBetweenQueries(): Unit =
+      if ((System.nanoTime() - lastGc) / 1e9 > 45.0) {
+        System.gc(); lastGc = System.nanoTime()
+      }
+    for (dir <- Seq(warmDir, sfDir); (_, fn) <- selected) {
+      gcBetweenQueries()
       try run(fn, dir) catch { case _: Throwable => () }
+    }
     // Median-of-N per query (default 3): a single-shot number is hostage
     // to host noise / GC / JIT recompiles; the median is the recorded
     // signal. Rounds are interleaved ACROSS the suite (run all queries,
@@ -80,6 +99,7 @@ object Bench {
     // the recorded total.
     val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to rounds; (name, fn) <- ordered) {
+      gcBetweenQueries()
       val t0 = System.nanoTime()
       try {
         run(fn, sfDir)
