@@ -4611,5 +4611,8 @@ FROM frk WHERE rn <= 3""")
     // incremental graph upsert: merged (stored base top-3 + localized
     // batch repair) must equal the graph REBUILT on the union corpus —
     // v28's full-corpus oracle verbatim is the gate for that claim.
-    "v80_graph_upsert" -> base("v28_knn_graph"))
+    "v80_graph_upsert" -> base("v28_knn_graph"),
+    // SQ8 serving from persisted codes: bit-transparent persistence,
+    // so v17's shared sqKnnSql definition verbatim.
+    "v86_sq8_persisted" -> sqKnnSql(255))
 }

@@ -483,6 +483,18 @@ object Queries {
     * definition so the two gates cannot diverge in stats or encode
     * arithmetic. */
   private def sqKnn(s: SparkSession, d: String, levels: Long): DataFrame = {
+    val coded = sqCodes(s, d, levels)
+    // codes are already integers — knnL2Pre scans them directly instead
+    // of re-running the (exact but wasted) scale-1 quantize per row
+    KnnJoin.knnL2Pre(coded, coded.filter(col("gid") % 100 === 0),
+      "gid", "cv", "gid", k = 5, scale = 1)
+  }
+
+  /** The scalar-quantizer ENCODE pass: per-dim (min,max) stats over the
+    * gallery → `levels+1`-level integer codes (gid, cv). Shared by the
+    * rebuild-shape gates (v17/v82 via [[sqKnn]]) and the persisted
+    * serving gate (v86), which stores this frame once. */
+  private def sqCodes(s: SparkSession, d: String, levels: Long): DataFrame = {
     val e = emb(s, d)
     val g = e.select(col("vec_id").cast("long").as("gid"),
       quantize(col("embedding")).as("v"))
@@ -501,9 +513,25 @@ object Queries {
     def encode(vc: Column): Column = zip_with(
       zip_with(vc, mnLit, (x, mn) => (x - mn) * lit(levels)), rgLit,
       (num, rg) => ((num - pmod(num, rg)) / rg).cast("long"))
-    val coded = g.select(col("gid"), encode(col("v")).as("cv"))
-    // codes are already integers — knnL2Pre scans them directly instead
-    // of re-running the (exact but wasted) scale-1 quantize per row
+    g.select(col("gid"), encode(col("v")).as("cv"))
+  }
+
+  /** v17's SQ8 search served from PERSISTED codes — the scalar
+    * quantizer's persist-once/serve-many gate (the v66/v67 pattern,
+    * completing the serving matrix: IVF v66, IVFPQ v67, graph v64,
+    * segments v77). The per-dim (min,max) stats pass — a full-corpus
+    * reduction — and the encode run ONCE at build time; serving scans
+    * the stored 1-byte/dim codes with zero stats recompute. At 100 TB
+    * the codes table is ~4× smaller than the raw fixed-point vectors
+    * and the build is amortized over every query batch. The source
+    * fingerprint in the table name mints a fresh code table when the
+    * data regenerates. Oracle = v17's SQL verbatim — the gate proves
+    * code persistence is bit-transparent. */
+  def v86Sq8Persisted(s: SparkSession, d: String): DataFrame = {
+    val table = "graft_sq8_codes_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
+    val coded = graft.sources.BucketedStore.ensure(s, table,
+      sqCodes(s, d, levels = 255L), "gid", numBuckets = 32)
     KnnJoin.knnL2Pre(coded, coded.filter(col("gid") % 100 === 0),
       "gid", "cv", "gid", k = 5, scale = 1)
   }

@@ -120,7 +120,10 @@ object ExplainAudit {
     // composes v1's exact and v82's code chains (the v60 eval class).
     "v82_sq4_knn", "v83_sq4_recall",
     // v85's walk entry node is a 1-row scalar crossjoin (v79's class).
-    "v85_filtered_beam")
+    "v85_filtered_beam",
+    // v86 serves v17's code-space scoring crossjoin from the persisted
+    // code table (the v66 persisted-serving class).
+    "v86_sq8_persisted")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

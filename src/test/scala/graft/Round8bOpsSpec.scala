@@ -110,4 +110,17 @@ class Round8bOpsSpec extends SparkSpec {
         exactBest(r.getAs[Long]("query_id")) - 1e-9)
     }
   }
+
+  test("v86: persisted-code serving equals the rebuild-shape v17 " +
+    "bit-for-bit, twice in a row (persistence is transparent and the " +
+    "second call serves the stored codes)") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val expected = key(Queries.v17Sq8Knn(spark, sf))
+    assert(key(Queries.v86Sq8Persisted(spark, sf)) == expected)
+    assert(key(Queries.v86Sq8Persisted(spark, sf)) == expected)
+    assert(expected.nonEmpty)
+  }
 }
