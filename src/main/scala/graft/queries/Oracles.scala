@@ -207,6 +207,47 @@ pr$r AS (SELECT gid, j, lab,
          FROM pd$r),
 pasn$r AS (SELECT gid, j, lab FROM pr$r WHERE rn = 1)"""
 
+  /** The trained-codebook PQ chain as CTEs (sliced state → first-16
+    * seed sub-slices → three (j, lab)-keyed Lloyd rounds → grid-
+    * floored trained codebooks `tcb` → v11's encode/ADC shape →
+    * ranked `rk`), shared verbatim by v78 (train per run), v87
+    * (persisted trained index — bit-transparent, so the twin IS the
+    * rebuild chain) and v89's recall eval. Exposes `g` (gallery) and
+    * `rk` (ranked ADC results) for composition. */
+  private def trainedPqCtes: String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+jj AS (SELECT unnest(range(8)) AS j),
+sv AS (SELECT gid, j, list_transform(range(8), i -> v[CAST(8*j+i AS INT)+1]) AS sv
+       FROM g CROSS JOIN jj),
+cb0 AS (SELECT j, gid AS cid, sv AS cv FROM sv WHERE gid < 16),
+pasn0 AS (SELECT gid, j, cid AS lab FROM (
+            SELECT s.gid, s.j, c.cid,
+                   row_number() OVER (PARTITION BY s.gid, s.j
+                     ORDER BY ${l2sq("s.sv", "c.cv")}, c.cid) AS rn
+            FROM sv s JOIN cb0 c ON c.j = s.j) WHERE rn = 1),
+${(1 to 3).map(pqLloydRoundCtes).mkString(",\n")},
+tn AS (SELECT j, lab, CAST(count(*) AS BIGINT) AS n FROM pasn3 GROUP BY 1, 2),
+tm AS (SELECT a.j, a.lab, i, sum(s.sv[CAST(i AS INT)+1]) AS sm
+       FROM pasn3 a JOIN sv s ON s.gid = a.gid AND s.j = a.j
+       CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2, 3),
+tcb AS (SELECT m.j, m.lab AS cid,
+               list(CAST(floor(CAST(m.sm AS DOUBLE) / tn.n) AS BIGINT)
+                 ORDER BY i) AS cv
+        FROM tm m JOIN tn ON tn.j = m.j AND tn.lab = m.lab GROUP BY 1, 2),
+enc AS (SELECT gid, j, code FROM (
+          SELECT s.gid, s.j, t.cid AS code,
+                 row_number() OVER (PARTITION BY s.gid, s.j
+                   ORDER BY ${l2sq("s.sv", "t.cv")}, t.cid) AS rn
+          FROM sv s JOIN tcb t ON t.j = s.j) WHERE rn = 1),
+q AS (SELECT gid AS query_id, j, sv AS qsv FROM sv WHERE gid % 100 = 0),
+adc AS (SELECT q.query_id, e.gid,
+               CAST(sum(${l2sq("q.qsv", "t.cv")}) AS BIGINT) AS adc
+        FROM enc e JOIN tcb t ON t.j = e.j AND t.cid = e.code
+        JOIN q ON q.j = e.j
+        GROUP BY 1, 2),
+rk AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+       FROM adc)"""
+
   /** One greedy MMR step as CTEs: from `sel${t-1}(query_id, pick_rnk,
     * gid, d2)` to `sel$t` by picking, per query, the remaining top-10
     * candidate maximizing the exact-integer objective
@@ -4453,39 +4494,7 @@ FROM pairs WHERE d2 <= 250000""")
     // sub-slices) → three (j, lab)-keyed Lloyd rounds → grid-floored
     // trained codebooks → v11's encode/ADC shape against them.
     "v78_trained_pq" -> s"""
-WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
-jj AS (SELECT unnest(range(8)) AS j),
-sv AS (SELECT gid, j, list_transform(range(8), i -> v[CAST(8*j+i AS INT)+1]) AS sv
-       FROM g CROSS JOIN jj),
-cb0 AS (SELECT j, gid AS cid, sv AS cv FROM sv WHERE gid < 16),
-pasn0 AS (SELECT gid, j, cid AS lab FROM (
-            SELECT s.gid, s.j, c.cid,
-                   row_number() OVER (PARTITION BY s.gid, s.j
-                     ORDER BY ${l2sq("s.sv", "c.cv")}, c.cid) AS rn
-            FROM sv s JOIN cb0 c ON c.j = s.j) WHERE rn = 1),
-${(1 to 3).map(pqLloydRoundCtes).mkString(",\n")},
-tn AS (SELECT j, lab, CAST(count(*) AS BIGINT) AS n FROM pasn3 GROUP BY 1, 2),
-tm AS (SELECT a.j, a.lab, i, sum(s.sv[CAST(i AS INT)+1]) AS sm
-       FROM pasn3 a JOIN sv s ON s.gid = a.gid AND s.j = a.j
-       CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2, 3),
-tcb AS (SELECT m.j, m.lab AS cid,
-               list(CAST(floor(CAST(m.sm AS DOUBLE) / tn.n) AS BIGINT)
-                 ORDER BY i) AS cv
-        FROM tm m JOIN tn ON tn.j = m.j AND tn.lab = m.lab GROUP BY 1, 2),
-enc AS (SELECT gid, j, code FROM (
-          SELECT s.gid, s.j, t.cid AS code,
-                 row_number() OVER (PARTITION BY s.gid, s.j
-                   ORDER BY ${l2sq("s.sv", "t.cv")}, t.cid) AS rn
-          FROM sv s JOIN tcb t ON t.j = s.j) WHERE rn = 1),
-q AS (SELECT gid AS query_id, j, sv AS qsv FROM sv WHERE gid % 100 = 0),
-adc AS (SELECT q.query_id, e.gid,
-               CAST(sum(${l2sq("q.qsv", "t.cv")}) AS BIGINT) AS adc
-        FROM enc e JOIN tcb t ON t.j = e.j AND t.cid = e.code
-        JOIN q ON q.j = e.j
-        GROUP BY 1, 2),
-rk AS (SELECT query_id, gid, adc,
-              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
-       FROM adc)
+WITH $trainedPqCtes
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
 FROM rk WHERE rnk <= 5""",
 
@@ -4614,5 +4623,31 @@ FROM frk WHERE rn <= 3""")
     "v80_graph_upsert" -> base("v28_knn_graph"),
     // SQ8 serving from persisted codes: bit-transparent persistence,
     // so v17's shared sqKnnSql definition verbatim.
-    "v86_sq8_persisted" -> sqKnnSql(255))
+    "v86_sq8_persisted" -> sqKnnSql(255),
+    // TRAINED-index persisted serving: the Lloyd training and the
+    // encode run once into fingerprinted stores, and serving must be
+    // bit-transparent — so each twin IS its rebuild-shape SQL
+    // verbatim (the v66/v86 contract extended to the trained family).
+    "v87_trained_pq_persisted" -> r8Extra("v78_trained_pq"),
+    "v90_trained_ivf_persisted" -> base("v65_trained_ivf_search"),
+    "v91_trained_ivfpq_persisted" -> base("v68_trained_ivfpq"),
+    // Trained-PQ retrieval quality: the trained ADC ranking (v78's
+    // chain verbatim) against the exact top-5 — v36's eval shape, so
+    // the seeded-vs-trained delta is a measured pair of rows.
+    "v89_trained_pq_recall" -> s"""
+WITH $trainedPqCtes,
+ha AS (SELECT query_id, gid FROM rk WHERE rnk <= 5),
+qf AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+dex AS (SELECT qf.query_id, g.gid, ${l2sq("g.v", "qf.qvec")} AS d2
+        FROM g CROSS JOIN qf),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""")
 }

@@ -767,19 +767,40 @@ object Queries {
     * frame while the gallery streams; the only exchange is the O(Q·k)
     * partial top-k. */
   def v65TrainedIvfSearch(s: SparkSession, d: String): DataFrame = {
-    var cur = lloydSeedAssign(emb(s, d))
-    for (_ <- 1 to 3) cur = lloydRound(cur).localCheckpoint(false)
-    val cands = lloydCands(collectClassSums(cur))
+    val cands = lloydCands(trainedCoarseSums(s, d))
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      quantize(col("embedding")).as("qv"))
     // ADD: assign the gallery to the trained centroids (asn4 in the
     // oracle — one more application of the shared round template)
-    val added = cur.withColumn("best",
+    val added = g.withColumn("best",
         array_min(array(cands.toIndexedSeq: _*)))
       .select(col("id"), col("qv"), col("best.lab").as("c"))
-    // ROUTE: each query's 2 nearest trained centroids, by the same
-    // scaled distance (array_sort over the nlist candidate structs —
-    // lexicographic (dist, lab), matching the oracle's ORDER BY)
+    trainedIvfServe(added, g, cands)
+  }
+
+  /** The TRAINED coarse quantizer as its exact (lab, n, sum-vector)
+    * carrier: v26's three Lloyd rounds from the seed assignment, sums
+    * collected (broadcast-sized by contract). Shared by the
+    * rebuild-shape gates (v65/v68, train per run) and the persisted
+    * gates (v90/v91, which store this table once) so training
+    * arithmetic is one definition. */
+  private def trainedCoarseSums(s: SparkSession, d: String)
+      : Array[(Long, Long, Array[Long])] = {
+    var cur = lloydSeedAssign(emb(s, d))
+    for (_ <- 1 to 3) cur = lloydRound(cur).localCheckpoint(false)
+    collectClassSums(cur)
+  }
+
+  /** v65's ROUTE + probe-scan + top-k over an already-ADDed trained
+    * index (id, qv, c): each query routes to its 2 nearest trained
+    * centroids by the shared scaled distance (array_sort over the
+    * nlist candidate structs — lexicographic (dist, lab), matching
+    * the oracle's ORDER BY), the probe frame broadcasts, the index
+    * streams. Shared by v65 (in-memory ADD) and v90 (persisted ADD). */
+  private def trainedIvfServe(added: DataFrame, queryVecs: DataFrame,
+                              cands: Seq[Column]): DataFrame = {
     val sorted = array_sort(array(cands.toIndexedSeq: _*))
-    val probes = cur.filter(col("id") % 100 === 0)
+    val probes = queryVecs.filter(col("id") % 100 === 0)
       .select(col("id").as("query_id"), col("qv").as("qvec"),
         explode(array(element_at(sorted, 1).getField("lab"),
           element_at(sorted, 2).getField("lab"))).as("pc"))
@@ -790,6 +811,45 @@ object Queries {
         ascending = true)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         distFromIntSq(col("d2")).as("dist"))
+  }
+
+  /** v65's trained-IVF search served from a PERSISTED trained index —
+    * the flat-IVF member of the trained persist-once/serve-many family
+    * (v87 = PQ, v91 = IVFPQ): the three Lloyd rounds persist their
+    * exact (lab, n, sum-vector) carrier into a fingerprinted bucketed
+    * table, the ADD step persists the assigned gallery PARTITIONED BY
+    * trained list (v66's pruning layout), and serving collects the
+    * tiny sums table, rebuilds the literal route candidates, and
+    * probe-joins the stored index with ZERO training jobs. At 100 TB
+    * the nprobe=2 probe reads 2/nlist of the stored bytes via
+    * partition pruning and training is amortized over every query
+    * batch. Oracle = v65's SQL VERBATIM (bit-transparent persistence,
+    * the v66/v86 contract). */
+  def v90TrainedIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val centsDf = graft.sources.BucketedStore.ensure(s,
+      s"graft_ivf_tcents_${safe}_$fp", {
+        import s.implicits._
+        trainedCoarseSums(s, d).toIndexedSeq
+          .map { case (lab, n, sv) => (lab, n, sv.toSeq) }
+          .toDF("lab", "n", "svec")
+      }, "lab", numBuckets = 4)
+    val cs = centsDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    val cands = lloydCands(cs)
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      quantize(col("embedding")).as("qv"))
+    val path = s"/tmp/graft_tivfidx_${safe}_$fp"
+    if (!persistedComplete(path))
+      g.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
+        .select(col("id"), col("qv"), col("best.lab").as("c"))
+        .write.mode("overwrite").partitionBy("c").parquet(path)
+    val added = Tables.ensureParallelism(s.read.parquet(path), Some(path))
+      .select(col("id"), col("qv"), col("c").cast("long").as("c"))
+    trainedIvfServe(added, g, cands)
   }
 
   /** TRAINED residual IVFPQ — faiss IndexIVFPQ's actual production
@@ -810,9 +870,7 @@ object Queries {
     * O(Q·k) partial top-k. */
   def v68TrainedIvfPq(s: SparkSession, d: String): DataFrame = {
     val m = 8; val dim = 64; val ksub = 16
-    var cur = lloydSeedAssign(emb(s, d))
-    for (_ <- 1 to 3) cur = lloydRound(cur).localCheckpoint(false)
-    val centRows = collectClassSums(cur).map { case (lab, n, svec) =>
+    val centRows = trainedCoarseSums(s, d).map { case (lab, n, svec) =>
       (lab, svec.toIndexedSeq.map(si => math.floor(si.toDouble / n)))
     }.toIndexedSeq
     import s.implicits._
@@ -826,6 +884,56 @@ object Queries {
       dim, m, book, scale = 1)
     val queries = g.filter(col("id") % 100 === 0)
     IvfPq.searchResidual(codes, cents, queries, "cid", "id", "qemb",
+      dim, m, book, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
+  /** v68's trained residual-IVFPQ served from a PERSISTED trained
+    * index — the compressed member of the trained persist-once/
+    * serve-many family (v90 = flat IVF, v87 = pure PQ), and the exact
+    * lifecycle of a production faiss IndexIVFPQ (`train` → `add` →
+    * write_index → many searches, faiss_utils.py:4-22): the Lloyd-
+    * trained grid-floored coarse centroids, the seeded RESIDUAL
+    * codebooks, and the residual-encoded codes all persist once into
+    * fingerprinted stores (two tiny bucketed tables + a code table
+    * PARTITIONED BY coarse list for probe pruning); serving reads
+    * 9-byte code rows from nprobe=2 partitions with zero training and
+    * zero encode jobs. Oracle = v68's SQL VERBATIM (bit-transparent
+    * persistence, the v66/v86 contract). */
+  def v91TrainedIvfpqPersisted(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64; val ksub = 16
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val centsDf = graft.sources.BucketedStore.ensure(s,
+      s"graft_ivfpq_tcents_${safe}_$fp", {
+        import s.implicits._
+        trainedCoarseSums(s, d).map { case (lab, n, svec) =>
+          (lab, svec.toIndexedSeq.map(si => math.floor(si.toDouble / n)))
+        }.toIndexedSeq.toDF("cid", "qemb")
+      }, "cid", numBuckets = 4)
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      transform(quantize(col("embedding")), x => x.cast("double"))
+        .as("qemb"))
+    val bookDf = graft.sources.BucketedStore.ensure(s,
+      s"graft_ivfpq_tbook_${safe}_$fp", {
+        import s.implicits._
+        PqIndex.seededBook(
+          IvfPq.residuals(g, centsDf, "id", "qemb", "cid", scale = 1),
+          "id", "rvec", dim, m, ksub).toDF("sub", "cid", "centroid")
+      }, "sub", numBuckets = 4)
+    val book = bookDf.collect().toIndexedSeq.map(r =>
+      PqIndex.Codebook(r.getAs[Int]("sub"), r.getAs[Int]("cid"),
+        r.getSeq[Double](r.fieldIndex("centroid"))))
+    val path = s"/tmp/graft_tpqidx_${safe}_$fp"
+    if (!persistedComplete(path))
+      IvfPq.encodeResidual(g, centsDf, "id", "qemb", "cid",
+          dim, m, book, scale = 1)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    val codes = Tables.ensureParallelism(s.read.parquet(path), Some(path))
+    val queries = g.filter(col("id") % 100 === 0)
+    IvfPq.searchResidual(codes, centsDf, queries, "cid", "id", "qemb",
       dim, m, book, k = 5, nprobe = 2)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         (col("dist") / lit(10000.0)).as("dist"))
@@ -852,6 +960,26 @@ object Queries {
     * aggregate per round); encode is map-only; the only O(Q) exchange
     * is the ADC partial top-k. */
   def v78TrainedPq(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64
+    val book = trainedPqBook(s, d)
+    val gd = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      transform(quantize(col("embedding")), x => x.cast("double"))
+        .as("qemb"))
+    val codes = PqIndex.encode(gd, "id", "qemb", dim, m, book)
+    PqIndex.searchAdc(codes, gd.filter(col("id") % 100 === 0), "id",
+      "qemb", dim, m, book, k = 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
+  /** v78's trained-codebook construction (the TRAIN step alone): three
+    * exact Lloyd rounds on the (subspace, code) grid, converged means
+    * grid-floored. Shared by the rebuild-shape gate (v78, train+search
+    * per run) and the persisted-serving gate (v87, which stores the
+    * result once), so the two gates cannot drift in training
+    * arithmetic. */
+  private def trainedPqBook(s: SparkSession,
+                            d: String): Seq[PqIndex.Codebook] = {
     val m = 8; val dim = 64; val sub = dim / m; val ksub = 16
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
@@ -861,11 +989,18 @@ object Queries {
           slice(col("qv"), j * sub + 1, sub)).toIndexedSeq: _*))
         .as(Seq("j", "sv")))
     // seed books: sub-slices of the first ksub vectors (v11's
-    // derive-from-data rule) — broadcast-sized, collected once
+    // derive-from-data rule) — broadcast-sized, collected once.
+    // seeds(cid) indexes POSITIONALLY, so a corpus with any vec_id in
+    // 0..ksub-1 missing must fail loudly here (the oracle's cb0 would
+    // silently train fewer clusters — the engines would diverge).
     val seeds: Array[Array[Long]] = g.filter(col("id") < ksub)
       .select(col("id"), col("qv")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Long](1).toArray)
+    require(seeds.length == ksub,
+      s"trainedPqBook: seed ids 0..${ksub - 1} must all exist " +
+        s"(found ${seeds.length}) — positional seed slices cannot " +
+        "degrade to fewer clusters the way the id-keyed oracle does")
     def seedCands(j: Int): Seq[Column] =
       (0 until ksub).map { cid =>
         val cv = array(seeds(cid).slice(j * sub, (j + 1) * sub)
@@ -904,17 +1039,77 @@ object Queries {
         }
       cur = cur.withColumn("c", assign(roundCands)).localCheckpoint(false)
     }
-    val book = gridSums(cur).toIndexedSeq.map { case (lab, n, svec) =>
+    gridSums(cur).toIndexedSeq.map { case (lab, n, svec) =>
       PqIndex.Codebook((lab / ksub).toInt, (lab % ksub).toInt,
         svec.toIndexedSeq.map(si => math.floor(si.toDouble / n)))
     }
-    val gd = g.select(col("id"),
-      transform(col("qv"), x => x.cast("double")).as("qemb"))
-    val codes = PqIndex.encode(gd, "id", "qemb", dim, m, book)
+  }
+
+  /** v78's trained-PQ search served from a PERSISTED trained index —
+    * the missing persist-once/serve-many form of the TRAINED family
+    * (seeded indexes got theirs in v64/v66/v67/v77/v86; the trained
+    * chains re-paid training per invocation). This is faiss's actual
+    * lifecycle (`train` → `add` → persist → many `search` calls,
+    * faiss_utils.py:4-22): the three Lloyd rounds and the map-only
+    * encode run ONCE at build time into two fingerprinted bucketed
+    * tables — the O(m·ksub·sub) codebook (128 rows) and the 8-byte/row
+    * code table — and serving reads codes + collects the tiny book
+    * with ZERO training jobs. At 100 TB the build is amortized over
+    * every query batch and the served scan reads ~1/32nd of the raw
+    * vector bytes. The source fingerprint in the table names mints a
+    * fresh index when the data regenerates; oracle = v78's SQL
+    * VERBATIM, so the gate proves trained-index persistence is
+    * bit-transparent (the v66/v86 contract). */
+  def v87TrainedPqPersisted(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val bookDf = graft.sources.BucketedStore.ensure(s,
+      s"graft_pq_tbook_${safe}_$fp", {
+        import s.implicits._
+        trainedPqBook(s, d).toDF("sub", "cid", "centroid")
+      }, "sub", numBuckets = 4)
+    // the codebook is O(m·ksub·sub) by construction — centroid-sized,
+    // collected like every centroid frame
+    val book = bookDf.collect().toIndexedSeq.map(r =>
+      PqIndex.Codebook(r.getAs[Int]("sub"), r.getAs[Int]("cid"),
+        r.getSeq[Double](r.fieldIndex("centroid"))))
+    val gd = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      transform(quantize(col("embedding")), x => x.cast("double"))
+        .as("qemb"))
+    val codes = graft.sources.BucketedStore.ensure(s,
+      s"graft_pq_tcodes_${safe}_$fp",
+      PqIndex.encode(gd, "id", "qemb", dim, m, book),
+      "id", numBuckets = 32)
     PqIndex.searchAdc(codes, gd.filter(col("id") % 100 === 0), "id",
       "qemb", dim, m, book, k = 5)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         (col("dist") / lit(10000.0)).as("dist"))
+  }
+
+  /** TRAINED-PQ retrieval quality — recall@5 of the trained-codebook
+    * ADC ranking vs v1's exact scan (the v36 recipe pointed at the
+    * TRAINED books), so the value of codebook training is MEASURED
+    * next to v36's seeded row instead of assumed: the delta between
+    * the two rows is what three Lloyd rounds buy at identical code
+    * size — the number that decides whether a 100 TB deployment pays
+    * the training job. The approx side serves from v87's PERSISTED
+    * trained index (bit-identical to v78 by v87's verbatim-oracle
+    * gate), so the eval never retrains; both inputs are O(Q·k) frames
+    * → broadcast join, tiny aggregate. */
+  def v89TrainedPqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v87TrainedPqPersisted(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
   }
 
   /** Per-cluster membership stats of the LAST round: size after, and

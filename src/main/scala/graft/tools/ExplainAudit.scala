@@ -123,7 +123,16 @@ object ExplainAudit {
     "v85_filtered_beam",
     // v86 serves v17's code-space scoring crossjoin from the persisted
     // code table (the v66 persisted-serving class).
-    "v86_sq8_persisted")
+    "v86_sq8_persisted",
+    // v87 serves v78's broadcast ADC-table crossjoin from the
+    // persisted trained code table (the v66/v86 persisted-serving
+    // class); v89 composes v87's served chain and v1's exact chain
+    // (the v36 eval class).
+    "v87_trained_pq_persisted", "v89_trained_pq_recall",
+    // v90/v91 serve v65's/v68's probe chains from persisted trained
+    // indexes (the v66/v67 persisted-serving class — probe routing is
+    // the centroids × broadcast(queries) shape).
+    "v90_trained_ivf_persisted", "v91_trained_ivfpq_persisted")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

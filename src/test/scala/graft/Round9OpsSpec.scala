@@ -1,0 +1,84 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.Row
+
+/** Invariant specs for the round-9 trained persist-once/serve-many
+  * family: persisted trained PQ (v87), trained IVF (v90), trained
+  * IVFPQ (v91) and the trained-PQ recall row (v89). Exact value parity
+  * with DuckDB is the oracle gate's job; these prove the persisted
+  * serving contract — bit-equality with the rebuild-shape gates, and
+  * stability across repeated serves from the same store — plus the
+  * loud-failure contract on sparse seed ids.
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def key(rows: Array[Row]): Seq[(Long, Long, Long, Double)] =
+    rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist")))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("v87 ≡ v78 (persisted trained PQ is bit-transparent) and " +
+    "serving twice from the store is stable") {
+    val rebuilt = key(Queries.v78TrainedPq(spark, sf).collect())
+    val served1 = key(Queries.v87TrainedPqPersisted(spark, sf).collect())
+    val served2 = key(Queries.v87TrainedPqPersisted(spark, sf).collect())
+    assert(served1 == rebuilt)
+    assert(served2 == rebuilt)
+  }
+
+  test("v90 ≡ v65 (persisted trained IVF is bit-transparent) and " +
+    "serving twice from the store is stable") {
+    val rebuilt = key(Queries.v65TrainedIvfSearch(spark, sf).collect())
+    val served1 = key(Queries.v90TrainedIvfPersisted(spark, sf).collect())
+    val served2 = key(Queries.v90TrainedIvfPersisted(spark, sf).collect())
+    assert(served1 == rebuilt)
+    assert(served2 == rebuilt)
+  }
+
+  test("v91 ≡ v68 (persisted trained IVFPQ is bit-transparent) and " +
+    "serving twice from the store is stable") {
+    val rebuilt = key(Queries.v68TrainedIvfPq(spark, sf).collect())
+    val served1 = key(Queries.v91TrainedIvfpqPersisted(spark, sf).collect())
+    val served2 = key(Queries.v91TrainedIvfpqPersisted(spark, sf).collect())
+    assert(served1 == rebuilt)
+    assert(served2 == rebuilt)
+  }
+
+  test("v89: recall rows recompute exactly from the gated v78 and v1 " +
+    "outputs (n_hit = |trained top-5 ∩ exact top-5|)") {
+    val exact = Queries.v1KnnL2(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val approx = Queries.v78TrainedPq(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val rows = Queries.v89TrainedPqRecall(spark, sf).collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val expected = (exact(q) & approx(q)).size.toLong
+      assert(r.getAs[Long]("n_hit") == expected)
+      assert(math.abs(r.getAs[Double]("recall_at_5") - expected / 5.0)
+        < 1e-12)
+    }
+  }
+
+  test("trained PQ seeding fails loudly when any vec_id in 0..15 is " +
+    "missing (positional seeds must not silently degrade)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sparse_seed").toString
+    // vec_ids 0..20 WITHOUT 7: the seed collect finds 15 < ksub rows
+    val rows = (0 to 20).filter(_ != 7).map { i =>
+      (i.toLong, Seq.fill(64)(i.toDouble / 100.0), i.toLong % 3,
+        s"c${i % 3}")
+    }
+    rows.toDF("vec_id", "embedding", "label", "category")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Queries.v78TrainedPq(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains("seed ids"))
+  }
+}
