@@ -1,0 +1,161 @@
+package graft.plans
+
+import java.math.BigInteger
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Upper-triangle Gram accumulator: one 128-bit signed cell per (i, j)
+  * pair, i ≤ j, row-major over the triangle. 128-bit (hi: signed high
+  * word, lo: unsigned low word) because the per-cell sum Σxᵢxⱼ passes
+  * Long's 2⁶³ at ~10⁹ rows (product ≤ ~4·10¹⁰ at scale 10⁴) — the
+  * 100 TB bound the previous Decimal(38,0) sum held, kept here without
+  * Decimal's per-row allocation. Arrays stay null until the first
+  * non-null input fixes the dimensionality. */
+final class GramState {
+  var dim: Int = -1
+  var hi: Array[Long] = null
+  var lo: Array[Long] = null
+
+  private def addInto(c: Int, p: Long): Unit = {
+    val l0 = lo(c)
+    val l1 = l0 + p
+    lo(c) = l1
+    // carry iff the unsigned add wrapped; sign-extend p into the high
+    // word — together this is exact int128 += int64
+    hi(c) += (p >> 63) +
+      (if (java.lang.Long.compareUnsigned(l1, l0) < 0) 1L else 0L)
+  }
+
+  def add(arr: ArrayData): Unit = {
+    val v = arr.toLongArray()
+    if (hi == null) {
+      dim = v.length
+      val cells = dim * (dim + 1) / 2
+      hi = new Array[Long](cells)
+      lo = new Array[Long](cells)
+    }
+    require(v.length == dim,
+      s"graft_gram: ragged vector column (${v.length} vs $dim)")
+    var c = 0
+    var i = 0
+    while (i < dim) {
+      val xi = v(i)
+      var j = i
+      while (j < dim) { addInto(c, xi * v(j)); j += 1; c += 1 }
+      i += 1
+    }
+  }
+
+  def mergeFrom(o: GramState): Unit = {
+    if (o.hi != null) {
+      if (hi == null) {
+        dim = o.dim; hi = o.hi.clone(); lo = o.lo.clone()
+      } else {
+        require(o.dim == dim,
+          s"graft_gram: merging ragged states (${o.dim} vs $dim)")
+        var c = 0
+        while (c < hi.length) {
+          val l0 = lo(c)
+          val l1 = l0 + o.lo(c)
+          lo(c) = l1
+          hi(c) += o.hi(c) +
+            (if (java.lang.Long.compareUnsigned(l1, l0) < 0) 1L else 0L)
+          c += 1
+        }
+      }
+    }
+  }
+}
+
+/** Native upper-triangle Gram aggregate — the exact second-moment
+  * matrix Σxᵢxⱼ (i ≤ j) of a quantized Long-vector column in ONE pass
+  * over primitive buffers. The previous shape fanned every row out to
+  * its d·(d+1)/2 product STRUCT ROWS through nested `transform`/
+  * `flatten`/`explode` (2,080× the row volume at dim 64 — 10.4B
+  * transient rows at a 5M-vector bench point) and rolled them up with
+  * a 2,080-key hash aggregate; this expression keeps the whole
+  * triangle in a 33 KB per-partition buffer (the VectorSumAggregate
+  * recipe), so the only shuffle is one buffer per partition. Map-side
+  * partial aggregation applies. Output: the triangle row-major as
+  * Decimal(38,0) (exact — each 128-bit cell converts losslessly), or
+  * NULL when every input vector was NULL. */
+case class GramAggregate(
+    vecChild: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GramState] {
+
+  override def children: Seq[Expression] = Seq(vecChild)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 0), containsNull = false)
+  override def prettyName: String = "graft_gram"
+
+  override def createAggregationBuffer(): GramState = new GramState
+
+  override def update(b: GramState, input: InternalRow): GramState = {
+    val raw = vecChild.eval(input)
+    if (raw != null) b.add(raw.asInstanceOf[ArrayData])
+    b
+  }
+
+  override def merge(b: GramState, other: GramState): GramState = {
+    b.mergeFrom(other)
+    b
+  }
+
+  override def eval(b: GramState): Any =
+    if (b.hi == null) null
+    else {
+      val out = new Array[Any](b.hi.length)
+      var c = 0
+      while (c < out.length) {
+        val bi = BigInteger.valueOf(b.hi(c)).shiftLeft(64)
+          .add(new BigInteger(java.lang.Long.toUnsignedString(b.lo(c))))
+        out(c) = Decimal(scala.math.BigDecimal(bi), 38, 0)
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(b: GramState): Array[Byte] = {
+    val cells = if (b.hi == null) -1 else b.hi.length
+    val buf = ByteBuffer.allocate(8 + math.max(cells, 0) * 16)
+    buf.putInt(b.dim)
+    buf.putInt(cells)
+    var c = 0
+    while (c < math.max(cells, 0)) {
+      buf.putLong(b.hi(c)); buf.putLong(b.lo(c)); c += 1
+    }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): GramState = {
+    val buf = ByteBuffer.wrap(bytes)
+    val b = new GramState
+    b.dim = buf.getInt()
+    val cells = buf.getInt()
+    if (cells >= 0) {
+      b.hi = new Array[Long](cells)
+      b.lo = new Array[Long](cells)
+      var c = 0
+      while (c < cells) {
+        b.hi(c) = buf.getLong(); b.lo(c) = buf.getLong(); c += 1
+      }
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramAggregate =
+    copy(vecChild = newChildren(0))
+}

@@ -1355,27 +1355,34 @@ object Queries {
   /** Exact Gram (second-moment) matrix over the embedding corpus — the
     * input of PCA / OPQ rotation training and whitening (what the
     * reference's scale path would feed an OPQ trainer; v31 consumes a
-    * rotation like the one this matrix trains). Upper triangle only:
-    * each row fans out map-side to its d·(d+1)/2 products (a codegen'd
-    * nested `transform`, zero shuffle at fan-out) and the rollup is one
-    * map-side-combined groupBy over O(d²) keys — shuffle volume
-    * O(partitions · d²), corpus-independent. Products sum in
-    * Decimal(38,0) (DuckDB HUGEINT — Σxᵢxⱼ at 100 TB passes 2⁶³); the
-    * emitted mean is one IEEE division of exact integers. */
+    * rotation like the one this matrix trains). Upper triangle only,
+    * accumulated by the native [[graft.plans.GramAggregate]]: each
+    * partition folds its rows' d·(d+1)/2 products into ONE 33 KB
+    * primitive 128-bit buffer, so the shuffle carries one buffer per
+    * partition — corpus-independent, with NO transient product rows.
+    * (The previous HOF shape exploded 2,080 struct rows per vector
+    * through nested `transform`/`flatten` — 10.4B transient rows at a
+    * 5M-vector bench point — before a 2,080-key hash aggregate.)
+    * 128-bit cells hold the 100 TB bound the old Decimal(38,0) sum
+    * held and convert losslessly to the emitted Decimal; the mean is
+    * one IEEE division of exact integers. The (cell → i, j) unmap
+    * rides two triangle-sized literal arrays over the 1-row result. */
   def v34GramMatrix(s: SparkSession, d: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dim = 64
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val iLit = typedLit(pairs.map(_._1.toLong))
+    val jLit = typedLit(pairs.map(_._2.toLong))
+    import org.apache.spark.sql.GraftSqlBridge
+    val gram = GraftSqlBridge.column(
+      graft.plans.GramAggregate(
+        GraftSqlBridge.expression(col("v"))).toAggregateExpression())
     emb(s, d)
       .select(quantize(col("embedding")).as("v"))
-      .select(explode(flatten(transform(sequence(lit(0), lit(63)),
-        i => transform(sequence(i, lit(63)),
-          j => struct(i.as("i"), j.as("j"),
-            (element_at(col("v"), i + 1) * element_at(col("v"), j + 1))
-              .as("xy")))))).as("p"))
-      .groupBy(col("p.i").cast("long").as("i"),
-        col("p.j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("p.xy").cast(dec)).as("sxy"))
-      .select(col("i"), col("j"), col("n"),
-        (col("sxy").cast("double") / col("n")).as("mean_xy"))
+      .agg(count(col("v")).as("n"), gram.as("gram"))
+      .select(col("n"), posexplode(col("gram")).as(Seq("cell", "sxy")))
+      .select(element_at(iLit, col("cell").cast("int") + 1).as("i"),
+        element_at(jLit, col("cell").cast("int") + 1).as("j"),
+        col("n"), (col("sxy").cast("double") / col("n")).as("mean_xy"))
   }
 
   /** Two exact power-iteration steps toward the corpus's dominant PCA

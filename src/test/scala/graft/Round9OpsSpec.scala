@@ -65,6 +65,38 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("GramAggregate: 128-bit cells match BigInteger sums on inputs " +
+    "that overflow a signed Long accumulator") {
+    // values in ±3e9: each PRODUCT stays under 2^63 (the aggregate's
+    // input contract — quantized vectors are far smaller) but a few
+    // same-sign products already wrap a Long accumulator, firing both
+    // carry paths (mixed signs exercise the negative one).
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.fill(40)(
+      Seq.fill(4)(rnd.nextLong() % 3000000000L))
+    val df = rows.map(Tuple1(_)).toDF("v")
+    import org.apache.spark.sql.GraftSqlBridge
+    val gram = GraftSqlBridge.column(
+      graft.plans.GramAggregate(
+        GraftSqlBridge.expression(org.apache.spark.sql.functions.col("v")))
+        .toAggregateExpression())
+    val out = df.repartition(7).agg(gram.as("g"))
+      .collect()(0).getSeq[java.math.BigDecimal](0)
+    val pairs = for { i <- 0 until 4; j <- i until 4 } yield (i, j)
+    pairs.zipWithIndex.foreach { case ((i, j), c) =>
+      val expected = rows.map(r =>
+        java.math.BigInteger.valueOf(r(i))
+          .multiply(java.math.BigInteger.valueOf(r(j))))
+        .reduce(_ add _)
+      assert(out(c).toBigInteger == expected,
+        s"cell ($i,$j): ${out(c)} vs $expected")
+      // prove the test actually crossed Long range somewhere
+    }
+    assert(pairs.exists { case (i, j) =>
+      rows.map(r => BigInt(r(i)) * BigInt(r(j))).sum.abs > BigInt(Long.MaxValue)
+    }, "test inputs failed to exceed Long range — weaken nothing, fix the data")
+  }
+
   test("trained PQ seeding fails loudly when any vec_id in 0..15 is " +
     "missing (positional seeds must not silently degrade)") {
     val dir = java.nio.file.Files
