@@ -310,8 +310,11 @@ JOIN q ON q.query_id = s3.query_id"""
     * v79 (the search) and v81 (its recall row) so the walk arithmetic
     * cannot diverge between them. Exposes `fr3(query_id, nid, d2, rn)`
     * (the final frontier ranking) and `f3` (its rn ≤ 4 cut). */
-  private def beamSearchCtes: String = s"""
-g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+  /** The layer-0 graph + query CTEs of the beam family: gallery `g`,
+    * LSH-bucketed `b`, bucket-blocked ranked edges `e` (k=3), queries
+    * `q`. Shared by v79/v81/v85 (beam from the global min-id entry)
+    * and v88 (beam from the coarse-walk winner). */
+  private def beamGraphCtes: String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
 b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM g),
 cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
                 ${l2sq("x.v", "y.v")} AS d2
@@ -321,9 +324,13 @@ r AS (SELECT src_id, dst_id, d2,
                ORDER BY d2, dst_id) AS rnk
       FROM cand),
 e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
-q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0),
-f0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS nid FROM q),
-${(1 to 3).map(i => s"""c$i AS (SELECT DISTINCT query_id, nid FROM (
+q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0)"""
+
+  /** Three unrolled ef=4 beam steps from an in-scope `f0(query_id,
+    * nid)` frontier — ONE definition, so the flat-entry beams and
+    * v88's hierarchical-entry beam cannot drift in walk semantics. */
+  private def beamLoopCtes: String =
+    (1 to 3).map(i => s"""c$i AS (SELECT DISTINCT query_id, nid FROM (
          SELECT query_id, nid FROM f${i - 1}
          UNION ALL
          SELECT f.query_id, e.dst_id AS nid
@@ -333,7 +340,43 @@ fr$i AS (SELECT c.query_id, c.nid, ${l2sq("gv.v", "q.qv")} AS d2,
                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
          FROM c$i c JOIN g gv ON gv.gid = c.nid
          JOIN q ON q.query_id = c.query_id),
-f$i AS (SELECT query_id, nid FROM fr$i WHERE rn <= 4)""").mkString(",\n")}"""
+f$i AS (SELECT query_id, nid FROM fr$i WHERE rn <= 4)""").mkString(",\n")
+
+  private def beamSearchCtes: String = s"""
+$beamGraphCtes,
+f0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS nid FROM q),
+$beamLoopCtes"""
+
+  /** v88's CTEs: the shared layer-0 graph, a coarse layer-1 graph over
+    * the portable-hash subset (hash % 5 = 0 — v9's contract), v57's
+    * 3-step greedy walk over the coarse edges, then the SHARED beam
+    * loop seeded by the walk winner. */
+  private def hnswEntryCtes: String = s"""
+$beamGraphCtes,
+sg AS (SELECT gid, v, bucket FROM b
+       WHERE ((gid % 2147483647) * 2654435761) % 2147483647 % 5 = 0),
+scand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                 ${l2sq("x.v", "y.v")} AS d2
+          FROM sg x JOIN sg y ON x.bucket = y.bucket AND x.gid <> y.gid),
+sr AS (SELECT src_id, dst_id, d2,
+              row_number() OVER (PARTITION BY src_id
+                ORDER BY d2, dst_id) AS rnk
+       FROM scand),
+se AS (SELECT src_id, dst_id FROM sr WHERE rnk <= 3),
+w0 AS (SELECT query_id, (SELECT min(gid) FROM sg) AS cur FROM q),
+${(1 to 3).map(i => s"""wc$i AS (SELECT query_id, cur AS nid FROM w${i - 1}
+        UNION ALL
+        SELECT s.query_id, se.dst_id AS nid
+        FROM w${i - 1} s JOIN se ON se.src_id = s.cur),
+w$i AS (SELECT query_id, nid AS cur FROM (
+          SELECT c.query_id, c.nid,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
+          FROM wc$i c JOIN sg gv ON gv.gid = c.nid
+          JOIN q ON q.query_id = c.query_id) WHERE rn = 1)""")
+  .mkString(",\n")},
+f0 AS (SELECT query_id, cur AS nid FROM w3),
+$beamLoopCtes"""
 
   /** LSH sign-bucket expression over a quantized list column: the SAME
     * seed-fixed quantized hyperplanes the Spark side uses
@@ -4631,6 +4674,13 @@ FROM frk WHERE rn <= 3""")
     "v87_trained_pq_persisted" -> r8Extra("v78_trained_pq"),
     "v90_trained_ivf_persisted" -> base("v65_trained_ivf_search"),
     "v91_trained_ivfpq_persisted" -> base("v68_trained_ivfpq"),
+    // 2-layer HNSW entry: coarse greedy walk over the hash-sampled
+    // layer, winner seeds the SHARED beam loop (v79's ranking shape).
+    "v88_hnsw_entry" -> s"""
+WITH $hnswEntryCtes
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
+       sqrt(d2) / $vscale.0 AS dist
+FROM fr3 WHERE rn <= 4""",
     // Trained-PQ retrieval quality: the trained ADC ranking (v78's
     // chain verbatim) against the exact top-5 — v36's eval shape, so
     // the seeded-vs-trained delta is a measured pair of rows.

@@ -5263,6 +5263,89 @@ object Queries {
       distFromIntSq(col("d2")).as("dist"))
   }
 
+  /** Coarse-layer edge list over the portable-hash-sampled subset
+    * (hash % 5 = 0 — v9's split contract, so both engines sample the
+    * identical layer) — the layer-1 graph of the 2-layer HNSW entry
+    * (v88), persisted into the fingerprinted bucketed store like the
+    * layer-0 list. The coarse build costs O(|S|·k) on a 1/5th-size
+    * corpus (a production deployment samples far sparser per level;
+    * the CONTRACT — portable hash, persisted layer, walk-then-descend
+    * — is what scales). */
+  private def persistedCoarseEdges(s: SparkSession, d: String): DataFrame = {
+    val table = "graft_coarse_edges_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
+    graft.sources.BucketedStore.ensure(s, table,
+      knnGraphRanked(bucketedVecs(s, d)
+          .filter(Sampling.portableHash(col("id")) % 5 === 0))
+        .select(col("src_id"), col("dst_id")),
+      "src_id", numBuckets = 32)
+  }
+
+  /** 2-layer HNSW-style entry — the hierarchy that keeps graph-search
+    * step counts O(log N) at scale (Malkov & Yashunin '16): v79's flat
+    * beam starts every query at the GLOBAL min-id node, so at 100 TB
+    * the walk either pays more steps or loses recall crossing the
+    * graph; here each query first descends a COARSE layer-1 graph
+    * (v57's greedy width-1 walk over the portable-hash-sampled subset,
+    * entry = the subset's min id) and the layer-1 winner seeds v79's
+    * layer-0 ef=4 beam. Both layers serve from persisted fingerprinted
+    * edge stores (zero build per batch); the added cost is 3 greedy
+    * steps of O(Q·(k+1)) subset distance evals — cheap next to the
+    * beam's O(steps·Q·ef·k), and at scale it replaces the beam steps a
+    * flat entry wastes traversing from an arbitrary corner. Oracle =
+    * the coarse-walk CTEs + the SHARED beam-loop CTEs seeded by the
+    * walk winner; spec proves the winner lies in the sampled layer and
+    * the frontier's recall reads next to v79's. */
+  def v88HnswEntry(s: SparkSession, d: String): DataFrame = {
+    val ef = 4
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val edges = persistedKnnEdges(s, d)
+    val coarse = persistedCoarseEdges(s, d)
+    val subVec = vec.filter(Sampling.portableHash(col("id")) % 5 === 0)
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    // layer 1: greedy width-1 descent over the coarse graph (v57's
+    // loop on the sampled layer, entry = the subset's min id)
+    val entry = subVec.agg(min("id").as("cur"))
+    var cur = q.select(col("query_id")).crossJoin(entry)
+    for (_ <- 1 to 3) {
+      val cand = cur.select(col("query_id"), col("cur").as("nid"))
+        .unionAll(broadcast(cur).join(coarse, col("cur") === col("src_id"))
+          .select(col("query_id"), col("dst_id").as("nid")))
+      cur = cand
+        .join(subVec.select(col("id").as("nid"), col("qv").as("nv")),
+          "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+        .groupBy("query_id")
+        .agg(min(struct(col("d2"), col("nid"))).as("m"))
+        .select(col("query_id"), col("m.nid").as("cur"))
+    }
+    // layer 0: v79's ef-beam, frontier seeded by the layer-1 winner
+    var frontier = cur.select(col("query_id"), col("cur").as("nid"))
+      .localCheckpoint(false)
+    var ranked: DataFrame = null
+    for (_ <- 1 to 3) {
+      val cand = frontier
+        .unionAll(broadcast(frontier)
+          .join(edges, col("nid") === col("src_id"))
+          .select(col("query_id"), col("dst_id").as("nid")))
+        .distinct()
+      val scored = cand
+        .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+      ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
+        ascending = true).localCheckpoint(false)
+      frontier = ranked.select(col("query_id"), col("nid"))
+    }
+    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+      distFromIntSq(col("d2")).as("dist"))
+  }
+
   /** Beam-search quality eval — v61's recall row for v79: per query,
     * the beam's rank-1 endpoint against the exact top-5 (node, exact
     * rank, hit flag) PLUS how many of the final ef-frontier nodes land

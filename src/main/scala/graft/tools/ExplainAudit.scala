@@ -129,6 +129,9 @@ object ExplainAudit {
     // class); v89 composes v87's served chain and v1's exact chain
     // (the v36 eval class).
     "v87_trained_pq_persisted", "v89_trained_pq_recall",
+    // v88's coarse-walk entry node is a 1-row scalar crossjoin (v57's
+    // class) feeding v79's beam shape.
+    "v88_hnsw_entry",
     // v90/v91 serve v65's/v68's probe chains from persisted trained
     // indexes (the v66/v67 persisted-serving class — probe routing is
     // the centroids × broadcast(queries) shape).

@@ -65,6 +65,36 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("v88: deterministic across runs; per-query best distance and " +
+    "frontier recall at least match v79's flat-entry beam") {
+    def byQ(rows: Array[Row], idc: String) = rows
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q ->
+        (rs.map(_.getAs[Long](idc)).toSet,
+          rs.map(_.getAs[Double]("dist")).min) }
+    def nodeKey(rows: Array[Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("node_id"), r.getAs[Double]("dist")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val h1 = Queries.v88HnswEntry(spark, sf).collect()
+    val h2 = Queries.v88HnswEntry(spark, sf).collect()
+    assert(nodeKey(h1) == nodeKey(h2))
+    val hnsw = byQ(h1, "node_id")
+    val flat = byQ(Queries.v79BeamSearch(spark, sf).collect(), "node_id")
+    val exact = Queries.v1KnnL2(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(hnsw.keySet == flat.keySet)
+    // the hierarchical entry must not LOSE quality vs the flat entry
+    // at equal beam steps: best-so-far distance and exact-top-5 hits
+    hnsw.foreach { case (q, (nodes, best)) =>
+      assert(best <= flat(q)._2 + 1e-12,
+        s"query $q: hierarchical best $best worse than flat ${flat(q)._2}")
+      assert((nodes & exact(q)).size >= (flat(q)._1 & exact(q)).size,
+        s"query $q: hierarchical recall below flat")
+    }
+  }
+
   test("GramAggregate: 128-bit cells match BigInteger sums on inputs " +
     "that overflow a signed Long accumulator") {
     // values in ±3e9: each PRODUCT stays under 2^63 (the aggregate's
