@@ -378,7 +378,20 @@ object StreamingOps {
     * against the gated v80). Stateless per batch; the static sides
     * (base vectors, stored edges) never re-shuffle — this is how a
     * graph index absorbs a continuous ingest without an O(N·k)
-    * rebuild per batch. */
+    * rebuild per batch.
+    *
+    * CONTRACT — INSERT-ONLY, SINGLE-BATCH: batch vec_ids must be
+    * DISJOINT from base's. A batch that re-ingests an existing id is
+    * NOT an update — the node's stored edges (built from its old
+    * vector) survive and the id-inequality joins skip rescoring it,
+    * so the merged graph would be wrong; true updates need a
+    * delete-then-reinsert compaction of base/storedEdges (the v62
+    * tombstone + v71 compaction path). And exactness is PER BATCH:
+    * between micro-batches the caller must fold the returned edges
+    * back into `storedEdges` and the batch vectors into `base`
+    * (foreachBatch owns that state hand-off — the exactness argument
+    * needs the stored top-k of the CURRENT corpus, which this
+    * function reads but does not write). */
   def graphUpsertBatch(batch: DataFrame, base: DataFrame,
                        storedEdges: DataFrame, k: Int = 3,
                        scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
@@ -406,6 +419,50 @@ object StreamingOps {
       "src_id", "dst_id", "d2", k, ascending = true)
       .select(col("src_id"), col("rnk"), col("dst_id"),
         distFromIntSq(col("d2"), scale).as("dist"))
+  }
+
+  /** Per-micro-batch BEAM graph serving (streaming twin of the gated
+    * v79): each arriving query batch walks the PERSISTED edge store
+    * with the ef-beam expansion — frontier ∪ its neighbors, dedup,
+    * keep the ef best by (d2, id) — for `steps` steps from the store's
+    * entry node. Run from `writeStream.foreachBatch`: the iterative
+    * walk needs steps × (join + rank), more than one continuous query
+    * supports (the v63/v75/v76 precedent). Statics persist across
+    * batches: `vecs` (id, qv) the quantized vector store and `edges`
+    * (src_id, dst_id) the persisted graph — neither re-shuffles per
+    * batch; each step broadcasts the O(batch·ef) frontier against the
+    * streaming edge scan, exactly v79's serving shape. Every query
+    * walks independently, so ANY partitioning of queries across
+    * micro-batches unions to the gated v79 rows (the parity spec
+    * proves it). Stateless: no watermark state to size. */
+  def beamServeBatch(queryBatch: DataFrame, vecs: DataFrame,
+                     edges: DataFrame, entryId: Long, ef: Int = 4,
+                     steps: Int = 3,
+                     scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
+    import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
+    val q = queryBatch
+      .select(col("query_id").cast("long").as("query_id"),
+        quantize(col("embedding"), scale).as("query_v"))
+    val v = vecs.select(col("id").cast("long").as("nid"), col("qv").as("nv"))
+    var frontier = q.select(col("query_id"), lit(entryId).as("nid"))
+    var ranked: DataFrame = null
+    for (_ <- 1 to steps) {
+      val cand = frontier
+        .unionAll(broadcast(frontier)
+          .join(edges, col("nid") === col("src_id"))
+          .select(col("query_id"), col("dst_id").as("nid")))
+        .distinct()
+      val scored = cand.join(v, "nid").join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+      // per-step truncation: cand references the frontier twice, so
+      // the plan doubles per step without it (v79's rationale)
+      ranked = graft.operators.TopK.perGroup(scored, "query_id", "nid",
+        "d2", ef, ascending = true).localCheckpoint(false)
+      frontier = ranked.select(col("query_id"), col("nid"))
+    }
+    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+      distFromIntSq(col("d2"), scale).as("dist"))
   }
 
   def hybridRrfBatch(queryBatch: DataFrame, gallery: DataFrame,
@@ -518,7 +575,17 @@ object StreamingOps {
     * and only probed lists' rows match) and the result is bit-equal to
     * [[ivfServeStream]] over the compacted index — a rolling build can
     * add a segment between micro-batches without a restart, and
-    * compaction is invisible to serving. */
+    * compaction is invisible to serving.
+    *
+    * CONTRACT — DISJOINT SEGMENTS: each gallery id must live in
+    * exactly ONE segment (the snapshot/parity splits that produce
+    * segments guarantee this). An id persisted in two segments — e.g.
+    * both the pre- and post-compaction snapshot registered at once —
+    * would be scored twice in the union and could duplicate rows in
+    * the top-k; deduping the union here would re-shuffle the whole
+    * index per batch, exactly the cost segment serving exists to
+    * avoid, so the swap protocol (retire the old segment in the same
+    * step that registers its replacement) owns uniqueness. */
   def ivfServeSegments(queries: DataFrame, segments: Seq[DataFrame],
                        centroids: Array[(Long, Array[Long])],
                        qidCol: String, vecCol: String,

@@ -267,11 +267,21 @@ object ExplainAudit {
                 if ranks.contains(a.exprId.id) &&
                   litVal(l).exists(_ <= 1000L) => true
             }.nonEmpty
-            p.collectFirst {
-              case _: GlobalLimit => true
-              case _: LocalLimit => true
-              case Filter(cond, _) if capFilter(cond) => true
-            }.isDefined
+            // Walk the SPINE feeding the window, not the whole
+            // subtree: a collectFirst over everything below would
+            // accept a Limit on the broadcast side of a join — which
+            // bounds nothing about the window's input row count. A
+            // bound on the spine proves the rows above it are capped;
+            // a multi-input node (join, union) is bounded only if
+            // EVERY input is (bounded × unbounded join output is
+            // unbounded).
+            def spine(n: LogicalPlan): Boolean = n match {
+              case _: GlobalLimit | _: LocalLimit => true
+              case Filter(cond, child) => capFilter(cond) || spine(child)
+              case leaf if leaf.children.isEmpty => false
+              case other => other.children.forall(spine)
+            }
+            spine(p)
           }
           df.queryExecution.optimizedPlan.foreach {
             case w: LogicalWindow

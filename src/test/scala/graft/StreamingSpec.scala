@@ -754,4 +754,43 @@ class StreamingSpec extends SparkSpec {
       assert(buf.map(_._5).toSet == Set("exact", "ivf"))
     } finally q.stop()
   }
+
+  test("beamServeBatch via foreachBatch: queries split across micro-" +
+    "batches walk the persisted edge store to exactly the gated v79 " +
+    "rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.quantize
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vecs = emb.select($"vec_id".cast("long").as("id"),
+      quantize($"embedding").as("qv"))
+    // the persisted layer-0 graph = the gated v28 edge list
+    val edges = graft.queries.Queries.v28KnnGraph(spark, sf)
+      .select("src_id", "dst_id")
+    val entryId = vecs.agg(org.apache.spark.sql.functions.min("id"))
+      .collect()(0).getLong(0)
+    val qRows = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    mem.addData(qRows.take(2): _*)
+    val q = mem.toDF().toDF("query_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= StreamingOps.beamServeBatch(b, vecs, edges, entryId)
+            .as[(Long, Long, Long, Double)].collect()
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      mem.addData(qRows.drop(2): _*)
+      q.processAllAvailable()
+      val expected = graft.queries.Queries.v79BeamSearch(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(buf.toSet == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
 }
