@@ -4,15 +4,33 @@
 BASELINE.md's rule: any query slower than its recorded median by >3x
 across two consecutive rounds (outside documented host-noise windows)
 is a plan regression. This prints every key's old/new/ratio, flags
->3x, and lists keys present on only one side.
+>threshold, and lists keys present on only one side.
 
-Usage: python3 tools/bench_regress.py OLD.json NEW.json [threshold]
+Data-bound sweeps have a documented WANDERING noise band (contiguous
+victim windows that move between runs and are solo-clean), so a sweep
+ratio alone is not evidence of a code regression. With --probe, every
+flagged key is re-measured SOLO (SPARK_GRAFT_ONLY, same binary, same
+SF dir as NEW) and the probe results are folded back into NEW.json
+under "probes" as {key: {"sweep": s, "solo": s, "old": s,
+"solo_ratio": r}}; the final verdict then counts a key as a REGRESSION
+only if its SOLO time also exceeds threshold x old. Probing needs the
+classpath file /tmp/graft_cp.txt (see the build notes); heap via
+GRAFT_PROBE_XMX (default 64g).
+
+Usage: python3 tools/bench_regress.py OLD.json NEW.json [threshold] [--probe]
 """
-import json, sys
+import json
+import os
+import subprocess
+import sys
+import tempfile
 
-old = json.load(open(sys.argv[1]))["queries"]
-new = json.load(open(sys.argv[2]))["queries"]
-thr = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+argv = [a for a in sys.argv[1:] if a != "--probe"]
+do_probe = "--probe" in sys.argv[1:]
+old_doc = json.load(open(argv[0]))
+new_doc = json.load(open(argv[1]))
+old, new = old_doc["queries"], new_doc["queries"]
+thr = float(argv[2]) if len(argv) > 2 else 3.0
 
 flagged = []
 for k in sorted(set(old) & set(new)):
@@ -20,7 +38,7 @@ for k in sorted(set(old) & set(new)):
     if o <= 0 or n <= 0:
         continue
     r = n / o
-    mark = " <-- REGRESSION" if r > thr else ""
+    mark = " <-- over threshold" if r > thr else ""
     if r > thr:
         flagged.append(k)
     print(f"{k:28s} old={o:8.2f}s new={n:8.2f}s ratio={r:5.2f}{mark}")
@@ -30,6 +48,48 @@ if only_old:
     print("only in old:", ", ".join(only_old))
 if only_new:
     print("only in new:", ", ".join(only_new))
-print(f"\n{'FAIL' if flagged else 'PASS'}: {len(flagged)} key(s) over {thr}x"
-      + (": " + ", ".join(flagged) if flagged else ""))
-sys.exit(1 if flagged else 0)
+
+
+def solo_probe(key, sf_dir):
+    """One-key Bench run, same binary and SF dir as the sweep."""
+    cp = open("/tmp/graft_cp.txt").read().strip()
+    out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+               SPARK_GRAFT_BENCH_ROUNDS="1",
+               SPARK_GRAFT_ONLY=key,
+               SPARK_GRAFT_BENCH_OUT=out)
+    xmx = os.environ.get("GRAFT_PROBE_XMX", "64g")
+    subprocess.run(["java", f"-Xmx{xmx}", "-cp", cp, "graft.Bench"],
+                   env=env, check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    doc = json.load(open(out))
+    os.unlink(out)
+    return doc["queries"][key]
+
+
+real = list(flagged)
+if do_probe and flagged:
+    sf_dir = new_doc.get("sf", "/root/testdata/sf0.1")
+    probes = new_doc.setdefault("probes", {})
+    real = []
+    for k in flagged:
+        print(f"[probe] re-measuring {k} solo on {sf_dir} ...",
+              flush=True)
+        solo = solo_probe(k, sf_dir)
+        ratio = solo / old[k]
+        probes[k] = {"sweep": new[k], "solo": solo, "old": old[k],
+                     "solo_ratio": round(ratio, 3)}
+        verdict = "REGRESSION" if ratio > thr else "noise (solo-clean)"
+        print(f"[probe] {k}: sweep={new[k]:.2f}s solo={solo:.2f}s "
+              f"old={old[k]:.2f}s solo_ratio={ratio:.2f} -> {verdict}")
+        if ratio > thr:
+            real.append(k)
+    json.dump(new_doc, open(argv[1], "w"))
+    print(f"[probe] annotations written back to {argv[1]}")
+
+label = "solo-confirmed " if do_probe else ""
+print(f"\n{'FAIL' if real else 'PASS'}: {len(real)} {label}key(s) over "
+      f"{thr}x" + (": " + ", ".join(real) if real else ""))
+sys.exit(1 if real else 0)
