@@ -248,6 +248,92 @@ rk AS (SELECT query_id, gid, adc,
               row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
        FROM adc)"""
 
+  /** v68's trained residual-IVFPQ chain as CTEs (3 Lloyd rounds ->
+    * grid-floored trained centroids -> v21's integer residual/
+    * codebook/ADC chain), ending in the ranked `rk`. Shared by v68,
+    * v91 (verbatim via the map) and v93's recall eval. */
+  private def trainedIvfpqCtes: String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
+asn0 AS (SELECT gid, cid AS lab FROM (
+          SELECT g.gid, c.cid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+${(1 to 3).map(lloydRoundCtes).mkString(",\n")},
+cnt4 AS (SELECT lab AS c, CAST(count(*) AS BIGINT) AS n
+         FROM asn3 GROUP BY 1),
+cm4 AS (SELECT a.lab AS c, i, sum(g.v[CAST(i AS INT)+1]) AS s
+        FROM asn3 a JOIN g ON g.gid = a.gid
+        CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+tc AS (SELECT m.c AS ccid,
+              list(CAST(floor(CAST(m.s AS DOUBLE) / cnt4.n) AS BIGINT)
+                ORDER BY m.i) AS cv
+       FROM cm4 m JOIN cnt4 ON cnt4.c = m.c GROUP BY 1),
+asn AS (SELECT gid, ccid AS acid FROM (
+          SELECT g.gid, t.ccid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "t.cv")}, t.ccid) AS rn
+          FROM g CROSS JOIN tc t) WHERE rn = 1),
+r AS (SELECT g.gid, asn.acid,
+             list_transform(range(64), i -> g.v[i+1] - t.cv[i+1]) AS rv
+      FROM g JOIN asn USING (gid) JOIN tc t ON t.ccid = asn.acid),
+cb AS (SELECT gid AS cid, rv AS cbv FROM r WHERE gid < 16),
+jj AS (SELECT unnest(range(8)) AS j),
+enc AS (SELECT gid, acid, j, cid AS code FROM (
+          SELECT r.gid, r.acid, jj.j, cb.cid,
+                 row_number() OVER (PARTITION BY r.gid, jj.j
+                   ORDER BY ${subL2("r.rv", "cb.cbv", "jj.j", 8)}, cb.cid) AS rn
+          FROM r CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+probe AS (SELECT query_id, ccid AS pcid FROM (
+            SELECT q.query_id, t.ccid,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${l2sq("q.qvec", "t.cv")}, t.ccid) AS rn
+            FROM q CROSS JOIN tc t) WHERE rn <= 2),
+qr AS (SELECT p.query_id, p.pcid,
+              list_transform(range(64), i -> q.qvec[i+1] - t.cv[i+1]) AS qres
+       FROM probe p JOIN q USING (query_id) JOIN tc t ON t.ccid = p.pcid),
+adc AS (SELECT qr.query_id, e.gid,
+               CAST(sum(${subL2("qr.qres", "cb.cbv", "e.j", 8)}) AS BIGINT) AS adc
+        FROM qr
+        JOIN enc e ON e.acid = qr.pcid
+        JOIN cb ON cb.cid = e.code
+        GROUP BY 1, 2),
+rk AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+       FROM adc)"""
+
+  /** v65's trained-IVF chain as CTEs (3 Lloyd rounds + the add step
+    * asn4 + probe routing), ending in the ranked `rr`. Shared by v65,
+    * v90 (verbatim via the map) and v92's recall eval. */
+  private def trainedIvfCtes: String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
+asn0 AS (SELECT gid, cid AS lab FROM (
+          SELECT g.gid, c.cid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
+          FROM g CROSS JOIN c) WHERE rn = 1),
+${(1 to 4).map(lloydRoundCtes).mkString(",\n")},
+q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+qd AS (SELECT q.query_id, m.c AS lab, cnt4.n,
+              sum((cnt4.n * q.qvec[CAST(m.i AS INT)+1] - m.s)
+                    * (cnt4.n * q.qvec[CAST(m.i AS INT)+1] - m.s)) AS a2
+       FROM q CROSS JOIN cm4 m JOIN cnt4 ON cnt4.c = m.c
+       GROUP BY 1, 2, 3),
+qr AS (SELECT query_id, lab,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sqrt(a2) / CAST(n * $vscale AS DOUBLE), lab) AS rn
+       FROM qd),
+pr AS (SELECT query_id, lab FROM qr WHERE rn <= 2),
+sc AS (SELECT pr.query_id, a.gid, ${l2sq("gv.v", "q.qvec")} AS d2
+       FROM pr JOIN asn4 a ON a.lab = pr.lab
+       JOIN g gv ON gv.gid = a.gid
+       JOIN q ON q.query_id = pr.query_id),
+rr AS (SELECT query_id, gid, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2, gid) AS rnk
+       FROM sc)"""
+
   /** One greedy MMR step as CTEs: from `sel${t-1}(query_id, pick_rnk,
     * gid, d2)` to `sel$t` by picking, per query, the remaining top-10
     * candidate maximizing the exact-integer objective
@@ -3804,89 +3890,15 @@ FROM t""",
     // centroids (one deterministic IEEE division + floor per dim) →
     // v21's integer residual/codebook/ADC chain verbatim against them.
     "v68_trained_ivfpq" -> s"""
-WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
-c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
-asn0 AS (SELECT gid, cid AS lab FROM (
-          SELECT g.gid, c.cid,
-                 row_number() OVER (PARTITION BY g.gid
-                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
-          FROM g CROSS JOIN c) WHERE rn = 1),
-${(1 to 3).map(lloydRoundCtes).mkString(",\n")},
-cnt4 AS (SELECT lab AS c, CAST(count(*) AS BIGINT) AS n
-         FROM asn3 GROUP BY 1),
-cm4 AS (SELECT a.lab AS c, i, sum(g.v[CAST(i AS INT)+1]) AS s
-        FROM asn3 a JOIN g ON g.gid = a.gid
-        CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
-tc AS (SELECT m.c AS ccid,
-              list(CAST(floor(CAST(m.s AS DOUBLE) / cnt4.n) AS BIGINT)
-                ORDER BY m.i) AS cv
-       FROM cm4 m JOIN cnt4 ON cnt4.c = m.c GROUP BY 1),
-asn AS (SELECT gid, ccid AS acid FROM (
-          SELECT g.gid, t.ccid,
-                 row_number() OVER (PARTITION BY g.gid
-                   ORDER BY ${l2sq("g.v", "t.cv")}, t.ccid) AS rn
-          FROM g CROSS JOIN tc t) WHERE rn = 1),
-r AS (SELECT g.gid, asn.acid,
-             list_transform(range(64), i -> g.v[i+1] - t.cv[i+1]) AS rv
-      FROM g JOIN asn USING (gid) JOIN tc t ON t.ccid = asn.acid),
-cb AS (SELECT gid AS cid, rv AS cbv FROM r WHERE gid < 16),
-jj AS (SELECT unnest(range(8)) AS j),
-enc AS (SELECT gid, acid, j, cid AS code FROM (
-          SELECT r.gid, r.acid, jj.j, cb.cid,
-                 row_number() OVER (PARTITION BY r.gid, jj.j
-                   ORDER BY ${subL2("r.rv", "cb.cbv", "jj.j", 8)}, cb.cid) AS rn
-          FROM r CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
-q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
-probe AS (SELECT query_id, ccid AS pcid FROM (
-            SELECT q.query_id, t.ccid,
-                   row_number() OVER (PARTITION BY q.query_id
-                     ORDER BY ${l2sq("q.qvec", "t.cv")}, t.ccid) AS rn
-            FROM q CROSS JOIN tc t) WHERE rn <= 2),
-qr AS (SELECT p.query_id, p.pcid,
-              list_transform(range(64), i -> q.qvec[i+1] - t.cv[i+1]) AS qres
-       FROM probe p JOIN q USING (query_id) JOIN tc t ON t.ccid = p.pcid),
-adc AS (SELECT qr.query_id, e.gid,
-               CAST(sum(${subL2("qr.qres", "cb.cbv", "e.j", 8)}) AS BIGINT) AS adc
-        FROM qr
-        JOIN enc e ON e.acid = qr.pcid
-        JOIN cb ON cb.cid = e.code
-        GROUP BY 1, 2),
-rk AS (SELECT query_id, gid, adc,
-              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
-       FROM adc)
+WITH $trainedIvfpqCtes
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
 FROM rk WHERE rnk <= 5""",
 
     "v65_trained_ivf_search" -> s"""
-WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
-c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
-asn0 AS (SELECT gid, cid AS lab FROM (
-          SELECT g.gid, c.cid,
-                 row_number() OVER (PARTITION BY g.gid
-                   ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
-          FROM g CROSS JOIN c) WHERE rn = 1),
-${(1 to 4).map(lloydRoundCtes).mkString(",\n")},
-q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
-qd AS (SELECT q.query_id, m.c AS lab, cnt4.n,
-              sum((cnt4.n * q.qvec[CAST(m.i AS INT)+1] - m.s)
-                    * (cnt4.n * q.qvec[CAST(m.i AS INT)+1] - m.s)) AS a2
-       FROM q CROSS JOIN cm4 m JOIN cnt4 ON cnt4.c = m.c
-       GROUP BY 1, 2, 3),
-qr AS (SELECT query_id, lab,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY sqrt(a2) / CAST(n * $vscale AS DOUBLE), lab) AS rn
-       FROM qd),
-pr AS (SELECT query_id, lab FROM qr WHERE rn <= 2),
-sc AS (SELECT pr.query_id, a.gid, ${l2sq("gv.v", "q.qvec")} AS d2
-       FROM pr JOIN asn4 a ON a.lab = pr.lab
-       JOIN g gv ON gv.gid = a.gid
-       JOIN q ON q.query_id = pr.query_id),
-rr AS (SELECT query_id, gid, d2,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY d2, gid) AS rnk
-       FROM sc)
+WITH $trainedIvfCtes
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM rr WHERE rnk <= 5""",
+
 
     // Graph-search quality: v57's walk endpoint ranked against v1's
     // exact top-5.
@@ -4674,6 +4686,40 @@ FROM frk WHERE rn <= 3""")
     "v87_trained_pq_persisted" -> r8Extra("v78_trained_pq"),
     "v90_trained_ivf_persisted" -> base("v65_trained_ivf_search"),
     "v91_trained_ivfpq_persisted" -> base("v68_trained_ivfpq"),
+    // Trained-IVF / trained-IVFPQ retrieval quality: the trained probe
+    // rankings (v65's / v68's chains verbatim) against the exact
+    // top-5 — v36's eval shape, completing the trained eval matrix
+    // next to the seeded rows (v39, v56).
+    "v92_trained_ivf_recall" -> s"""
+WITH $trainedIvfCtes,
+ha AS (SELECT query_id, gid FROM rr WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2e
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2e, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+    "v93_trained_ivfpq_recall" -> s"""
+WITH $trainedIvfpqCtes,
+ha AS (SELECT query_id, gid FROM rk WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2e
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2e, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
     // 2-layer HNSW entry: coarse greedy walk over the hash-sampled
     // layer, winner seeds the SHARED beam loop (v79's ranking shape).
     "v88_hnsw_entry" -> s"""

@@ -1112,6 +1112,48 @@ object Queries {
         (col("n_hit") / col("k")).as("recall_at_5"))
   }
 
+  /** TRAINED-IVF retrieval quality — recall@5 of the trained coarse
+    * quantizer's probe search vs v1's exact scan (v39's row reads the
+    * SEEDED quantizer; the (v39, v92) pair measures what the Lloyd
+    * rounds buy the flat-IVF probe at equal nprobe). Approx side
+    * serves from v90's persisted trained index (bit-identical to v65
+    * by v90's verbatim-oracle gate) — the eval never retrains. Both
+    * inputs O(Q·k) frames → broadcast join + tiny aggregate. */
+  def v92TrainedIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v90TrainedIvfPersisted(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
+  /** TRAINED-IVFPQ retrieval quality — recall@5 of the trained
+    * residual-IVFPQ search vs v1's exact scan (v56's row reads the
+    * seeded non-residual composite; the (v56, v93) pair measures what
+    * training + by_residual buy the compressed index at equal code
+    * size and nprobe — faiss's production default vs the seeded
+    * baseline, as a pair of gated rows). Approx side serves from
+    * v91's persisted trained index; both inputs O(Q·k) frames. */
+  def v93TrainedIvfpqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v91TrainedIvfpqPersisted(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   /** Per-cluster membership stats of the LAST round: size after, and
     * how many members kept their previous assignment. */
   private def lloydStats(last: DataFrame): DataFrame =

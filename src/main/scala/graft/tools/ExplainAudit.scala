@@ -135,7 +135,10 @@ object ExplainAudit {
     // v90/v91 serve v65's/v68's probe chains from persisted trained
     // indexes (the v66/v67 persisted-serving class — probe routing is
     // the centroids × broadcast(queries) shape).
-    "v90_trained_ivf_persisted", "v91_trained_ivfpq_persisted")
+    "v90_trained_ivf_persisted", "v91_trained_ivfpq_persisted",
+    // v92/v93 compose v90's/v91's served chains and v1's exact chain
+    // (the v36/v39 eval class).
+    "v92_trained_ivf_recall", "v93_trained_ivfpq_recall")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

@@ -65,6 +65,29 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("v92/v93: trained recall rows recompute exactly from the gated " +
+    "v65/v68 and v1 outputs") {
+    val exact = Queries.v1KnnL2(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def check(approxRows: Array[Row], recallRows: Array[Row]): Unit = {
+      val approx = approxRows.groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      assert(recallRows.length == exact.size)
+      recallRows.foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        val expected = (exact(q) & approx(q)).size.toLong
+        assert(r.getAs[Long]("n_hit") == expected)
+        assert(math.abs(r.getAs[Double]("recall_at_5") - expected / 5.0)
+          < 1e-12)
+      }
+    }
+    check(Queries.v65TrainedIvfSearch(spark, sf).collect(),
+      Queries.v92TrainedIvfRecall(spark, sf).collect())
+    check(Queries.v68TrainedIvfPq(spark, sf).collect(),
+      Queries.v93TrainedIvfpqRecall(spark, sf).collect())
+  }
+
   test("v88: deterministic across runs; per-query best distance and " +
     "frontier recall at least match v79's flat-entry beam") {
     def byQ(rows: Array[Row], idc: String) = rows
