@@ -977,17 +977,27 @@ object Queries {
     * grid-floored. Shared by the rebuild-shape gate (v78, train+search
     * per run) and the persisted-serving gate (v87, which stores the
     * result once), so the two gates cannot drift in training
-    * arithmetic. */
+    * arithmetic.
+    *
+    * Plan shape per round: assignment is ONE map-only projection over
+    * the UNSLICED vector column (all m per-subspace literal argmins
+    * evaluated into a codes array — same candidate expressions as the
+    * oracle, once per vector), and the (n, Σ) grid rides the native
+    * [[graft.plans.PqGridSumAggregate]] (one 9 KB primitive buffer
+    * per partition). The previous shape posexploded every vector into
+    * m subspace rows and localCheckpointed the 8×-row frame per round
+    * — 40M materialized rows ×3 at the data-bound point; since every
+    * round's assignment is a pure function of the gallery scan plus
+    * collected literals, nothing needs checkpointing at all. Long
+    * sums are order-independent (exact), so the trained book is
+    * bit-identical to the exploded form's — the oracle and both gate
+    * hashes are unchanged. */
   private def trainedPqBook(s: SparkSession,
                             d: String): Seq[PqIndex.Codebook] = {
     val m = 8; val dim = 64; val sub = dim / m; val ksub = 16
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
       quantize(col("embedding")).as("qv"))
-    val sliced = g.select(col("id"), posexplode(
-        array((0 until m).map(j =>
-          slice(col("qv"), j * sub + 1, sub)).toIndexedSeq: _*))
-        .as(Seq("j", "sv")))
     // seed books: sub-slices of the first ksub vectors (v11's
     // derive-from-data rule) — broadcast-sized, collected once.
     // seeds(cid) indexes POSITIONALLY, so a corpus with any vec_id in
@@ -1001,49 +1011,71 @@ object Queries {
       s"trainedPqBook: seed ids 0..${ksub - 1} must all exist " +
         s"(found ${seeds.length}) — positional seed slices cannot " +
         "degrade to fewer clusters the way the id-keyed oracle does")
+    def sv(j: Int): Column = slice(col("qv"), j * sub + 1, sub)
     def seedCands(j: Int): Seq[Column] =
       (0 until ksub).map { cid =>
         val cv = array(seeds(cid).slice(j * sub, (j + 1) * sub)
           .map(lit(_)).toIndexedSeq: _*)
-        struct(intL2Sq(col("sv"), cv).cast("double").as("dist"),
+        struct(intL2Sq(sv(j), cv).cast("double").as("dist"),
           lit(cid.toLong).as("cid"))
       }
-    // per-subspace literal argmin: the row's j picks its candidate set
-    def assign(cands: Int => Seq[Column]): Column =
-      coalesce((0 until m).map(j =>
-        when(col("j") === j,
-          array_min(array(cands(j): _*)).getField("cid")))
-        .toIndexedSeq: _*)
-    def gridSums(cur: DataFrame): Array[(Long, Long, Array[Long])] =
-      Centroids.classSums(
-        cur.select((col("j") * ksub + col("c")).as("lab"), col("sv")),
-        "lab", "sv")
+    // all m per-subspace literal argmins in one projection
+    def assignAll(cands: Int => Seq[Column]): Column =
+      array((0 until m).map(j =>
+        array_min(array(cands(j): _*)).getField("cid")).toIndexedSeq: _*)
+    def gridSums(codes: Column): Array[(Long, Long, Array[Long])] = {
+      import org.apache.spark.sql.GraftSqlBridge
+      val agg = GraftSqlBridge.column(
+        graft.plans.PqGridSumAggregate(
+          GraftSqlBridge.expression(col("qv")),
+          GraftSqlBridge.expression(col("codes")),
+          m, ksub, sub).toAggregateExpression())
+      g.select(col("qv"), codes.as("codes"))
+        .agg(agg.as("grid"))
+        .select(explode(col("grid")).as("cell"))
+        .select(col("cell.lab"), col("cell.n"), col("cell.svec"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+        .filter(_._2 > 0)
         .sortBy(_._1)
-    var cur = sliced.withColumn("c", assign(seedCands))
-    for (_ <- 1 to 3) {
-      val sums = gridSums(cur)
-      def roundCands(j: Int): Seq[Column] =
-        sums.filter(_._1 / ksub == j).toIndexedSeq.map {
-          case (lab, n, svec) =>
-            val sLit = array(svec.map(lit(_)).toIndexedSeq: _*)
-            val a2 = aggregate(
-              zip_with(col("sv"), sLit, (qi, si) => {
-                val diff = lit(n).cast(dec) * qi.cast(dec) - si.cast(dec)
-                diff * diff
-              }),
-              lit(0L).cast(dec), (acc, x) => acc + x)
-            struct((sqrt(a2) / lit(n * DefaultScale.toLong).cast("double"))
-              .as("dist"), lit(lab % ksub).as("cid"))
-        }
-      cur = cur.withColumn("c", assign(roundCands)).localCheckpoint(false)
     }
-    gridSums(cur).toIndexedSeq.map { case (lab, n, svec) =>
+    var codes = assignAll(seedCands)
+    var sums = gridSums(codes)
+    for (_ <- 1 to 2) {
+      codes = assignAll(roundCandsPq(sums, ksub, sub, dec))
+      sums = gridSums(codes)
+    }
+    // the loop above re-aggregates after each of rounds 1-2; round 3's
+    // reassignment feeds the final grid directly
+    sums = gridSums(assignAll(roundCandsPq(sums, ksub, sub, dec)))
+    sums.toIndexedSeq.map { case (lab, n, svec) =>
       PqIndex.Codebook((lab / ksub).toInt, (lab % ksub).toInt,
         svec.toIndexedSeq.map(si => math.floor(si.toDouble / n)))
     }
   }
+
+  /** Per-subspace scaled-distance candidates against a collected
+    * (lab, n, Σ) grid — v26's Decimal(38,0) exactness arithmetic on
+    * the subspace slice (the round template [[trainedPqBook]] and the
+    * oracle's pqLloydRoundCtes share). */
+  private def roundCandsPq(sums: Array[(Long, Long, Array[Long])],
+                           ksub: Int, sub: Int,
+                           dec: org.apache.spark.sql.types.DecimalType)
+      : Int => Seq[Column] =
+    (j: Int) =>
+      sums.filter(_._1 / ksub == j).toIndexedSeq.map {
+        case (lab, n, svec) =>
+          val sLit = array(svec.map(lit(_)).toIndexedSeq: _*)
+          val a2 = aggregate(
+            zip_with(slice(col("qv"), j * sub + 1, sub), sLit,
+              (qi, si) => {
+                val diff = lit(n).cast(dec) * qi.cast(dec) - si.cast(dec)
+                diff * diff
+              }),
+            lit(0L).cast(dec), (acc, x) => acc + x)
+          struct((sqrt(a2) / lit(n * DefaultScale.toLong).cast("double"))
+            .as("dist"), lit(lab % ksub).as("cid"))
+      }
 
   /** v78's trained-PQ search served from a PERSISTED trained index —
     * the missing persist-once/serve-many form of the TRAINED family
