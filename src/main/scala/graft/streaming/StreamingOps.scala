@@ -465,6 +465,33 @@ object StreamingOps {
       distFromIntSq(col("d2"), scale).as("dist"))
   }
 
+  /** Per-micro-batch PQ-ADC serving (streaming twin of the persisted
+    * compressed-index serve path — v11's kernel, v87's lifecycle):
+    * each arriving query batch scores the PERSISTED code table through
+    * the broadcast ADC-table kernel. Statics persist across batches:
+    * the code table (8 bytes/row — never re-encoded) and the collected
+    * codebook (O(m·ksub·sub), the centroid contract); per batch only
+    * the O(batch) distance tables are computed and broadcast. Run from
+    * `writeStream.foreachBatch` — the per-batch driver routing is
+    * searchAdc's batch-KNN contract (the v63/v75 precedent). Every
+    * query scores independently, so ANY partitioning of requests
+    * across micro-batches unions to the batch-gated rows (the parity
+    * spec proves it against v11). */
+  def adcServeBatch(queryBatch: DataFrame, codes: DataFrame,
+                    book: Seq[graft.operators.PqIndex.Codebook],
+                    dim: Int = 64, m: Int = 8, k: Int = 5,
+                    scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
+    import graft.functions.VectorFunctions.quantize
+    val q = queryBatch
+      .select(col("query_id").cast("long").as("qid"),
+        transform(quantize(col("embedding"), scale),
+          x => x.cast("double")).as("qemb"))
+    graft.operators.PqIndex.searchAdc(codes, q, "qid", "qemb",
+        dim, m, book, k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(scale.toDouble)).as("dist"))
+  }
+
   def hybridRrfBatch(queryBatch: DataFrame, gallery: DataFrame,
                      inv: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.shingles

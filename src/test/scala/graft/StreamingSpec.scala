@@ -793,4 +793,43 @@ class StreamingSpec extends SparkSpec {
       assert(buf.toSet == expected && expected.nonEmpty)
     } finally q.stop()
   }
+
+  test("adcServeBatch via foreachBatch: queries split across micro-" +
+    "batches score the persisted code table to exactly the gated v11 " +
+    "rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.quantize
+    import graft.operators.PqIndex
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val g = emb.select($"vec_id".cast("long").as("id"),
+      org.apache.spark.sql.functions.transform(quantize($"embedding"),
+        x => x.cast("double")).as("qemb"))
+    val book = PqIndex.seededBook(g, "id", "qemb", 64, 8, 16)
+    val codes = PqIndex.encode(g, "id", "qemb", 64, 8, book)
+      .localCheckpoint(false)
+    val qRows = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    mem.addData(qRows.take(2): _*)
+    val q = mem.toDF().toDF("query_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= StreamingOps.adcServeBatch(b, codes, book)
+            .as[(Long, Long, Long, Double)].collect()
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      mem.addData(qRows.drop(2): _*)
+      q.processAllAvailable()
+      val expected = graft.queries.Queries.v11PqAdc(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(buf.toSet == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
 }
