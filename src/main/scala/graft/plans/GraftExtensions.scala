@@ -22,6 +22,16 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   *    array<struct<id,score>> in rank order (k, ascending literals)
   *  - `graft_vecsum(vec)` — element-wise Long-array sum aggregate (the
   *    exact-centroid (n, Σ) carrier, one pass, no explode)
+  *  - `graft_simhash64(tokens)` — 64-bit SimHash fingerprint of a
+  *    token array (the byte-level kernel the d3/d6 family runs)
+  *  - `graft_gram(vec)` — upper-triangle Gram aggregate over a
+  *    Long-vector column: the d·(d+1)/2 exact second moments as
+  *    Decimal(38,0), row-major (the v34 kernel, one 128-bit buffer
+  *    per partition)
+  *  - `graft_pq_grid_sums(vec, codes, m, ksub, sub)` — PQ-training
+  *    grid aggregate: per (subspace, code) cell the member count and
+  *    subspace-slice sum (m/ksub/sub literal ints; the v78 Lloyd
+  *    carrier)
   *
   * For an already-running session use `GraftExtensions.register(spark)`.
   */
@@ -88,6 +98,30 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         arity("graft_vecsum", "(vec)", exprs, 1)
         VectorSumAggregate(exprs(0))
+      }),
+    (new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64Expr].getName,
+        "graft_simhash64"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_simhash64", "(tokens)", exprs, 1)
+        Simhash64Expr(exprs(0))
+      }),
+    (new FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[GramAggregate].getName, "graft_gram"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_gram", "(vec)", exprs, 1)
+        GramAggregate(exprs(0))
+      }),
+    (new FunctionIdentifier("graft_pq_grid_sums"),
+      new ExpressionInfo(classOf[PqGridSumAggregate].getName,
+        "graft_pq_grid_sums"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_pq_grid_sums", "(vec, codes, m, ksub, sub)",
+          exprs, 5)
+        PqGridSumAggregate(exprs(0), exprs(1),
+          litInt(exprs(2), "graft_pq_grid_sums", "m"),
+          litInt(exprs(3), "graft_pq_grid_sums", "ksub"),
+          litInt(exprs(4), "graft_pq_grid_sums", "sub"))
       }))
 
   /** Register the graft functions into a live session's registry. */

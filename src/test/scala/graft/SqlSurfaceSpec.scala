@@ -77,4 +77,47 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("literal"))
   }
+
+  test("graft_simhash64 from SQL matches the Column API kernel") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash64(array('alpha', 'beta', 'gamma')) AS f")
+      .collect().head.get(0)
+    val api = Seq(Seq("alpha", "beta", "gamma")).toDF("t")
+      .select(graft.plans.TextExpressions.simhash64($"t"))
+      .collect().head.get(0)
+    assert(r === api)
+  }
+
+  test("graft_gram from SQL matches the hand-computed upper triangle") {
+    GraftExtensions.register(spark)
+    Seq(Seq(1L, 2L), Seq(3L, 4L)).map(Tuple1(_)).toDF("v")
+      .createOrReplaceTempView("gram_in")
+    val got = spark.sql("SELECT graft_gram(v) AS g FROM gram_in")
+      .collect().head.getSeq[java.math.BigDecimal](0)
+      .map(_.longValueExact())
+    // cells (0,0)=1+9, (0,1)=2+12, (1,1)=4+16
+    assert(got == Seq(10L, 14L, 20L))
+  }
+
+  test("graft_pq_grid_sums from SQL carries (n, slice-sum) per cell") {
+    GraftExtensions.register(spark)
+    // two vectors, m=2 subspaces of sub=2, ksub=2; codes route them
+    Seq((Seq(1L, 2L, 3L, 4L), Seq(0L, 1L)),
+        (Seq(5L, 6L, 7L, 8L), Seq(0L, 0L)))
+      .toDF("v", "codes").createOrReplaceTempView("grid_in")
+    val cells = spark.sql(
+      "SELECT explode(graft_pq_grid_sums(v, codes, 2, 2, 2)) AS c " +
+        "FROM grid_in")
+      .select($"c.lab", $"c.n", $"c.svec")
+      .as[(Long, Long, Seq[Long])].collect()
+      .map { case (lab, n, s) => lab -> ((n, s)) }.toMap
+    // lab 0 = (j=0, code=0): both rows -> n=2, sums (1+5, 2+6)
+    assert(cells(0L) == ((2L, Seq(6L, 8L))))
+    assert(cells(1L) == ((0L, Seq(0L, 0L))))
+    // lab 2 = (j=1, code=0): second row's slice (7, 8)
+    assert(cells(2L) == ((1L, Seq(7L, 8L))))
+    // lab 3 = (j=1, code=1): first row's slice (3, 4)
+    assert(cells(3L) == ((1L, Seq(3L, 4L))))
+  }
 }
