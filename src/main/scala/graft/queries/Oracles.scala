@@ -433,6 +433,31 @@ $beamGraphCtes,
 f0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS nid FROM q),
 $beamLoopCtes"""
 
+  /** The beam-family recall row over a full walk CTE set (must expose
+    * g, q, fr3, f3): rank-1 endpoint vs the exact top-5 + final-
+    * frontier hit count — one definition shared by v81 (flat entry)
+    * and v94 (hierarchical entry). */
+  private def beamRecallSql(walkCtes: String): String = s"""
+WITH $walkCtes,
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qv")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid, rnk FROM rex WHERE rnk <= 5),
+b1 AS (SELECT query_id, nid FROM fr3 WHERE rn = 1),
+hits AS (SELECT f.query_id, CAST(count(hx.gid) AS BIGINT) AS frontier_hits
+         FROM f3 f LEFT JOIN hx ON hx.query_id = f.query_id
+           AND hx.gid = f.nid
+         GROUP BY 1)
+SELECT b1.query_id, b1.nid AS node_id,
+       CAST(coalesce(h2.rnk, 0) AS BIGINT) AS exact_rank,
+       CAST(CASE WHEN h2.rnk IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_top5,
+       hits.frontier_hits
+FROM b1 LEFT JOIN hx h2 ON h2.query_id = b1.query_id AND h2.gid = b1.nid
+JOIN hits ON hits.query_id = b1.query_id"""
+
   /** v88's CTEs: the shared layer-0 graph, a coarse layer-1 graph over
     * the portable-hash subset (hash % 5 = 0 — v9's contract), v57's
     * 3-step greedy walk over the coarse edges, then the SHARED beam
@@ -4563,26 +4588,7 @@ FROM fr3 WHERE rn <= 4""",
 
     // Beam recall: the beam's rank-1 endpoint vs the exact top-5, plus
     // how many final-frontier nodes land in the exact top-5.
-    "v81_beam_recall" -> s"""
-WITH $beamSearchCtes,
-dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qv")} AS d2
-        FROM g CROSS JOIN q),
-rex AS (SELECT query_id, gid,
-               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
-        FROM dex),
-hx AS (SELECT query_id, gid, rnk FROM rex WHERE rnk <= 5),
-b1 AS (SELECT query_id, nid FROM fr3 WHERE rn = 1),
-hits AS (SELECT f.query_id, CAST(count(hx.gid) AS BIGINT) AS frontier_hits
-         FROM f3 f LEFT JOIN hx ON hx.query_id = f.query_id
-           AND hx.gid = f.nid
-         GROUP BY 1)
-SELECT b1.query_id, b1.nid AS node_id,
-       CAST(coalesce(h2.rnk, 0) AS BIGINT) AS exact_rank,
-       CAST(CASE WHEN h2.rnk IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-         AS in_top5,
-       hits.frontier_hits
-FROM b1 LEFT JOIN hx h2 ON h2.query_id = b1.query_id AND h2.gid = b1.nid
-JOIN hits ON hits.query_id = b1.query_id""",
+    "v81_beam_recall" -> beamRecallSql(beamSearchCtes),
 
     // SQ4: v17's quantizer at 15 levels — shared sqKnnSql definition.
     "v82_sq4_knn" -> sqKnnSql(15),
@@ -4727,6 +4733,9 @@ WITH $hnswEntryCtes
 SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
        sqrt(d2) / $vscale.0 AS dist
 FROM fr3 WHERE rn <= 4""",
+    // Hierarchical-entry beam recall: v81's shared recall tail over
+    // the coarse-walk-seeded CTEs.
+    "v94_hnsw_recall" -> beamRecallSql(hnswEntryCtes),
     // Trained-PQ retrieval quality: the trained ADC ranking (v78's
     // chain verbatim) against the exact top-5 — v36's eval shape, so
     // the seeded-vs-trained delta is a measured pair of rows.

@@ -5428,11 +5428,29 @@ object Queries {
     * asserts beam recall ≥ greedy recall — beam candidates are a
     * superset at every step). Both inputs gated O(Q·k) frames →
     * broadcast join + tiny aggregate. */
-  def v81BeamRecall(s: SparkSession, d: String): DataFrame = {
+  def v81BeamRecall(s: SparkSession, d: String): DataFrame =
+    beamRecallOf(s, d, v79BeamSearch(s, d))
+
+  /** HNSW-entry quality — v81's recall row for v88, so the hierarchy's
+    * value is a MEASURED gated row next to the flat-entry beam's: the
+    * (v81, v94) pair reads as what the coarse-layer descent buys at
+    * equal layer-0 beam steps (the spec already proves ≥; this makes
+    * the magnitude a number in the eval matrix). Both inputs gated
+    * O(Q·k) frames → broadcast join + tiny aggregate; oracle = the
+    * shared recall tail over the hierarchical-walk CTEs. */
+  def v94HnswRecall(s: SparkSession, d: String): DataFrame =
+    beamRecallOf(s, d, v88HnswEntry(s, d))
+
+  /** The beam-family recall row (v81/v94): the beam's rank-1 endpoint
+    * vs the exact top-5 plus how many final-frontier nodes land in the
+    * exact top-5 — one definition so the flat- and hierarchical-entry
+    * rows cannot drift in eval semantics. */
+  private def beamRecallOf(s: SparkSession, d: String,
+                           beamOut: DataFrame): DataFrame = {
     val exact = v1KnnL2(s, d)
       .select(col("query_id").as("qx"),
         col("rnk").cast("long").as("exact_rnk"), col("neighbor_id"))
-    val beam = v79BeamSearch(s, d).localCheckpoint(false)
+    val beam = beamOut.localCheckpoint(false)
     val joined = beam.join(broadcast(exact),
       col("query_id") === col("qx") &&
         col("node_id") === col("neighbor_id"), "left")

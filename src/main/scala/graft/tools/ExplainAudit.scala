@@ -138,7 +138,10 @@ object ExplainAudit {
     "v90_trained_ivf_persisted", "v91_trained_ivfpq_persisted",
     // v92/v93 compose v90's/v91's served chains and v1's exact chain
     // (the v36/v39 eval class).
-    "v92_trained_ivf_recall", "v93_trained_ivfpq_recall")
+    "v92_trained_ivf_recall", "v93_trained_ivfpq_recall",
+    // v94 composes v88's walk (scalar entry) and v1's exact chain
+    // (the v81 class).
+    "v94_hnsw_recall")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the
