@@ -17,6 +17,7 @@ import org.apache.spark.sql.types._
   * Decimal's per-row allocation. Arrays stay null until the first
   * non-null input fixes the dimensionality. */
 final class GramState {
+  import GramState.MaxAbsElement
   var dim: Int = -1
   var hi: Array[Long] = null
   var lo: Array[Long] = null
@@ -41,6 +42,17 @@ final class GramState {
     }
     require(v.length == dim,
       s"graft_gram: ragged vector column (${v.length} vs $dim)")
+    // public-SQL guard: the 128-bit accumulator is exact only if each
+    // per-row PRODUCT xi·xj fits int64 — |x| ≤ ⌊√(2⁶³−1)⌋ guarantees
+    // it. Quantized internal vectors sit ~5 orders below this; inputs
+    // past it must fail loudly, not wrap the product pre-accumulation.
+    var g = 0
+    while (g < dim) {
+      require(v(g) <= MaxAbsElement && v(g) >= -MaxAbsElement,
+        s"graft_gram: |element| ${v(g)} exceeds $MaxAbsElement — the " +
+          "per-row product would overflow int64 before accumulation")
+      g += 1
+    }
     var c = 0
     var i = 0
     while (i < dim) {
@@ -70,6 +82,12 @@ final class GramState {
       }
     }
   }
+}
+
+object GramState {
+  /** ⌊√(2⁶³−1)⌋ — the largest |element| whose squares (and therefore
+    * all cross products) still fit int64. */
+  val MaxAbsElement: Long = 3037000499L
 }
 
 /** Native upper-triangle Gram aggregate — the exact second-moment

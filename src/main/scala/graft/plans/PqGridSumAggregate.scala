@@ -18,9 +18,20 @@ final class PqGridState(val m: Int, val ksub: Int, val sub: Int) {
   val sums = new Array[Long](m * ksub * sub)
 
   def add(qv: ArrayData, codes: ArrayData): Unit = {
+    // the function is on the public SQL surface (graft_pq_grid_sums),
+    // so malformed inputs must fail loudly instead of silently adding
+    // into an adjacent subspace's cell / reading past the arrays
+    require(codes.numElements() == m,
+      s"graft_pq_grid_sums: codes length ${codes.numElements()} != m=$m")
+    require(qv.numElements() == m * sub,
+      s"graft_pq_grid_sums: vector length ${qv.numElements()} != " +
+        s"m*sub=${m * sub}")
     var j = 0
     while (j < m) {
-      val c = codes.getLong(j).toInt
+      val cl = codes.getLong(j)
+      require(cl >= 0 && cl < ksub,
+        s"graft_pq_grid_sums: code $cl at subspace $j outside [0, $ksub)")
+      val c = cl.toInt
       counts(j * ksub + c) += 1
       val base = (j * ksub + c) * sub
       var i = 0

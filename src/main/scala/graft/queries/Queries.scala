@@ -710,10 +710,10 @@ object Queries {
     * map-side-combined aggregate + one map-only literal argmin —
     * zero data-sized shuffles. */
   private def lloydRound(cur: DataFrame): DataFrame = {
-    val cands = lloydCands(collectClassSums(cur))
-    cur.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
-      .select(col("id"), col("qv"), col("c").as("c_prev"),
-        col("best.lab").as("c"))
+    val cs = collectClassSums(cur)
+    cur.select(col("id"), col("qv"), col("c").as("c_prev"),
+      graft.plans.GridArgmin.nearestLab(col("qv"), cs,
+        DefaultScale.toLong).as("c"))
   }
 
   /** The broadcast-sized (lab, n, sum-vector) table of the current
@@ -728,29 +728,13 @@ object Queries {
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .sortBy(_._1)
 
-  /** Per-cluster scaled-distance candidate structs (dist, lab) over a
-    * `qv` column: dist = sqrt(Σ(n·q_i − s_i)²)/(n·scale) with the Σ in
-    * Decimal(38,0) — the v14/v18 exactness trick, literal-folded so
-    * assignment and routing are map-only. */
-  private def lloydCands(
-      cs: Array[(Long, Long, Array[Long])]): Seq[Column] = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    cs.toIndexedSeq.map { case (lab, n, svec) =>
-      val sLit = array(svec.map(lit(_)).toIndexedSeq: _*)
-      val a2 = aggregate(
-        zip_with(col("qv"), sLit, (qi, si) => {
-          // operands cast to Decimal(38,0) BEFORE the multiply/subtract
-          // (matching the doc-comment's exactness claim) — in LongType
-          // an overflow would wrap silently under non-ANSI Spark while
-          // the DuckDB twin's HUGEINT keeps going
-          val diff = lit(n).cast(dec) * qi.cast(dec) - si.cast(dec)
-          diff * diff
-        }),
-        lit(0L).cast(dec), (acc, x) => acc + x)
-      struct((sqrt(a2) / lit(n * DefaultScale.toLong).cast("double"))
-        .as("dist"), lit(lab).as("lab"))
-    }
-  }
+  // The scaled-distance argmin dist = sqrt(Σ(n·q_i − s_i)²)/(n·scale)
+  // — the v14/v18 exactness trick — previously rode Decimal(38,0)
+  // Catalyst candidate structs here (~nlist·dim Decimal ops PER ROW
+  // per round); it now runs in [[graft.plans.GridNearestLabs]], the
+  // zero-allocation int128 kernel with bit-identical value semantics
+  // (Int128ArgminSpec proves the equivalence on overflow-adjacent
+  // inputs, and the gate hashes are unchanged at both SFs).
 
   /** TRAINED-quantizer IVF search — the full faiss scale path in ONE
     * gated chain (train → add → search, faiss_utils.py:4-22 semantics):
@@ -767,15 +751,15 @@ object Queries {
     * frame while the gallery streams; the only exchange is the O(Q·k)
     * partial top-k. */
   def v65TrainedIvfSearch(s: SparkSession, d: String): DataFrame = {
-    val cands = lloydCands(trainedCoarseSums(s, d))
+    val cs = trainedCoarseSums(s, d)
     val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
       quantize(col("embedding")).as("qv"))
     // ADD: assign the gallery to the trained centroids (asn4 in the
     // oracle — one more application of the shared round template)
-    val added = g.withColumn("best",
-        array_min(array(cands.toIndexedSeq: _*)))
-      .select(col("id"), col("qv"), col("best.lab").as("c"))
-    trainedIvfServe(added, g, cands)
+    val added = g.select(col("id"), col("qv"),
+      graft.plans.GridArgmin.nearestLab(col("qv"), cs,
+        DefaultScale.toLong).as("c"))
+    trainedIvfServe(added, g, cs)
   }
 
   /** The TRAINED coarse quantizer as its exact (lab, n, sum-vector)
@@ -793,17 +777,17 @@ object Queries {
 
   /** v65's ROUTE + probe-scan + top-k over an already-ADDed trained
     * index (id, qv, c): each query routes to its 2 nearest trained
-    * centroids by the shared scaled distance (array_sort over the
-    * nlist candidate structs — lexicographic (dist, lab), matching
-    * the oracle's ORDER BY), the probe frame broadcasts, the index
+    * centroids by the shared scaled distance (the k=2 form of the
+    * int128 argmin kernel — lexicographic (dist, lab), matching the
+    * oracle's ORDER BY), the probe frame broadcasts, the index
     * streams. Shared by v65 (in-memory ADD) and v90 (persisted ADD). */
   private def trainedIvfServe(added: DataFrame, queryVecs: DataFrame,
-                              cands: Seq[Column]): DataFrame = {
-    val sorted = array_sort(array(cands.toIndexedSeq: _*))
+                              cs: Array[(Long, Long, Array[Long])])
+      : DataFrame = {
     val probes = queryVecs.filter(col("id") % 100 === 0)
       .select(col("id").as("query_id"), col("qv").as("qvec"),
-        explode(array(element_at(sorted, 1).getField("lab"),
-          element_at(sorted, 2).getField("lab"))).as("pc"))
+        explode(graft.plans.GridArgmin.nearestLabs(col("qv"), cs,
+          DefaultScale.toLong, k = 2)).as("pc"))
     val scored = added.join(broadcast(probes), col("c") === col("pc"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         intL2Sq(col("qv"), col("qvec")).cast("double").as("d2"))
@@ -839,17 +823,17 @@ object Queries {
     val cs = centsDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .sortBy(_._1)
-    val cands = lloydCands(cs)
     val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
       quantize(col("embedding")).as("qv"))
     val path = s"/tmp/graft_tivfidx_${safe}_$fp"
     if (!persistedComplete(path))
-      g.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
-        .select(col("id"), col("qv"), col("best.lab").as("c"))
+      g.select(col("id"), col("qv"),
+          graft.plans.GridArgmin.nearestLab(col("qv"), cs,
+            DefaultScale.toLong).as("c"))
         .write.mode("overwrite").partitionBy("c").parquet(path)
     val added = Tables.ensureParallelism(s.read.parquet(path), Some(path))
       .select(col("id"), col("qv"), col("c").cast("long").as("c"))
-    trainedIvfServe(added, g, cands)
+    trainedIvfServe(added, g, cs)
   }
 
   /** TRAINED residual IVFPQ — faiss IndexIVFPQ's actual production
@@ -995,7 +979,6 @@ object Queries {
   private def trainedPqBook(s: SparkSession,
                             d: String): Seq[PqIndex.Codebook] = {
     val m = 8; val dim = 64; val sub = dim / m; val ksub = 16
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
       quantize(col("embedding")).as("qv"))
     // seed books: sub-slices of the first ksub vectors (v11's
@@ -1039,43 +1022,26 @@ object Queries {
         .filter(_._2 > 0)
         .sortBy(_._1)
     }
+    // rounds 1-3 reassign via the int128 grid-argmin kernel (one
+    // native expression for all m subspaces — bit-identical to the
+    // previous Decimal(38,0) candidate structs, see GridArgminExpressions)
+    def roundCodes(sums: Array[(Long, Long, Array[Long])]): Column =
+      graft.plans.GridArgmin.pqCodes(col("qv"), sums, m, sub, ksub,
+        DefaultScale.toLong)
     var codes = assignAll(seedCands)
     var sums = gridSums(codes)
     for (_ <- 1 to 2) {
-      codes = assignAll(roundCandsPq(sums, ksub, sub, dec))
+      codes = roundCodes(sums)
       sums = gridSums(codes)
     }
     // the loop above re-aggregates after each of rounds 1-2; round 3's
     // reassignment feeds the final grid directly
-    sums = gridSums(assignAll(roundCandsPq(sums, ksub, sub, dec)))
+    sums = gridSums(roundCodes(sums))
     sums.toIndexedSeq.map { case (lab, n, svec) =>
       PqIndex.Codebook((lab / ksub).toInt, (lab % ksub).toInt,
         svec.toIndexedSeq.map(si => math.floor(si.toDouble / n)))
     }
   }
-
-  /** Per-subspace scaled-distance candidates against a collected
-    * (lab, n, Σ) grid — v26's Decimal(38,0) exactness arithmetic on
-    * the subspace slice (the round template [[trainedPqBook]] and the
-    * oracle's pqLloydRoundCtes share). */
-  private def roundCandsPq(sums: Array[(Long, Long, Array[Long])],
-                           ksub: Int, sub: Int,
-                           dec: org.apache.spark.sql.types.DecimalType)
-      : Int => Seq[Column] =
-    (j: Int) =>
-      sums.filter(_._1 / ksub == j).toIndexedSeq.map {
-        case (lab, n, svec) =>
-          val sLit = array(svec.map(lit(_)).toIndexedSeq: _*)
-          val a2 = aggregate(
-            zip_with(slice(col("qv"), j * sub + 1, sub), sLit,
-              (qi, si) => {
-                val diff = lit(n).cast(dec) * qi.cast(dec) - si.cast(dec)
-                diff * diff
-              }),
-            lit(0L).cast(dec), (acc, x) => acc + x)
-          struct((sqrt(a2) / lit(n * DefaultScale.toLong).cast("double"))
-            .as("dist"), lit(lab % ksub).as("cid"))
-      }
 
   /** v78's trained-PQ search served from a PERSISTED trained index —
     * the missing persist-once/serve-many form of the TRAINED family
@@ -5785,9 +5751,10 @@ object Queries {
     val seed = lloydSeedAssign(emb(s, d))
     var cur = seed
     for (_ <- 1 to 3) cur = lloydRound(cur).localCheckpoint(false)
-    val cands = lloydCands(collectClassSums(cur))
-    seed.withColumn("best", array_min(array(cands.toIndexedSeq: _*)))
-      .groupBy(col("c").as("seed_cid"), col("best.lab").as("trained_cid"))
+    val cs = collectClassSums(cur)
+    seed.groupBy(col("c").as("seed_cid"),
+        graft.plans.GridArgmin.nearestLab(col("qv"), cs,
+          DefaultScale.toLong).as("trained_cid"))
       .agg(count(lit(1)).as("n"))
   }
 

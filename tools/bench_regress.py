@@ -61,9 +61,16 @@ def solo_probe(key, sf_dir):
                SPARK_GRAFT_ONLY=key,
                SPARK_GRAFT_BENCH_OUT=out)
     xmx = os.environ.get("GRAFT_PROBE_XMX", "64g")
-    subprocess.run(["java", f"-Xmx{xmx}", "-cp", cp, "graft.Bench"],
-                   env=env, check=True, stdout=subprocess.DEVNULL,
-                   stderr=subprocess.DEVNULL)
+    # capture stderr so a failing solo run reports its diagnostics
+    # instead of a bare CalledProcessError
+    proc = subprocess.run(["java", f"-Xmx{xmx}", "-cp", cp, "graft.Bench"],
+                          env=env, stdout=subprocess.DEVNULL,
+                          stderr=subprocess.PIPE)
+    if proc.returncode != 0:
+        tail = proc.stderr.decode(errors="replace").splitlines()[-30:]
+        raise RuntimeError(
+            f"solo probe of {key} failed (exit {proc.returncode}):\n" +
+            "\n".join(tail))
     doc = json.load(open(out))
     os.unlink(out)
     return doc["queries"][key]
@@ -73,6 +80,15 @@ real = list(flagged)
 if do_probe and flagged:
     sf_dir = new_doc.get("sf", "/root/testdata/sf0.1")
     probes = new_doc.setdefault("probes", {})
+    def write_back():
+        # atomic write: a crash mid-dump (or a later probe's failure)
+        # must never truncate or corrupt the committed bench record
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(
+            os.path.abspath(argv[1])) or ".", suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_doc, f)
+        os.replace(tmp, argv[1])
+
     real = []
     for k in flagged:
         print(f"[probe] re-measuring {k} solo on {sf_dir} ...",
@@ -86,7 +102,7 @@ if do_probe and flagged:
               f"old={old[k]:.2f}s solo_ratio={ratio:.2f} -> {verdict}")
         if ratio > thr:
             real.append(k)
-    json.dump(new_doc, open(argv[1], "w"))
+        write_back()  # persist each probe as it lands
     print(f"[probe] annotations written back to {argv[1]}")
 
 label = "solo-confirmed " if do_probe else ""
