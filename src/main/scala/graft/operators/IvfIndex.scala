@@ -149,4 +149,55 @@ object IvfIndex {
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         distFromIntSq(col("d2"), scale).as("dist"))
   }
+
+  /** Execute tombstone compaction on a persisted centroid-partitioned
+    * index — the faiss `remove_ids` REWRITE, applied only where the
+    * v71 planner rule says the rent is due. Partitions whose EXACT
+    * dead share crosses the rewrite threshold (`8·n_dead > n_total`,
+    * i.e. > 12.5 % dead — cross-multiplied Longs, no float boundary)
+    * are rewritten into `dstPath` with dead rows PURGED; every other
+    * partition's files are copied BYTE-FOR-BYTE (a production store
+    * would hard-link or leave them in place — the point is they are
+    * never re-encoded, so compaction cost scales with the flagged
+    * fraction, not the index size). The rewrite job reads ONLY the
+    * flagged partitions via partition pruning. Returns the flagged
+    * centroid ids (sorted) so callers/specs can assert the split.
+    *
+    * Serving from the compacted store still anti-joins the tombstone
+    * set: unflagged partitions legitimately retain dead rows (that is
+    * the whole economics of the threshold) — compaction changes WHERE
+    * the bytes are, never what the search returns (v95's gate runs
+    * v62's oracle verbatim against the compacted serve). */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+              isDead: org.apache.spark.sql.Column): Seq[Long] = {
+    val idx = load(spark, srcPath)
+    val flagged = idx.groupBy(col("centroid_id").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(isDead, 1L).otherwise(0L)).as("n_dead"))
+      .filter(col("n_dead") * 8 > col("n_total"))
+      .select("cid").collect().map(_.getLong(0)).toSeq.sorted
+    // rewrite flagged partitions dead-purged (partition-pruned scan);
+    // an empty flag set still writes the _SUCCESS marker
+    idx.filter(col("centroid_id").cast("long")
+        .isin(flagged: _*) && !isDead)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dstPath)
+    // copy unflagged partition directories file-for-file
+    val src = java.nio.file.Paths.get(srcPath)
+    val dst = java.nio.file.Paths.get(dstPath)
+    val keep = flagged.map(c => s"centroid_id=$c").toSet
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(src).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("centroid_id=") &&
+        !keep.contains(p.getFileName.toString))
+      .foreach { part =>
+        val target = dst.resolve(part.getFileName.toString)
+        java.nio.file.Files.createDirectories(target)
+        java.nio.file.Files.list(part).iterator().asScala.foreach { f =>
+          java.nio.file.Files.copy(f, target.resolve(f.getFileName.toString),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    flagged
+  }
 }

@@ -4674,6 +4674,10 @@ FROM frk WHERE rn <= 3""")
     // identical oracle SQL) to the rebuild-shape keys — the gate checks
     // that the persisted layouts round-trip the index bit-exactly.
     "v66_ivf_search_persisted" -> base("v7_ivf_search"),
+    // compaction execution: rewriting flagged partitions with
+    // tombstones purged must be bit-transparent to the tombstone
+    // search — v62's oracle verbatim is the gate for that claim.
+    "v95_compaction_exec" -> base("v62_tombstone_search"),
     "v67_ivfpq_search_persisted" -> base("v13_ivfpq_search"),
     // segment-merge serving: two persisted half-indexes unioned at
     // serve time — bit-transparent, so v7's oracle verbatim.

@@ -6360,6 +6360,46 @@ object Queries {
           .as("needs_compaction"))
   }
 
+  /** Compaction EXECUTION — the step after v71's decision and the
+    * last ops-lifecycle gap in the persist/serve matrix: v71 flags
+    * which IVF partitions owe a rewrite (8·n_dead > n_total under
+    * v62's delete set), [[graft.operators.IvfIndex.compact]] rewrites
+    * EXACTLY those partitions with tombstones purged into a fresh
+    * fingerprinted store (unflagged partitions copied file-for-file —
+    * never re-encoded), and v62's exact search serves from the
+    * compacted layout. faiss `remove_ids` rewrites the whole index;
+    * at 100 TB the rewrite must scale with the flagged fraction, and
+    * the serve must still anti-join the tombstone set because
+    * unflagged partitions legitimately retain dead rows — that
+    * retention IS the economics the v71 threshold encodes. Oracle =
+    * v62's tombstone SQL VERBATIM: compaction is bit-transparent (the
+    * v66/v86 persistence contract extended to maintenance), proving
+    * the rewrite changed where the bytes live and nothing a query can
+    * observe. CompactionSpec proves flagged partitions hold zero
+    * tombstoned rows and unflagged partition files are bit-identical
+    * to the source store's. */
+  def v95CompactionExec(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val srcPath = s"/tmp/graft_ivfidx_${safe}_$fp"
+    if (!persistedComplete(srcPath))
+      IvfIndex.save(
+        IvfIndex.assign(e, seedCentroids(e), "vec_id", "embedding",
+          "cid"), srcPath)
+    val cmpPath = s"/tmp/graft_cmpidx_${safe}_$fp"
+    if (!persistedComplete(cmpPath))
+      IvfIndex.compact(s, srcPath, cmpPath, col("id") % 7 === 0)
+    val tombstones = e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"))
+    val alive = IvfIndex.load(s, cmpPath)
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+      .join(tombstones, Seq("vec_id"), "left_anti")
+    KnnJoin.knnL2(alive, queryVecs(e), "vec_id", "embedding", "vec_id",
+      k = 5)
+  }
+
   /** Asset near-dup by FEATURE distance — d5's embedding-near-dup
     * recipe applied to the multimodal decode output: m2's per-asset
     * features (deterministic stride-mean stub — the plug-in point for

@@ -141,7 +141,10 @@ object ExplainAudit {
     "v92_trained_ivf_recall", "v93_trained_ivfpq_recall",
     // v94 composes v88's walk (scalar entry) and v1's exact chain
     // (the v81 class).
-    "v94_hnsw_recall")
+    "v94_hnsw_recall",
+    // v95 serves v62's broadcast(queries) scoring crossjoin from the
+    // compacted store (the v62 batch-KNN class).
+    "v95_compaction_exec")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

@@ -60,6 +60,35 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.length === 4)
   }
 
+  test("graft_topk from SQL keeps the bounded hash-aggregate plan " +
+    "shape — partial (map-side) + final ObjectHashAggregate, never a " +
+    "sort-based demotion") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long").as("id"),
+        quantize($"embedding").as("qv"))
+      .createOrReplaceTempView("emb_q_shape")
+    val df = spark.sql("""
+      SELECT q.id AS query_id,
+             graft_topk(g.id, CAST(graft_l2sq(g.qv, q.qv) AS DOUBLE),
+                        5, true) AS hits
+      FROM emb_q_shape g CROSS JOIN (SELECT * FROM emb_q_shape
+                                     WHERE id % 100 = 0) q
+      GROUP BY q.id""")
+    val phys = df.queryExecution.executedPlan.toString
+    // the TypedImperativeAggregate must ride ObjectHashAggregate in
+    // BOTH modes — a SortAggregate here would mean the signature
+    // primitive sorts the full candidate stream per group instead of
+    // keeping the O(k) map-side heaps
+    assert(!phys.contains("SortAggregate"),
+      s"graft_topk demoted to a sort-based aggregate:\n$phys")
+    val objAggs = "ObjectHashAggregate".r.findAllIn(phys).size
+    assert(objAggs >= 2,
+      s"expected partial+final ObjectHashAggregate, got $objAggs:\n$phys")
+    assert(phys.contains("partial_graft_topk"),
+      s"no map-side partial graft_topk in plan:\n$phys")
+  }
+
   test("wrong SQL argument count yields a clear arity error") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {
