@@ -412,21 +412,26 @@ r AS (SELECT src_id, dst_id, d2,
 e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
 q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0)"""
 
-  /** Three unrolled ef=4 beam steps from an in-scope `f0(query_id,
-    * nid)` frontier — ONE definition, so the flat-entry beams and
-    * v88's hierarchical-entry beam cannot drift in walk semantics. */
-  private def beamLoopCtes: String =
-    (1 to 3).map(i => s"""c$i AS (SELECT DISTINCT query_id, nid FROM (
-         SELECT query_id, nid FROM f${i - 1}
+  /** Three unrolled beam steps from an in-scope `f0$sfx(query_id,
+    * nid)` frontier, parameterized by ef and a CTE-name suffix — ONE
+    * definition, so the flat-entry beams (ef=4, empty suffix), v88's
+    * hierarchical-entry beam, and v96's three-ef curve walks cannot
+    * drift in walk semantics. */
+  private def beamLoopCtesEf(ef: Int, sfx: String): String =
+    (1 to 3).map(i => s"""c$i$sfx AS (SELECT DISTINCT query_id, nid FROM (
+         SELECT query_id, nid FROM f${i - 1}$sfx
          UNION ALL
          SELECT f.query_id, e.dst_id AS nid
-         FROM f${i - 1} f JOIN e ON e.src_id = f.nid) t),
-fr$i AS (SELECT c.query_id, c.nid, ${l2sq("gv.v", "q.qv")} AS d2,
+         FROM f${i - 1}$sfx f JOIN e ON e.src_id = f.nid) t),
+fr$i$sfx AS (SELECT c.query_id, c.nid, ${l2sq("gv.v", "q.qv")} AS d2,
                 row_number() OVER (PARTITION BY c.query_id
                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
-         FROM c$i c JOIN g gv ON gv.gid = c.nid
+         FROM c$i$sfx c JOIN g gv ON gv.gid = c.nid
          JOIN q ON q.query_id = c.query_id),
-f$i AS (SELECT query_id, nid FROM fr$i WHERE rn <= 4)""").mkString(",\n")
+f$i$sfx AS (SELECT query_id, nid FROM fr$i$sfx WHERE rn <= $ef)""")
+      .mkString(",\n")
+
+  private def beamLoopCtes: String = beamLoopCtesEf(4, "")
 
   private def beamSearchCtes: String = s"""
 $beamGraphCtes,
@@ -4758,5 +4763,32 @@ SELECT hx.query_id,
        CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          / count(*) AS recall_at_5
 FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
-GROUP BY 1""")
+GROUP BY 1""",
+    // Beam ef tuning curve: v79's walk at ef ∈ {2,4,8} (the SHARED
+    // loop definition per ef, same entry), recall@5 of the final
+    // frontier vs the exact top-5, and the per-step DISTINCT candidate
+    // counts as the exact distance-eval cost.
+    "v96_ef_curve" -> s"""
+WITH $beamGraphCtes,
+f0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS nid FROM q),
+${Seq(2, 4, 8).map(ef => s"""f0_e$ef AS (SELECT query_id, nid FROM f0),
+${beamLoopCtesEf(ef, s"_e$ef")}""").mkString(",\n")},
+nq AS (SELECT count(*) AS n FROM q),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qv")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT ef, n_hit, n_total, CAST(n_hit AS DOUBLE) / n_total AS recall,
+       dist_evals
+FROM (${Seq(2, 4, 8).map(ef => s"""
+  SELECT CAST($ef AS BIGINT) AS ef,
+         (SELECT CAST(count(*) AS BIGINT) FROM f3_e$ef f
+          JOIN hx ON hx.query_id = f.query_id AND hx.gid = f.nid) AS n_hit,
+         (SELECT CAST(5 * n AS BIGINT) FROM nq) AS n_total,
+         (SELECT CAST(count(*) AS BIGINT) FROM c1_e$ef)
+           + (SELECT CAST(count(*) AS BIGINT) FROM c2_e$ef)
+           + (SELECT CAST(count(*) AS BIGINT) FROM c3_e$ef) AS dist_evals""")
+      .mkString("\n  UNION ALL")})""")
 }

@@ -5430,6 +5430,71 @@ object Queries {
       .join(hits, "query_id")
   }
 
+  /** Beam ef tuning curve — recall@5 + distance-eval count at
+    * ef ∈ {2, 4, 8} from the persisted graph, the graph family's
+    * quality-vs-cost tuning surface (v46 recall × v55 cost gave IVF
+    * its nprobe curve; a deployment tunes ef exactly the same way —
+    * Malkov & Yashunin '16 §4's ef sweep). Each ef runs v79's 3-step
+    * beam verbatim (same persisted edge store, same min-id entry, so
+    * v81's point sits ON this curve — the spec proves it); per step
+    * the deduped candidate count IS the distance-eval count (every
+    * candidate is scored once), summed exactly in Longs. Recall@5 =
+    * |final frontier ∩ exact top-5| / (5·Q) — the fraction of the true
+    * neighbors an ef-frontier returns. Scale shape: the walks are
+    * v79's O(steps·Q·ef·k) frames independent of N; the per-step
+    * count is an O(Q·ef·k) aggregate over an already-checkpointed
+    * frame; the exact side is the gated v1 chain. Output: one row per
+    * ef — counts exact Longs, ONE IEEE division each for the reported
+    * recall. */
+  def v96EfCurve(s: SparkSession, d: String): DataFrame = {
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val edges = persistedKnnEdges(s, d)
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    val exact = v1KnnL2(s, d)
+      .select(col("query_id").as("qx"), col("neighbor_id"))
+      .localCheckpoint(false)
+    val nq = q.agg(count(lit(1)).as("nq"))
+    Seq(2, 4, 8).map { ef =>
+      val entry = vec.agg(min("id").as("nid"))
+      var frontier = q.select(col("query_id")).crossJoin(entry)
+      var ranked: DataFrame = null
+      var evals: DataFrame = null
+      for (_ <- 1 to 3) {
+        // checkpoint the candidate set: it feeds BOTH the score path
+        // and the eval count, and contains the twice-referenced
+        // frontier (v79's truncation rationale)
+        val cand = frontier
+          .unionAll(broadcast(frontier)
+            .join(edges, col("nid") === col("src_id"))
+            .select(col("query_id"), col("dst_id").as("nid")))
+          .distinct()
+          .localCheckpoint(false)
+        val scored = cand
+          .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
+          .join(q, "query_id")
+          .select(col("query_id"), col("nid"),
+            intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+        ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
+          ascending = true).localCheckpoint(false)
+        val stepN = cand.agg(count(lit(1)).as("n"))
+        evals = if (evals == null) stepN else evals.unionAll(stepN)
+        frontier = ranked.select(col("query_id"), col("nid"))
+      }
+      val hit = ranked.join(broadcast(exact),
+          col("query_id") === col("qx") &&
+            col("nid") === col("neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val de = evals.agg(sum("n").as("dist_evals"))
+      hit.crossJoin(de).crossJoin(broadcast(nq))
+        .select(lit(ef.toLong).as("ef"), col("n_hit"),
+          (lit(5L) * col("nq")).as("n_total"),
+          (col("n_hit") / (lit(5L) * col("nq"))).as("recall"),
+          col("dist_evals"))
+    }.reduce(_ unionByName _)
+  }
+
   /** FILTERED beam search — the metadata-predicate variant of v79
     * (label % 3 = 0, v15's predicate), completing the filtered-ANN
     * matrix for the graph index (flat v15, IVF v58, recall v59). The

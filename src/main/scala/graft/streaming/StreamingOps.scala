@@ -439,12 +439,26 @@ object StreamingOps {
                      edges: DataFrame, entryId: Long, ef: Int = 4,
                      steps: Int = 3,
                      scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
-    import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
+    import graft.functions.VectorFunctions.{distFromIntSq, quantize}
     val q = queryBatch
       .select(col("query_id").cast("long").as("query_id"),
         quantize(col("embedding"), scale).as("query_v"))
     val v = vecs.select(col("id").cast("long").as("nid"), col("qv").as("nv"))
-    var frontier = q.select(col("query_id"), lit(entryId).as("nid"))
+    val frontier0 = q.select(col("query_id"), lit(entryId).as("nid"))
+    beamLoop(frontier0, q, v, edges, ef, steps)
+      .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
+  }
+
+  /** The shared ef-beam expansion loop (v79's walk): one definition so
+    * the flat-entry serving twin and the hierarchical-entry serving
+    * twin cannot drift in walk semantics. `q` = (query_id, query_v),
+    * `v` = (nid, nv); returns the final ranked frontier
+    * (query_id, rnk, nid, d2). */
+  private def beamLoop(frontier0: DataFrame, q: DataFrame, v: DataFrame,
+                       edges: DataFrame, ef: Int, steps: Int): DataFrame = {
+    import graft.functions.VectorFunctions.intL2Sq
+    var frontier = frontier0
     var ranked: DataFrame = null
     for (_ <- 1 to steps) {
       val cand = frontier
@@ -461,8 +475,61 @@ object StreamingOps {
         "d2", ef, ascending = true).localCheckpoint(false)
       frontier = ranked.select(col("query_id"), col("nid"))
     }
-    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
-      distFromIntSq(col("d2"), scale).as("dist"))
+    ranked
+  }
+
+  /** Per-micro-batch 2-LAYER HNSW-ENTRY beam serving (streaming twin
+    * of the gated v88): each arriving query batch first descends the
+    * persisted COARSE layer-1 graph with v57's greedy width-1 walk
+    * (entry = `coarseEntryId`, the subset's min id), and the per-query
+    * layer-1 winner seeds the layer-0 ef-beam — the composition that
+    * keeps step counts O(log N) at 100 TB (a flat entry pays steps or
+    * recall crossing the graph from an arbitrary corner). Run from
+    * `writeStream.foreachBatch` (the beamServeBatch precedent: the
+    * two-phase iterative walk is more than one continuous query
+    * supports). Statics persist across batches: `vecs`/`edges` the
+    * layer-0 stores and `subsetVecs`/`coarseEdges` the layer-1 stores
+    * — none re-shuffles per batch; both phases broadcast only
+    * O(batch)-row frontiers against the streaming edge scans. The
+    * layer-0 beam is the SAME `beamLoop` as beamServeBatch, so the
+    * twins cannot drift. Every query walks independently → ANY
+    * micro-batch partitioning unions to the gated v88 rows (the
+    * parity spec proves it). Stateless: no watermark state to size. */
+  def hnswServeBatch(queryBatch: DataFrame, vecs: DataFrame,
+                     edges: DataFrame, subsetVecs: DataFrame,
+                     coarseEdges: DataFrame, coarseEntryId: Long,
+                     ef: Int = 4, coarseSteps: Int = 3, steps: Int = 3,
+                     scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
+    import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
+    val q = queryBatch
+      .select(col("query_id").cast("long").as("query_id"),
+        quantize(col("embedding"), scale).as("query_v"))
+    val v = vecs.select(col("id").cast("long").as("nid"), col("qv").as("nv"))
+    val sv = subsetVecs
+      .select(col("id").cast("long").as("nid"), col("qv").as("nv"))
+    // layer 1: greedy width-1 descent over the coarse graph (v57's
+    // loop — candidates = {current} ∪ neighbors(current), keep the
+    // (d2, nid)-min, so the walk is monotone and a stall is the fixed
+    // point)
+    var cur = q.select(col("query_id"), lit(coarseEntryId).as("cur"))
+    for (_ <- 1 to coarseSteps) {
+      val cand = cur.select(col("query_id"), col("cur").as("nid"))
+        .unionAll(broadcast(cur)
+          .join(coarseEdges, col("cur") === col("src_id"))
+          .select(col("query_id"), col("dst_id").as("nid")))
+      cur = cand.join(sv, "nid").join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+        .groupBy("query_id")
+        .agg(min(struct(col("d2"), col("nid"))).as("m"))
+        .select(col("query_id"), col("m.nid").as("cur"))
+    }
+    // layer 0: the SHARED beam loop, frontier seeded by the winner
+    val frontier0 = cur.select(col("query_id"), col("cur").as("nid"))
+      .localCheckpoint(false)
+    beamLoop(frontier0, q, v, edges, ef, steps)
+      .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+        distFromIntSq(col("d2"), scale).as("dist"))
   }
 
   /** Per-micro-batch PQ-ADC serving (streaming twin of the persisted

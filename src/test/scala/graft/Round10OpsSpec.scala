@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.Row
+
+/** Invariant specs for the round-10 beam ef tuning curve (v96). Exact
+  * value parity with DuckDB is the oracle gate's job; these prove the
+  * curve's internal consistency — v81's gated point sits ON the curve,
+  * counts recompute from the gated v79/v1 outputs, and the
+  * quality/cost ordering reads the way a deployment would tune it.
+  */
+class Round10OpsSpec extends SparkSpec {
+
+  private lazy val curve: Map[Long, Row] =
+    Queries.v96EfCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("ef") -> r).toMap
+
+  test("v96: one row per ef in {2,4,8}; n_total = 5·Q; recall is the " +
+    "quotient of its own exact counts") {
+    assert(curve.keySet == Set(2L, 4L, 8L))
+    val nq = Queries.v1KnnL2(spark, sf).collect()
+      .map(_.getAs[Long]("query_id")).distinct.length
+    curve.values.foreach { r =>
+      assert(r.getAs[Long]("n_total") == 5L * nq)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Double]("recall") ==
+        r.getAs[Long]("n_hit").toDouble / r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("v96: v81's gated point sits on the curve — n_hit at ef=4 " +
+    "equals v81's summed frontier hits and the v79∩v1 overlap") {
+    val v81Hits = Queries.v81BeamRecall(spark, sf).collect()
+      .map(_.getAs[Long]("frontier_hits")).sum
+    val exact = Queries.v1KnnL2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val beamHits = Queries.v79BeamSearch(spark, sf).collect()
+      .count(r => exact(
+        (r.getAs[Long]("query_id"), r.getAs[Long]("node_id"))))
+    assert(curve(4L).getAs[Long]("n_hit") == v81Hits)
+    assert(curve(4L).getAs[Long]("n_hit") == beamHits.toLong)
+  }
+
+  test("v96: aggregate recall and distance-eval cost are non-" +
+    "decreasing in ef on the fixture corpus") {
+    // Fixture-level expectation, not an invariant: beyond step 1 the
+    // ef=2 frontier is not a subset of the ef=4 frontier (top-2 of a
+    // subset can leave top-4 of its superset), so per-ef dominance is
+    // data-dependent — the aggregate ordering is what the curve is FOR
+    // (the v88-spec relaxation precedent applied from the start).
+    assert(curve(2L).getAs[Double]("recall") <=
+      curve(4L).getAs[Double]("recall"))
+    assert(curve(4L).getAs[Double]("recall") <=
+      curve(8L).getAs[Double]("recall"))
+    assert(curve(2L).getAs[Long]("dist_evals") <=
+      curve(4L).getAs[Long]("dist_evals"))
+    assert(curve(4L).getAs[Long]("dist_evals") <=
+      curve(8L).getAs[Long]("dist_evals"))
+  }
+}

@@ -794,6 +794,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hnswServeBatch via foreachBatch: queries split across micro-" +
+    "batches descend the persisted coarse layer then beam to exactly " +
+    "the gated v88 rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.{intL2Sq, quantize}
+    import graft.operators.{LshIndex, Sampling, TopK}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vecs = emb.select($"vec_id".cast("long").as("id"),
+      quantize($"embedding").as("qv"))
+    // the persisted layer-0 graph = the gated v28 edge list
+    val edges = graft.queries.Queries.v28KnnGraph(spark, sf)
+      .select("src_id", "dst_id")
+    // the persisted layer-1 graph: the v28 build recipe over the
+    // portable-hash-sampled subset (v88's coarse-layer contract)
+    val planes = LshIndex.quantizePlanes(
+      LshIndex.hyperplanes(dim = 64, nPlanes = 6, seed = 42L))
+    val sub = vecs.filter(Sampling.portableHash($"id") % 5 === 0)
+      .withColumn("bucket", LshIndex.bucketKeyQ($"qv", planes))
+      .localCheckpoint()
+    val scoredSub = sub.as("x").join(sub.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.id" =!= $"y.id")
+      .select($"x.id".as("src_id"), $"y.id".as("dst_id"),
+        intL2Sq($"x.qv", $"y.qv").cast("double").as("d2"))
+    val coarseEdges = TopK.perGroup(scoredSub, "src_id", "dst_id", "d2",
+      k = 3, ascending = true).select("src_id", "dst_id")
+    val coarseEntry = sub.agg(min("id")).collect()(0).getLong(0)
+    val subVecs = sub.select("id", "qv")
+    val qRows = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    mem.addData(qRows.take(2): _*)
+    val q = mem.toDF().toDF("query_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= StreamingOps.hnswServeBatch(b, vecs, edges, subVecs,
+              coarseEdges, coarseEntry)
+            .as[(Long, Long, Long, Double)].collect()
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      mem.addData(qRows.drop(2): _*)
+      q.processAllAvailable()
+      val expected = graft.queries.Queries.v88HnswEntry(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(buf.toSet == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("adcServeBatch via foreachBatch: queries split across micro-" +
     "batches score the persisted code table to exactly the gated v11 " +
     "rows") {
