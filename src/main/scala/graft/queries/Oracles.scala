@@ -306,7 +306,12 @@ rk AS (SELECT query_id, gid, adc,
   /** v65's trained-IVF chain as CTEs (3 Lloyd rounds + the add step
     * asn4 + probe routing), ending in the ranked `rr`. Shared by v65,
     * v90 (verbatim via the map) and v92's recall eval. */
-  private def trainedIvfCtes: String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+  /** The trained-IVF ROUTE: gallery, seed centroids, 3 unrolled Lloyd
+    * rounds, queries, and the per-query trained-centroid ranking `qr`
+    * — shared by the nprobe=2 serving twins (v65/v90/v92 via
+    * [[trainedIvfCtes]]) and v97's nprobe sweep, so the routing
+    * arithmetic is one definition. */
+  private def trainedIvfRouteCtes: String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
 c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
 asn0 AS (SELECT gid, cid AS lab FROM (
           SELECT g.gid, c.cid,
@@ -323,16 +328,25 @@ qd AS (SELECT q.query_id, m.c AS lab, cnt4.n,
 qr AS (SELECT query_id, lab,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY sqrt(a2) / CAST(n * $vscale AS DOUBLE), lab) AS rn
-       FROM qd),
-pr AS (SELECT query_id, lab FROM qr WHERE rn <= 2),
-sc AS (SELECT pr.query_id, a.gid, ${l2sq("gv.v", "q.qvec")} AS d2
-       FROM pr JOIN asn4 a ON a.lab = pr.lab
+       FROM qd)"""
+
+  /** One probe depth over the routed queries: the probe set (rn ≤
+    * np), the probed-partition scan, and its ranking — suffix-
+    * parameterized so v97 instantiates three depths in one statement
+    * (empty suffix + np=2 reproduces the serving twins' chain). */
+  private def trainedIvfProbeCtes(np: Int, sfx: String): String =
+    s"""pr$sfx AS (SELECT query_id, lab FROM qr WHERE rn <= $np),
+sc$sfx AS (SELECT p.query_id, a.gid, ${l2sq("gv.v", "q.qvec")} AS d2
+       FROM pr$sfx p JOIN asn4 a ON a.lab = p.lab
        JOIN g gv ON gv.gid = a.gid
-       JOIN q ON q.query_id = pr.query_id),
-rr AS (SELECT query_id, gid, d2,
+       JOIN q ON q.query_id = p.query_id),
+rr$sfx AS (SELECT query_id, gid, d2,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY d2, gid) AS rnk
-       FROM sc)"""
+       FROM sc$sfx)"""
+
+  private def trainedIvfCtes: String = s"""$trainedIvfRouteCtes,
+${trainedIvfProbeCtes(2, "")}"""
 
   /** One greedy MMR step as CTEs: from `sel${t-1}(query_id, pick_rnk,
     * gid, d2)` to `sel$t` by picking, per query, the remaining top-10
@@ -4764,6 +4778,29 @@ SELECT hx.query_id,
          / count(*) AS recall_at_5
 FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
 GROUP BY 1""",
+    // Trained-IVF nprobe/recall curve: the SHARED route CTEs + one
+    // probe chain per depth, recall@5 vs the exact scan — v46's sweep
+    // on the trained quantizer (v92's nprobe=2 point sits on it).
+    "v97_trained_probe_curve" -> s"""
+WITH $trainedIvfRouteCtes,
+${Seq(1, 2, 4).map(np => trainedIvfProbeCtes(np, s"_p$np")).mkString(",\n")},
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2e
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2e, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5),
+${Seq(1, 2, 4).map(np =>
+      s"ha_p$np AS (SELECT query_id, gid FROM rr_p$np WHERE rnk <= 5)")
+    .mkString(",\n")}
+${Seq(1, 2, 4).map(np => s"""SELECT CAST($np AS BIGINT) AS nprobe,
+       CAST(sum(CASE WHEN ha_p$np.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN ha_p$np.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall
+FROM hx LEFT JOIN ha_p$np ON ha_p$np.query_id = hx.query_id AND ha_p$np.gid = hx.gid""")
+    .mkString("\nUNION ALL\n")}""",
+
     // Beam ef tuning curve: v79's walk at ef ∈ {2,4,8} (the SHARED
     // loop definition per ef, same entry), recall@5 of the final
     // frontier vs the exact top-5, and the per-step DISTINCT candidate

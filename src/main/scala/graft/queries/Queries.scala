@@ -776,18 +776,25 @@ object Queries {
   }
 
   /** v65's ROUTE + probe-scan + top-k over an already-ADDed trained
-    * index (id, qv, c): each query routes to its 2 nearest trained
-    * centroids by the shared scaled distance (the k=2 form of the
-    * int128 argmin kernel — lexicographic (dist, lab), matching the
-    * oracle's ORDER BY), the probe frame broadcasts, the index
-    * streams. Shared by v65 (in-memory ADD) and v90 (persisted ADD). */
+    * index (id, qv, c): each query routes to its `nprobe` nearest
+    * trained centroids by the shared scaled distance (the k=nprobe
+    * form of the int128 argmin kernel — lexicographic (dist, lab),
+    * matching the oracle's ORDER BY), the probe frame broadcasts, the
+    * index streams. Shared by v65 (in-memory ADD), v90 (persisted
+    * ADD), and v97's nprobe sweep over the persisted store. */
   private def trainedIvfServe(added: DataFrame, queryVecs: DataFrame,
-                              cs: Array[(Long, Long, Array[Long])])
+                              cs: Array[(Long, Long, Array[Long])],
+                              nprobe: Int = 2)
       : DataFrame = {
+    val labs =
+      if (nprobe == 1)
+        array(graft.plans.GridArgmin.nearestLab(col("qv"), cs,
+          DefaultScale.toLong))
+      else graft.plans.GridArgmin.nearestLabs(col("qv"), cs,
+        DefaultScale.toLong, k = nprobe)
     val probes = queryVecs.filter(col("id") % 100 === 0)
       .select(col("id").as("query_id"), col("qv").as("qvec"),
-        explode(graft.plans.GridArgmin.nearestLabs(col("qv"), cs,
-          DefaultScale.toLong, k = 2)).as("pc"))
+        explode(labs).as("pc"))
     val scored = added.join(broadcast(probes), col("c") === col("pc"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         intL2Sq(col("qv"), col("qvec")).cast("double").as("d2"))
@@ -809,7 +816,14 @@ object Queries {
     * partition pruning and training is amortized over every query
     * batch. Oracle = v65's SQL VERBATIM (bit-transparent persistence,
     * the v66/v86 contract). */
-  def v90TrainedIvfPersisted(s: SparkSession, d: String): DataFrame = {
+  /** v90's build path factored out: the persisted trained-IVF store
+    * (trained sums table + ADDed gallery PARTITIONED BY trained list)
+    * plus the quantized gallery and the collected centroid carrier —
+    * shared by v90 (nprobe=2 serving) and v97 (the nprobe sweep, which
+    * must read the SAME store so the curve measures routing depth, not
+    * training variance). */
+  private def trainedIvfStore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Array[(Long, Long, Array[Long])]) = {
     val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
     val fp = graft.sources.BucketedStore
       .fingerprint(s"$d/embeddings.parquet")
@@ -833,7 +847,43 @@ object Queries {
         .write.mode("overwrite").partitionBy("c").parquet(path)
     val added = Tables.ensureParallelism(s.read.parquet(path), Some(path))
       .select(col("id"), col("qv"), col("c").cast("long").as("c"))
+    (added, g, cs)
+  }
+
+  def v90TrainedIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val (added, g, cs) = trainedIvfStore(s, d)
     trainedIvfServe(added, g, cs)
+  }
+
+  /** TRAINED-IVF nprobe/recall curve — v46's sweep pointed at the
+    * trained quantizer: recall@5 vs the exact scan at nprobe ∈
+    * {1, 2, 4}, every point served from v90's PERSISTED trained index
+    * (training runs zero times per point — the curve isolates routing
+    * depth, the knob a deployment actually turns; faiss tunes
+    * IndexIVF.nprobe exactly this way). Completes the tuning-surface
+    * matrix: seeded IVF has (v46 recall × v55 cost), the graph family
+    * has v96's ef curve, and the trained quantizer had only v92's
+    * single nprobe=2 point — which the spec proves sits ON this
+    * curve. Scale shape: each point is ONE probe-pruned scan of
+    * nprobe/nlist of the stored bytes + the O(Q·k) partial top-k; the
+    * eval joins two O(Q·k) frames. Counts exact Longs, ONE IEEE
+    * division per row. */
+  def v97TrainedProbeCurve(s: SparkSession, d: String): DataFrame = {
+    val (added, g, cs) = trainedIvfStore(s, d)
+    val exact = v1KnnL2(s, d)
+      .select(col("query_id").as("qx"), col("neighbor_id"))
+      .localCheckpoint(false)
+    Seq(1, 2, 4).map { np =>
+      val approx = trainedIvfServe(added, g, cs, nprobe = np)
+        .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+      exact.join(broadcast(approx),
+          col("qx") === col("qa") && col("neighbor_id") === col("na"),
+          "left")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("n_hit"), col("n_total"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall", col("n_hit") / col("n_total"))
   }
 
   /** TRAINED residual IVFPQ — faiss IndexIVFPQ's actual production

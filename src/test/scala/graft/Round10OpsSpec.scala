@@ -58,4 +58,34 @@ class Round10OpsSpec extends SparkSpec {
     assert(curve(4L).getAs[Long]("dist_evals") <=
       curve(8L).getAs[Long]("dist_evals"))
   }
+
+  private lazy val probeCurve: Map[Long, Row] =
+    Queries.v97TrainedProbeCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("nprobe") -> r).toMap
+
+  test("v97: one row per nprobe in {1,2,4}; v92's gated point sits on " +
+    "the curve (summed n_hit at nprobe=2)") {
+    assert(probeCurve.keySet == Set(1L, 2L, 4L))
+    val v92Hits = Queries.v92TrainedIvfRecall(spark, sf).collect()
+      .map(_.getAs[Long]("n_hit")).sum
+    assert(probeCurve(2L).getAs[Long]("n_hit") == v92Hits)
+    probeCurve.values.foreach { r =>
+      assert(r.getAs[Double]("recall") ==
+        r.getAs[Long]("n_hit").toDouble / r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("v97: recall is monotone non-decreasing in nprobe — an " +
+    "INVARIANT here, not a fixture property") {
+    // Probe sets nest (same qr ranking, deeper rn cutoff), so each
+    // query's candidate pool is a superset at higher nprobe, and a
+    // top-5 member of the smaller pool that is also in the exact
+    // top-5 can only be displaced by candidates that are themselves
+    // exact-top-5 members (at most 4 gallery rows precede an exact-
+    // rank-r<=5 hit) — per-query hits never decrease.
+    assert(probeCurve(1L).getAs[Long]("n_hit") <=
+      probeCurve(2L).getAs[Long]("n_hit"))
+    assert(probeCurve(2L).getAs[Long]("n_hit") <=
+      probeCurve(4L).getAs[Long]("n_hit"))
+  }
 }
