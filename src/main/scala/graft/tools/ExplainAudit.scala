@@ -144,7 +144,12 @@ object ExplainAudit {
     "v94_hnsw_recall",
     // v95 serves v62's broadcast(queries) scoring crossjoin from the
     // compacted store (the v62 batch-KNN class).
-    "v95_compaction_exec")
+    "v95_compaction_exec",
+    // v96 runs v79's walk three times: per ef one 1-row entry scalar
+    // crossjoin (v57's class) plus the 1-row n_hit × dist_evals × nq
+    // scalar crossjoins riding the curve row back (the q20/e19
+    // class) — every BNLJ side is O(1) rows by construction.
+    "v96_ef_curve")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the
