@@ -4778,6 +4778,27 @@ SELECT hx.query_id,
          / count(*) AS recall_at_5
 FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
 GROUP BY 1""",
+    // Filtered trained-IVF search: the SHARED route CTEs + the nprobe=2
+    // probe chain with the label predicate applied to the probed scan
+    // BEFORE ranking (v58's filter-then-rank contract on the trained
+    // index).
+    "v98_filtered_trained_ivf" -> s"""
+WITH $trainedIvfRouteCtes,
+pr_f AS (SELECT query_id, lab FROM qr WHERE rn <= 2),
+kp AS (SELECT CAST(vec_id AS BIGINT) AS kid FROM embeddings
+       WHERE label % 3 = 0),
+sc_f AS (SELECT p.query_id, a.gid, ${l2sq("gv.v", "q.qvec")} AS d2
+       FROM pr_f p JOIN asn4 a ON a.lab = p.lab
+       JOIN kp ON kp.kid = a.gid
+       JOIN g gv ON gv.gid = a.gid
+       JOIN q ON q.query_id = p.query_id),
+rr_f AS (SELECT query_id, gid, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2, gid) AS rnk
+       FROM sc_f)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
+FROM rr_f WHERE rnk <= 5""",
+
     // Trained-IVF nprobe/recall curve: the SHARED route CTEs + one
     // probe chain per depth, recall@5 vs the exact scan — v46's sweep
     // on the trained quantizer (v92's nprobe=2 point sits on it).

@@ -577,6 +577,23 @@ object Queries {
   private def persistedComplete(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
 
+  private val persistLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Check-then-build under a per-path JVM lock (BucketedStore.ensure's
+    * contract for /tmp parquet stores): several gated keys can share
+    * one persisted index (v90/v97/v98 the trained-IVF store, v87/v89
+    * the trained-PQ store) and Verify runs them CONCURRENTLY — without
+    * the lock, every sharer passes the !persistedComplete check and
+    * races its mode("overwrite") job against the others' writes and
+    * reads (observed: a corrupted store carrying _SUCCESS). The lock
+    * serializes the first build; after _SUCCESS exists nobody writes
+    * again, so post-build readers need no lock. */
+  private def ensurePersisted(path: String)(build: => Unit): Unit = {
+    val lock = persistLocks.getOrElseUpdate(path, new Object)
+    lock.synchronized { if (!persistedComplete(path)) build }
+  }
+
   /** v7's probe search against a PERSISTED centroid-partitioned index:
     * built (and saved) only if `path` is absent, then search reads the
     * partitioned layout — partition pruning does the nprobe/nlist work
@@ -584,9 +601,10 @@ object Queries {
   def v7SearchPersisted(s: SparkSession, d: String, path: String): DataFrame = {
     val e = emb(s, d)
     val cents = seedCentroids(e)
-    if (!persistedComplete(path))
+    ensurePersisted(path) {
       IvfIndex.save(
         IvfIndex.assign(e, cents, "vec_id", "embedding", "cid"), path)
+    }
     IvfIndex.search(IvfIndex.load(s, path), cents, queryVecs(e),
       "vec_id", "embedding", "cid", "vec_id", k = 3, nprobe = 2)
   }
@@ -603,11 +621,12 @@ object Queries {
     val book = PqIndex.seededBook(g, "id", "qemb", dim, m, ksub)
     val cents = g.filter(col("id") < 10)
       .select(col("id").as("cid"), col("qemb"))
-    if (!persistedComplete(path))
+    ensurePersisted(path) {
       PqIndex.encode(g, "id", "qemb", dim, m, book)
         .join(IvfIndex.assign(g, cents, "id", "qemb", "cid", scale = 1)
           .select(col("id"), col("centroid_id")), Seq("id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    }
     val codes = Tables.ensureParallelism(s.read.parquet(path), Some(path))
     val queries = g.filter(col("id") % 100 === 0)
     IvfPq.search(codes, cents, queries, "cid", "id", "qemb",
@@ -839,14 +858,22 @@ object Queries {
       .sortBy(_._1)
     val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
       quantize(col("embedding")).as("qv"))
-    val path = s"/tmp/graft_tivfidx_${safe}_$fp"
-    if (!persistedComplete(path))
-      g.select(col("id"), col("qv"),
-          graft.plans.GridArgmin.nearestLab(col("qv"), cs,
-            DefaultScale.toLong).as("c"))
+    // the ADD step also stores the filterable metadata column INLINE
+    // (the production filtered-ANN layout: v98's predicate pushes into
+    // the partition-pruned scan instead of joining back to the source
+    // table). Path tag v2: the pre-round-10 layout lacked `label`.
+    val path = s"/tmp/graft_tivfidx2_${safe}_$fp"
+    ensurePersisted(path) {
+      emb(s, d).select(col("vec_id").cast("long").as("id"),
+          quantize(col("embedding")).as("qv"),
+          col("label").cast("long").as("label"))
+        .withColumn("c", graft.plans.GridArgmin.nearestLab(col("qv"), cs,
+          DefaultScale.toLong))
         .write.mode("overwrite").partitionBy("c").parquet(path)
+    }
     val added = Tables.ensureParallelism(s.read.parquet(path), Some(path))
-      .select(col("id"), col("qv"), col("c").cast("long").as("c"))
+      .select(col("id"), col("qv"), col("label"),
+        col("c").cast("long").as("c"))
     (added, g, cs)
   }
 
@@ -868,6 +895,24 @@ object Queries {
     * nprobe/nlist of the stored bytes + the O(Q·k) partial top-k; the
     * eval joins two O(Q·k) frames. Counts exact Longs, ONE IEEE
     * division per row. */
+  /** FILTERED trained-IVF search — the metadata-predicate variant of
+    * v90 (label % 3 = 0, v15's predicate), completing the filtered-ANN
+    * matrix across index families: flat (v15), seeded IVF (v58),
+    * graph beam (v85) — and now the TRAINED quantizer, the index a
+    * production deployment actually serves. The filterable column is
+    * stored INLINE in the persisted index at ADD time (the faiss
+    * IDSelector story done the engine way), so the predicate pushes
+    * into the partition-pruned parquet scan: a query batch reads
+    * nprobe/nlist of the stored bytes AND the scan skips non-matching
+    * rows before the distance kernel — no join back to the source
+    * table, no post-filter recall loss (candidates are filtered
+    * BEFORE the top-k, v58's contract). Serving is v90's
+    * trainedIvfServe verbatim over the filtered scan. */
+  def v98FilteredTrainedIvf(s: SparkSession, d: String): DataFrame = {
+    val (added, g, cs) = trainedIvfStore(s, d)
+    trainedIvfServe(added.filter(col("label") % 3 === 0), g, cs)
+  }
+
   def v97TrainedProbeCurve(s: SparkSession, d: String): DataFrame = {
     val (added, g, cs) = trainedIvfStore(s, d)
     val exact = v1KnnL2(s, d)
@@ -961,10 +1006,11 @@ object Queries {
       PqIndex.Codebook(r.getAs[Int]("sub"), r.getAs[Int]("cid"),
         r.getSeq[Double](r.fieldIndex("centroid"))))
     val path = s"/tmp/graft_tpqidx_${safe}_$fp"
-    if (!persistedComplete(path))
+    ensurePersisted(path) {
       IvfPq.encodeResidual(g, centsDf, "id", "qemb", "cid",
           dim, m, book, scale = 1)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    }
     val codes = Tables.ensureParallelism(s.read.parquet(path), Some(path))
     val queries = g.filter(col("id") % 100 === 0)
     IvfPq.searchResidual(codes, centsDf, queries, "cid", "id", "qemb",
@@ -4991,9 +5037,10 @@ object Queries {
       : DataFrame = {
     val v = bucketedVecs(s, d)
     val vec = v.select(col("id"), col("qv"))
-    if (!persistedComplete(path))
+    ensurePersisted(path) {
       knnGraphRanked(v).select(col("src_id"), col("dst_id"))
         .write.mode("overwrite").parquet(path)
+    }
     val edges = s.read.parquet(path)
     val q = vec.filter(col("id") % 100 === 0)
       .select(col("id").as("query_id"), col("qv").as("query_v"))
@@ -6372,9 +6419,10 @@ object Queries {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     def half(par: Int): String = {
       val path = s"/tmp/graft_ivfidx_h${par}_${tag}_$fp"
-      if (!persistedComplete(path))
+      ensurePersisted(path) {
         IvfIndex.save(IvfIndex.assign(e.filter(col("vec_id") % 2 === par),
           cents, "vec_id", "embedding", "cid"), path)
+      }
       path
     }
     val merged = IvfIndex.load(s, half(0))
@@ -6499,13 +6547,15 @@ object Queries {
     val fp = graft.sources.BucketedStore
       .fingerprint(s"$d/embeddings.parquet")
     val srcPath = s"/tmp/graft_ivfidx_${safe}_$fp"
-    if (!persistedComplete(srcPath))
+    ensurePersisted(srcPath) {
       IvfIndex.save(
         IvfIndex.assign(e, seedCentroids(e), "vec_id", "embedding",
           "cid"), srcPath)
+    }
     val cmpPath = s"/tmp/graft_cmpidx_${safe}_$fp"
-    if (!persistedComplete(cmpPath))
+    ensurePersisted(cmpPath) {
       IvfIndex.compact(s, srcPath, cmpPath, col("id") % 7 === 0)
+    }
     val tombstones = e.filter(col("vec_id") % 7 === 0)
       .select(col("vec_id"))
     val alive = IvfIndex.load(s, cmpPath)

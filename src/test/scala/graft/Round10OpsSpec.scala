@@ -88,4 +88,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(probeCurve(2L).getAs[Long]("n_hit") <=
       probeCurve(4L).getAs[Long]("n_hit"))
   }
+
+  test("v98: every neighbor satisfies the predicate, results are a " +
+    "filter-then-rank of v90's probed candidates, and serving twice " +
+    "is stable") {
+    import org.apache.spark.sql.functions.col
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def key(rows: Array[Row]) = rows.map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val served1 = key(Queries.v98FilteredTrainedIvf(spark, sf).collect())
+    val served2 = key(Queries.v98FilteredTrainedIvf(spark, sf).collect())
+    assert(served1 == served2 && served1.nonEmpty)
+    served1.foreach { case (_, _, nid, _) =>
+      assert(labels(nid) % 3 == 0)
+    }
+    // filter-then-rank, not rank-then-filter: any v90 (unfiltered)
+    // top-5 hit that satisfies the predicate must appear in v98 at an
+    // equal-or-better rank — the filter can only REMOVE competitors
+    // ahead of it, never add them (v58's contract on the trained
+    // index).
+    val unfiltered = Queries.v90TrainedIvfPersisted(spark, sf).collect()
+    val v98rank = served1.map { case (q, rnk, nid, _) => (q, nid) -> rnk }
+      .toMap
+    unfiltered.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val nid = r.getAs[Long]("neighbor_id")
+      if (labels(nid) % 3 == 0) {
+        val rk = v98rank.get((q, nid))
+        assert(rk.isDefined && rk.get <= r.getAs[Long]("rnk"))
+      }
+    }
+  }
 }
