@@ -218,6 +218,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("knnStreamTombstone over the COMPACTED store: continuous " +
+    "serving from v95's compacted layout equals the gated v95 rows") {
+    implicit val sqlCtx = spark.sqlContext
+    // v95's build path ensures the compacted store; its rows are the
+    // expected set (compaction is bit-transparent, so the stream twin
+    // must reproduce them exactly — the ops-lifecycle twin the batch
+    // gate promises)
+    val expected = graft.queries.Queries.v95CompactionExec(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val safe = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$sf/embeddings.parquet")
+    val cmp = graft.operators.IvfIndex
+      .load(spark, s"/tmp/graft_cmpidx_${safe}_$fp")
+      .select($"id".as("vec_id"), $"vec".as("embedding"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dead = emb.filter($"vec_id" % 7 === 0)
+      .select($"vec_id".cast("long").as("vec_id"))
+    val qs = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(qs: _*)
+    val q = StreamingOps.knnStreamTombstone(
+        mem.toDF().toDF("vec_id", "embedding"), cmp, dead,
+        "vec_id", "embedding", "vec_id", k = 5)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("knn_cmp").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("knn_cmp")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("hybridRrfBatch via foreachBatch: union across two micro-" +
     "batches equals the gated v63 rows on the real corpus") {
     implicit val sqlCtx = spark.sqlContext
