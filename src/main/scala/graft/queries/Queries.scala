@@ -9,6 +9,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** The Spark side of every SURVEY §2 operator, one method per
   * `SparkEntry.queries` key. Each result is column-name/type-aligned
   * with its DuckDB twin in [[Oracles]] (the driver sorts columns by name
@@ -580,6 +582,31 @@ object Queries {
   private val persistLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  /** Recursively delete every /tmp store whose directory name starts
+    * with `prefix` — the reclaim hook a store-layout tag bump calls
+    * from inside the NEW store's build (so orphaned old-layout dirs
+    * don't accrete on long-lived hosts; ADVICE r10). Best-effort: a
+    * vanished file mid-walk is ignored, /tmp being missing is not an
+    * error. */
+  private def deleteStaleStores(prefix: String): Unit = {
+    val tmp = java.nio.file.Paths.get("/tmp")
+    if (!java.nio.file.Files.isDirectory(tmp)) return
+    val stream = java.nio.file.Files.list(tmp)
+    try {
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix))
+        .foreach { root =>
+          val walk = java.nio.file.Files.walk(root)
+          try {
+            walk.iterator().asScala.toSeq.reverseIterator.foreach { p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => () }
+            }
+          } finally walk.close()
+        }
+    } finally stream.close()
+  }
+
   /** Check-then-build under a per-path JVM lock (BucketedStore.ensure's
     * contract for /tmp parquet stores): several gated keys can share
     * one persisted index (v90/v97/v98 the trained-IVF store, v87/v89
@@ -588,10 +615,32 @@ object Queries {
     * races its mode("overwrite") job against the others' writes and
     * reads (observed: a corrupted store carrying _SUCCESS). The lock
     * serializes the first build; after _SUCCESS exists nobody writes
-    * again, so post-build readers need no lock. */
+    * again, so post-build readers need no lock.
+    *
+    * CROSS-PROCESS guard (ADVICE r10): the in-JVM lock cannot stop a
+    * second PROCESS (a bench run alongside verify) from racing its
+    * mode("overwrite") build against this one's, so the build also
+    * holds an OS-level advisory lock on `$path.lock` (FileChannel
+    * .lock blocks until the peer's build — and its _SUCCESS commit —
+    * finishes, then the re-check sees the completed store and skips).
+    * The JVM lock stays: two threads of ONE process hitting
+    * FileChannel.lock on the same file would throw
+    * OverlappingFileLockException instead of queuing. */
   private def ensurePersisted(path: String)(build: => Unit): Unit = {
     val lock = persistLocks.getOrElseUpdate(path, new Object)
-    lock.synchronized { if (!persistedComplete(path)) build }
+    lock.synchronized {
+      if (!persistedComplete(path)) {
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(path + ".lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val fl = ch.lock()
+          try { if (!persistedComplete(path)) build }
+          finally fl.release()
+        } finally ch.close()
+      }
+    }
   }
 
   /** v7's probe search against a PERSISTED centroid-partitioned index:
@@ -864,6 +913,11 @@ object Queries {
     // table). Path tag v2: the pre-round-10 layout lacked `label`.
     val path = s"/tmp/graft_tivfidx2_${safe}_$fp"
     ensurePersisted(path) {
+      // a tag bump strands the previous layout's stores (ADVICE r10):
+      // reclaim every v1-tag dir for this corpus when the v2 store is
+      // first built — nothing reads the old tag after this release.
+      // ("graft_tivfidx_" cannot match the v2 tag "graft_tivfidx2_".)
+      deleteStaleStores(s"graft_tivfidx_${safe}_")
       emb(s, d).select(col("vec_id").cast("long").as("id"),
           quantize(col("embedding")).as("qv"),
           col("label").cast("long").as("label"))
@@ -6541,6 +6595,18 @@ object Queries {
     * observe. CompactionSpec proves flagged partitions hold zero
     * tombstoned rows and unflagged partition files are bit-identical
     * to the source store's. */
+  /** The fingerprinted path of v95's COMPACTED store — exposed (not
+    * re-derived by callers) so the streaming twin's test serves from
+    * the exact store v95 builds: a future path-tag bump lands here
+    * once instead of silently desynchronizing a duplicated path
+    * string (ADVICE r10; the tivfidx→tivfidx2 bump is the precedent). */
+  def compactedIvfStorePath(d: String): String = {
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    s"/tmp/graft_cmpidx_${safe}_$fp"
+  }
+
   def v95CompactionExec(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
@@ -6552,7 +6618,7 @@ object Queries {
         IvfIndex.assign(e, seedCentroids(e), "vec_id", "embedding",
           "cid"), srcPath)
     }
-    val cmpPath = s"/tmp/graft_cmpidx_${safe}_$fp"
+    val cmpPath = compactedIvfStorePath(d)
     ensurePersisted(cmpPath) {
       IvfIndex.compact(s, srcPath, cmpPath, col("id") % 7 === 0)
     }

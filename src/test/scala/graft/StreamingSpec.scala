@@ -227,11 +227,10 @@ class StreamingSpec extends SparkSpec {
     // gate promises)
     val expected = graft.queries.Queries.v95CompactionExec(spark, sf)
       .as[(Long, Long, Long, Double)].collect().toSet
-    val safe = sf.replaceAll("[^a-zA-Z0-9]", "_")
-    val fp = graft.sources.BucketedStore
-      .fingerprint(s"$sf/embeddings.parquet")
+    // the store path comes from Queries (not a re-derived string): a
+    // path-tag bump there moves this test with it automatically
     val cmp = graft.operators.IvfIndex
-      .load(spark, s"/tmp/graft_cmpidx_${safe}_$fp")
+      .load(spark, graft.queries.Queries.compactedIvfStorePath(sf))
       .select($"id".as("vec_id"), $"vec".as("embedding"))
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dead = emb.filter($"vec_id" % 7 === 0)
