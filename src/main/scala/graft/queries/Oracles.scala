@@ -4713,6 +4713,11 @@ FROM frk WHERE rn <= 3""")
     // bit-transparent — so each twin IS its rebuild-shape SQL
     // verbatim (the v66/v86 contract extended to the trained family).
     "v87_trained_pq_persisted" -> r8Extra("v78_trained_pq"),
+    // Incremental code-store ingest: PQ encode is per-row under the
+    // persisted trained book, so the anti-join + encode-only-new +
+    // union serve must equal the full rebuild EXACTLY — v78's trained
+    // SQL verbatim is the gate for that claim (the v80 argument).
+    "v99_code_store_upsert" -> r8Extra("v78_trained_pq"),
     "v90_trained_ivf_persisted" -> base("v65_trained_ivf_search"),
     "v91_trained_ivfpq_persisted" -> base("v68_trained_ivfpq"),
     // Trained-IVF / trained-IVFPQ retrieval quality: the trained probe

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.PqIndex
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-11 keys. Exact value parity with
+  * DuckDB is the oracle gate's job; these prove the claims the gates
+  * rest on — the incremental ingest path reproduces the full rebuild
+  * row-for-row with zero store-side exchange (v99), and the served
+  * output is bit-identical to the full-store twin's (the transparency
+  * argument made testable).
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  test("v99: merged code store (base + encoded-new) equals the full " +
+    "rebuild row-for-row") {
+    val (merged, book, gd) = Queries.upsertedPqCodes(spark, sf)
+    val rebuilt = PqIndex.encode(gd, "id", "qemb", dim = 64, m = 8, book)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+      .sortBy(_._1).toList
+    val m = rows(merged)
+    val r = rows(rebuilt)
+    assert(m.nonEmpty && m === r)
+  }
+
+  test("v99: only genuinely new ids pay the encode — the batch minus " +
+    "the base split, none already stored") {
+    val (merged, _, gd) = Queries.upsertedPqCodes(spark, sf)
+    val all = gd.select("id").collect().map(_.getLong(0)).toSet
+    val baseIds = all.filter(_ % 4 != 0)
+    val mergedIds = merged.select("id").collect().map(_.getLong(0))
+    // union is exact and duplicate-free: every id exactly once
+    assert(mergedIds.length === all.size)
+    assert(mergedIds.toSet === all)
+    assert(baseIds.subsetOf(all))
+  }
+
+  test("v99: the anti-join probes the bucketed store with zero " +
+    "store-side exchange") {
+    // v27's contract on the code store: the bucketed side of the
+    // merge-hinted anti-join must not re-shuffle. Disable AQE +
+    // broadcast so the sort-merge path (and any exchange) is visible.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (merged, _, _) = Queries.upsertedPqCodes(spark, sf)
+      val plan = merged.queryExecution.executedPlan.toString
+      // The arriving batch side may shuffle to the store's bucketing —
+      // that is the contract. The STORE side must read its bucketed
+      // layout straight into the join: between the SortMergeJoin and
+      // its bucketed FileScan (the join's LAST child, drawn without
+      // the left branch's ':' rail) no Exchange may appear.
+      val lines = plan.linesIterator.toVector
+      val smj = lines.indexWhere(_.contains("SortMergeJoin"))
+      val scan = lines.indexWhere(_.contains("Bucketed: true"), smj)
+      assert(smj >= 0 && scan > smj, plan)
+      val storeSide = lines.slice(smj + 1, scan + 1)
+        .filterNot(l => l.takeWhile(c => !c.isLetterOrDigit).contains(':'))
+      assert(storeSide.nonEmpty && !storeSide.exists(_.contains("Exchange")),
+        s"store-side exchange leaked into the anti-join plan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("v99: served rows are bit-identical to v87's full-store serve") {
+    val got = Queries.v99CodeStoreUpsert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    val want = Queries.v87TrainedPqPersisted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(got.nonEmpty && got === want)
+  }
+}
