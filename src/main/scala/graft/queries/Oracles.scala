@@ -4804,6 +4804,38 @@ rr_f AS (SELECT query_id, gid, d2,
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
 FROM rr_f WHERE rnk <= 5""",
 
+    // Filtered trained-ANN recall: v98's filtered probe chain against
+    // the FILTERED exact scan (v15's predicate on the exact side too,
+    // so the row measures the index, not the filter) — the v59 shape
+    // on the trained quantizer, closing the eval-matrix convention.
+    "v100_filtered_trained_recall" -> s"""
+WITH $trainedIvfRouteCtes,
+pr_f AS (SELECT query_id, lab FROM qr WHERE rn <= 2),
+kp AS (SELECT CAST(vec_id AS BIGINT) AS kid FROM embeddings
+       WHERE label % 3 = 0),
+sc_f AS (SELECT p.query_id, a.gid, ${l2sq("gv.v", "q.qvec")} AS d2
+       FROM pr_f p JOIN asn4 a ON a.lab = p.lab
+       JOIN kp ON kp.kid = a.gid
+       JOIN g gv ON gv.gid = a.gid
+       JOIN q ON q.query_id = p.query_id),
+rr_f AS (SELECT query_id, gid, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2, gid) AS rnk
+       FROM sc_f),
+ha AS (SELECT query_id, gid FROM rr_f WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2e
+        FROM g JOIN kp ON kp.kid = g.gid CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2e, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+
     // Trained-IVF nprobe/recall curve: the SHARED route CTEs + one
     // probe chain per depth, recall@5 vs the exact scan — v46's sweep
     // on the trained quantizer (v92's nprobe=2 point sits on it).

@@ -967,6 +967,30 @@ object Queries {
     trainedIvfServe(added.filter(col("label") % 3 === 0), g, cs)
   }
 
+  /** FILTERED trained-ANN quality — v59's recall row for v98,
+    * closing the eval-matrix convention (every serving twin gets a
+    * measured quality row): recall@5 of the inline-predicate trained
+    * serve vs the FILTERED exact scan (v15's chain at the SAME
+    * predicate, label % 3 = 0 — the exact side must rank only
+    * eligible candidates or the row would punish the filter instead
+    * of the index). Approx side serves from v90's persisted trained
+    * index through v98's pushed-predicate scan; both inputs are gated
+    * O(Q·k) frames → broadcast join + tiny aggregate. */
+  def v100FilteredTrainedRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v15FilteredKnn(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = v98FilteredTrainedIvf(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   def v97TrainedProbeCurve(s: SparkSession, d: String): DataFrame = {
     val (added, g, cs) = trainedIvfStore(s, d)
     val exact = v1KnnL2(s, d)

@@ -68,6 +68,28 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("v100: recall recomputes from the gated v98/v15 frames and " +
+    "the reported ratio is its own exact quotient") {
+    val exact = Queries.v15FilteredKnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val approx = Queries.v98FilteredTrainedIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val want = exact.groupBy(_._1).map { case (q, rows) =>
+      (q, rows.count(approx).toLong)
+    }
+    val rows = Queries.v100FilteredTrainedRecall(spark, sf).collect()
+    val got = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hit"))).toMap
+    assert(got.nonEmpty && got === want)
+    val kPerQuery = exact.groupBy(_._1).map { case (q, r) => (q, r.length) }
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Double]("recall_at_5") ===
+        r.getAs[Long]("n_hit").toDouble / kPerQuery(q))
+    }
+  }
+
   test("v99: served rows are bit-identical to v87's full-store serve") {
     val got = Queries.v99CodeStoreUpsert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
