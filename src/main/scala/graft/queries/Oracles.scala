@@ -4718,6 +4718,11 @@ FROM frk WHERE rn <= 3""")
     // union serve must equal the full rebuild EXACTLY — v78's trained
     // SQL verbatim is the gate for that claim (the v80 argument).
     "v99_code_store_upsert" -> r8Extra("v78_trained_pq"),
+    // Approximate range search: the SQ8 code prefilter must be
+    // LOSSLESS (its admission bound provably excludes no true pair),
+    // so the gate is v24's exact range SQL verbatim — transparency,
+    // like every persisted/derived serving twin.
+    "v101_range_prefilter" -> base("v24_range_search"),
     "v90_trained_ivf_persisted" -> base("v65_trained_ivf_search"),
     "v91_trained_ivfpq_persisted" -> base("v68_trained_ivfpq"),
     // Trained-IVF / trained-IVFPQ retrieval quality: the trained probe

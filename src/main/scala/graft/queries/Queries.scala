@@ -496,16 +496,25 @@ object Queries {
     * gallery → `levels+1`-level integer codes (gid, cv). Shared by the
     * rebuild-shape gates (v17/v82 via [[sqKnn]]) and the persisted
     * serving gate (v86), which stores this frame once. */
+  /** The SQ quantizer's per-dim (min, range) stats — one full-corpus
+    * reduction over 64 keys, broadcast-sized by construction. Shared
+    * by [[sqCodes]] (the encode) and v101 (whose completeness bound is
+    * a function of the SAME ranges the codes were built with). */
+  private def sqStats(s: SparkSession, d: String)
+      : (Array[Long], Array[Long]) = {
+    val g = emb(s, d).select(quantize(col("embedding")).as("v"))
+    val stats = g.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    (stats.map(_.getLong(1)),
+      stats.map(r => math.max(r.getLong(2) - r.getLong(1), 1L)))
+  }
+
   private def sqCodes(s: SparkSession, d: String, levels: Long): DataFrame = {
     val e = emb(s, d)
     val g = e.select(col("vec_id").cast("long").as("gid"),
       quantize(col("embedding")).as("v"))
-    // 64 (min,max) rows — broadcast-sized by construction, like centroids
-    val stats = g.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
-      .orderBy("i").collect()
-    val mns = stats.map(_.getLong(1))
-    val rngs = stats.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    val (mns, rngs) = sqStats(s, d)
     val mnLit = array(mns.map(lit(_)).toIndexedSeq: _*)
     val rgLit = array(rngs.map(lit(_)).toIndexedSeq: _*)
     // code_i = ((x_i - mn_i) * levels) div rng_i. num - (num mod rng) is
@@ -1973,6 +1982,82 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"),
         intL2Sq(col("gv"), col("qv")).as("d2"))
       .filter(col("d2") <= lit(144000000L)) // (1.2 * 10000)^2
+      .select(col("query_id"), col("neighbor_id"),
+        distFromIntSq(col("d2").cast("double")).as("dist"))
+  }
+
+  /** Ceiling integer square root (exact, BigInt): the completeness
+    * bound of v101 must round UP or the admission proof breaks. */
+  private def bigIntSqrtCeil(n: BigInt): BigInt = {
+    var x = BigInt(math.ceil(math.sqrt(n.toDouble)).toLong) + 2
+    while (x > 0 && (x - 1) * (x - 1) >= n) x -= 1
+    x
+  }
+
+  /** v101's candidate pairs: every (query, gallery) pair whose
+    * SQ8-code distance clears the PROVABLY COMPLETE admission bound.
+    * The encode (sqCodes) guarantees, per dim,
+    * (x_i − mn_i)·levels ∈ [c_i·rng_i, (c_i+1)·rng_i), so for any two
+    * vectors |levels·(x_i − y_i) − (cx_i − cy_i)·rng_i| < rng_i,
+    * hence ‖levels·(x−y) − a‖² < Σ rng_i² for the code-space vector
+    * a_i = (cx_i − cy_i)·rng_i. A true pair (‖x−y‖ ≤ r) therefore has
+    * ‖a‖ < levels·r + √(Σ rng_i²): admitting codeD2 < (levels·r +
+    * ceil√(Σ rng_i²))² can exclude NO true pair (spec-proven on the
+    * fixture; all quantities exact integers). Scoring runs the SAME
+    * fused integer kernel over the pre-scaled codes sx_i = c_i·rng_i,
+    * read from v86's persisted fingerprinted code store. */
+  private[graft] def sq8RangeCandidates(s: SparkSession, d: String)
+      : DataFrame = {
+    val levels = 255L
+    val (_, rngs) = sqStats(s, d)
+    val r = 12000L // √144,000,000 — v24's radius in quantized units
+    val sumRngSq = rngs.map(g => BigInt(g) * BigInt(g)).sum
+    val bound = {
+      val b = BigInt(levels) * r + bigIntSqrtCeil(sumRngSq)
+      b * b
+    }
+    require(bound.isValidLong, s"v101 bound overflows Long: $bound")
+    val table = "graft_sq8_codes_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
+    val coded = graft.sources.BucketedStore.ensure(s, table,
+      sqCodes(s, d, levels = levels), "gid", numBuckets = 32)
+    val rgLit = array(rngs.map(lit(_)).toIndexedSeq: _*)
+    val scaled = coded.select(col("gid"),
+      zip_with(col("cv"), rgLit, (c, rg) => c * rg).as("scv"))
+    val qs = scaled.filter(col("gid") % 100 === 0)
+      .select(col("gid").as("query_id"), col("scv").as("qscv"))
+    scaled.join(broadcast(qs))
+      .filter(intL2Sq(col("scv"), col("qscv")) < lit(bound.toLong))
+      .select(col("query_id"), col("gid").as("neighbor_id"))
+  }
+
+  /** APPROXIMATE range search — v24's radius semantics behind an SQ8
+    * code PREFILTER whose per-dim quantization step bounds the
+    * code-vs-true distance error, so the code scan admits a provably
+    * COMPLETE candidate set and only candidates pay the full-vector
+    * verify (the d2 candidate+verify composition applied to range
+    * queries; faiss range_search on a scalar-quantized index). The
+    * oracle is v24's exact SQL VERBATIM — a transparency gate: the
+    * prefilter must be lossless, not approximately right. At 100 TB
+    * the admission scan reads 1-byte/dim codes from the persisted
+    * store (~4× fewer bytes than the raw fixed-point vectors, shared
+    * with v86) and the full vectors are fetched by id only for the
+    * admitted O(candidates) pairs. */
+  def v101RangePrefilter(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val g = e.select(col("vec_id").cast("long").as("neighbor_id"),
+      quantize(col("embedding")).as("gv"))
+    val q = queryVecs(e).select(col("vec_id").cast("long").as("query_id"),
+      quantize(col("embedding")).as("qv"))
+    // the candidate set is data-dependent (scales with in-radius mass)
+    // — no broadcast hint on its gallery join, AQE sizes it (the
+    // d12/q17 precedent); the query side is broadcast-sized by contract
+    sq8RangeCandidates(s, d)
+      .join(g, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        intL2Sq(col("gv"), col("qv")).as("d2"))
+      .filter(col("d2") <= lit(144000000L))
       .select(col("query_id"), col("neighbor_id"),
         distFromIntSq(col("d2").cast("double")).as("dist"))
   }

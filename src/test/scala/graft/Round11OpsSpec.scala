@@ -90,6 +90,38 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("v101: the SQ8 admission bound is complete — candidates are a " +
+    "superset of the exact in-radius pairs — and actually prunes") {
+    val cand = Queries.sq8RangeCandidates(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val exact = Queries.v24RangeSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(cand),
+      s"lossy prefilter: ${(exact -- cand).take(5)} dropped")
+    // fixture-level expectation, not an invariant: on this corpus the
+    // prefilter must reject most of the Q·N cross space, else it buys
+    // nothing (the bound is loose by construction, but not THAT loose)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = e.count()
+    val qn = e.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 100 === 0).count()
+    assert(cand.size < (n * qn) / 2,
+      s"prefilter admitted ${cand.size} of ${n * qn} pairs")
+  }
+
+  test("v101: prefiltered result equals the exact v24 rows") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("dist")))
+      .sortBy(t => (t._1, t._2)).toList
+    val got = rows(Queries.v101RangePrefilter(spark, sf))
+    val want = rows(Queries.v24RangeSearch(spark, sf))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("v99: served rows are bit-identical to v87's full-store serve") {
     val got = Queries.v99CodeStoreUpsert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
