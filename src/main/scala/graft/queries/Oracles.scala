@@ -4723,6 +4723,43 @@ FROM frk WHERE rn <= 3""")
     // so the gate is v24's exact range SQL verbatim — transparency,
     // like every persisted/derived serving twin.
     "v101_range_prefilter" -> base("v24_range_search"),
+    // Trained-OPQ retrieval quality: v33's exact per-dim variance
+    // numerators rank the dims, the descending round-robin deal
+    // assigns subspaces, and the resulting permutation feeds v31's
+    // ADC chain — v69's recall tail over the TRAINED rotation, so the
+    // (v69, v102) pair measures what training the rotation buys.
+    "v102_opq_trained_recall" -> {
+      val rotG = s"""g0 AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v0 FROM embeddings),
+dx AS (SELECT CAST(j AS BIGINT) AS dim, v0[CAST(j AS INT) + 1] AS qx
+      FROM g0, (SELECT unnest(range(64)) AS j)),
+da AS (SELECT dim, count(*) AS n,
+             sum(CAST(qx AS HUGEINT)) AS sx,
+             sum(CAST(qx AS HUGEINT) * CAST(qx AS HUGEINT)) AS sx2
+      FROM dx GROUP BY 1),
+dr AS (SELECT dim,
+              row_number() OVER (ORDER BY (n * sx2 - sx * sx) DESC, dim) AS rn
+       FROM da),
+pp AS (SELECT list(dim ORDER BY ((rn - 1) % 8) * 8 + (rn - 1) // 8) AS perm
+       FROM dr),
+g AS (SELECT gid, list_transform(range(64),
+         i -> v0[CAST(pp.perm[i + 1] AS INT) + 1]) AS v
+      FROM g0 CROSS JOIN pp)"""
+      s"""
+WITH ${pqAdcCtes(rotG)},
+ha AS (SELECT query_id, gid FROM r WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1"""
+    },
     "v90_trained_ivf_persisted" -> base("v65_trained_ivf_search"),
     "v91_trained_ivfpq_persisted" -> base("v68_trained_ivfpq"),
     // Trained-IVF / trained-IVFPQ retrieval quality: the trained probe

@@ -1575,6 +1575,83 @@ object Queries {
         (col("dist") / lit(10000.0)).as("dist"))
   }
 
+  /** The TRAINED OPQ dim-to-subspace assignment: a variance-balancing
+    * permutation derived from v33's exact per-dim second moments —
+    * dims ranked by the exact integer variance NUMERATOR n·Σx² − (Σx)²
+    * (ties to dim id) and dealt round-robin across the m subspaces
+    * (rank k → subspace k mod m, slot k div m), so every subspace gets
+    * one dim from each variance tier — the greedy balance faiss's OPQ
+    * rotation seeks, restricted to signed permutations (the family
+    * v31 already consumes; a permutation is an exact isometry, so the
+    * chain stays fixed-point-exact end to end). Stats ride
+    * Decimal(38,0) ≡ HUGEINT; the ordering is computed on exact
+    * BigInts — both engines rank identically. */
+  private[graft] def trainedOpqPerm(s: SparkSession, d: String)
+      : Array[Int] = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = emb(s, d)
+      .select(posexplode(quantize(col("embedding"))).as(Seq("pos", "qx")))
+      .groupBy(col("pos").cast("int").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx").cast(dec)).as("sx"),
+        sum(col("qx").cast(dec) * col("qx").cast(dec)).as("sx2"))
+      .collect()
+    require(rows.length == PqDim,
+      s"trainedOpqPerm: expected $PqDim dims, found ${rows.length}")
+    val nums: Map[Int, BigInt] = rows.map { r =>
+      val n = BigInt(r.getLong(1))
+      val sx = BigInt(r.getDecimal(2).toBigInteger)
+      val sx2 = BigInt(r.getDecimal(3).toBigInteger)
+      r.getInt(0) -> (n * sx2 - sx * sx)
+    }.toMap
+    val sub = PqDim / PqM
+    val ranked = (0 until PqDim).sortBy(dim => (-nums(dim), dim))
+    val perm = new Array[Int](PqDim)
+    ranked.zipWithIndex.foreach { case (dim, k) =>
+      perm((k % PqM) * sub + k / PqM) = dim
+    }
+    perm
+  }
+
+  /** v31's ADC chain over the TRAINED-permutation gallery (signs all
+    * +1 — the rotation is a pure permutation, exactly isometric). */
+  private def opqTrainedSearch(s: SparkSession, d: String): DataFrame = {
+    val perm = trainedOpqPerm(s, d)
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      graft.functions.VectorFunctions.applySignedPerm(
+        transform(quantize(col("embedding")), x => x.cast("double")),
+        perm, Array.fill(PqDim)(1)).as("qemb"))
+    val book = PqIndex.seededBook(g, "id", "qemb", PqDim, PqM, PqKsub)
+    val codes = PqIndex.encode(g, "id", "qemb", PqDim, PqM, book)
+    PqIndex.searchAdc(codes, g.filter(col("id") % 100 === 0),
+        "id", "qemb", PqDim, PqM, book, k = 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
+  /** TRAINED-OPQ retrieval quality — recall@5 of the ADC ranking over
+    * the variance-balanced TRAINED permutation vs v1's exact scan, the
+    * row that reads next to v69 (the SEEDED random permutation at
+    * identical code size): the (v69, v102) delta is what TRAINING the
+    * rotation buys — faiss OPQ's value proposition as a measured pair
+    * of gated rows instead of an assumption. Training is one
+    * O(dims)-key exact aggregate (v33's pass) collected to a 64-entry
+    * literal; the chain is v31's map-only encode + broadcast-table ADC
+    * + O(Q·k) partial top-k; the eval joins two O(Q·k) frames. */
+  def v102OpqTrainedRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = opqTrainedSearch(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   /** Triplet mining — for each anchor, the nearest SAME-label vector
     * (hard positive) and the nearest DIFFERENT-label vector (hard
     * negative), the metric-learning batch-prep step behind the

@@ -122,6 +122,31 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("v102: the trained OPQ assignment is a permutation (exact " +
+    "isometry) matching an independent exact recomputation") {
+    val perm = Queries.trainedOpqPerm(spark, sf)
+    assert(perm.length === 64)
+    assert(perm.sorted.toSeq === (0 until 64))
+    // independent recomputation: quantize driver-side from the raw
+    // parquet, exact BigInt variance numerators, same deal rule
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        BigInt(math.round(x.toDouble * 10000))).toArray)
+    val n = BigInt(vecs.length)
+    val nums = (0 until 64).map { i =>
+      val sx = vecs.map(_(i)).sum
+      val sx2 = vecs.map(v => v(i) * v(i)).sum
+      n * sx2 - sx * sx
+    }
+    val ranked = (0 until 64).sortBy(dim => (-nums(dim), dim))
+    val want = new Array[Int](64)
+    ranked.zipWithIndex.foreach { case (dim, k) =>
+      want((k % 8) * 8 + k / 8) = dim
+    }
+    assert(perm.toSeq === want.toSeq)
+  }
+
   test("v99: served rows are bit-identical to v87's full-store serve") {
     val got = Queries.v99CodeStoreUpsert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
