@@ -508,6 +508,15 @@ w$i AS (SELECT query_id, nid AS cur FROM (
 f0 AS (SELECT query_id, cur AS nid FROM w3),
 $beamLoopCtes"""
 
+  /** v88's full walk statement — shared verbatim by v88 (persisted
+    * full-build stores) and v103 (merged upserted stores): the
+    * transparency gate for the hierarchy's incremental maintenance. */
+  private def hnswEntrySql: String = s"""
+WITH $hnswEntryCtes
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
+       sqrt(d2) / $vscale.0 AS dist
+FROM fr3 WHERE rn <= 4"""
+
   /** LSH sign-bucket expression over a quantized list column: the SAME
     * seed-fixed quantized hyperplanes the Spark side uses
     * (LshIndex.hyperplanes(64, 6, 42) → quantizePlanes — 6 planes,
@@ -4798,11 +4807,12 @@ FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
 GROUP BY 1""",
     // 2-layer HNSW entry: coarse greedy walk over the hash-sampled
     // layer, winner seeds the SHARED beam loop (v79's ranking shape).
-    "v88_hnsw_entry" -> s"""
-WITH $hnswEntryCtes
-SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
-       sqrt(d2) / $vscale.0 AS dist
-FROM fr3 WHERE rn <= 4""",
+    "v88_hnsw_entry" -> hnswEntrySql,
+    // Hierarchical coarse-layer upsert: merged ≡ rebuilt on BOTH
+    // layers (the spec's row-for-row proof), so serving from the
+    // merged stores must be bit-identical to v88's — its walk SQL
+    // verbatim is the gate (the v80/v99 transparency argument).
+    "v103_hier_upsert" -> hnswEntrySql,
     // Hierarchical-entry beam recall: v81's shared recall tail over
     // the coarse-walk-seeded CTEs.
     "v94_hnsw_recall" -> beamRecallSql(hnswEntryCtes),

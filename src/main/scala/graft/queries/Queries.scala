@@ -5736,12 +5736,21 @@ object Queries {
     * the coarse-walk CTEs + the SHARED beam-loop CTEs seeded by the
     * walk winner; spec proves the winner lies in the sampled layer and
     * the frontier's recall reads next to v79's. */
-  def v88HnswEntry(s: SparkSession, d: String): DataFrame = {
+  def v88HnswEntry(s: SparkSession, d: String): DataFrame =
+    hnswEntryServe(s, d, persistedKnnEdges(s, d),
+      persistedCoarseEdges(s, d))
+
+  /** The 2-layer walk of v88 over CALLER-SUPPLIED edge lists — shared
+    * by v88 (persisted full-build stores) and v103 (merged upserted
+    * edges), so the hierarchy's serving semantics cannot drift between
+    * the build paths: coarse greedy width-1 descent seeds v79's ef=4
+    * layer-0 beam. */
+  private def hnswEntryServe(s: SparkSession, d: String,
+                             edges: DataFrame, coarse: DataFrame)
+      : DataFrame = {
     val ef = 4
     val v = bucketedVecs(s, d)
     val vec = v.select(col("id"), col("qv"))
-    val edges = persistedKnnEdges(s, d)
-    val coarse = persistedCoarseEdges(s, d)
     val subVec = vec.filter(Sampling.portableHash(col("id")) % 5 === 0)
     val q = vec.filter(col("id") % 100 === 0)
       .select(col("id").as("query_id"), col("qv").as("query_v"))
@@ -5806,6 +5815,48 @@ object Queries {
     * shared recall tail over the hierarchical-walk CTEs. */
   def v94HnswRecall(s: SparkSession, d: String): DataFrame =
     beamRecallOf(s, d, v88HnswEntry(s, d))
+
+  /** Both merged edge layers of the hierarchy upsert — exposed to the
+    * spec so "merged ≡ rebuilt" is provable row-for-row PER LAYER
+    * against [[knnGraphRanked]] of the full layer corpus. */
+  private[graft] def upsertedHierEdges(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val v = bucketedVecs(s, d)
+    (upsertedGraphEdges(s, d, v, "knn"),
+      upsertedGraphEdges(s, d,
+        v.filter(Sampling.portableHash(col("id")) % 5 === 0), "coarse"))
+  }
+
+  /** The spec's rebuild reference: both layer graphs built from
+    * scratch on the full layer corpora (what the upsert must equal). */
+  private[graft] def rebuiltHierEdges(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val v = bucketedVecs(s, d)
+    (knnGraphRanked(v),
+      knnGraphRanked(v.filter(Sampling.portableHash(col("id")) % 5 === 0)))
+  }
+
+  /** COARSE-LAYER upsert for the 2-layer hierarchy — v80's localized
+    * repair extended to v88's layer-1 graph, then v88's walk served
+    * from the MERGED stores: because layer-1 membership is the
+    * deterministic portable-hash sample (v9's contract), an arriving
+    * batch's layer-1 members — and their bucket-blocked repair set —
+    * are computable exactly, so BOTH layers ingest incrementally (base
+    * top-3 edges from fingerprinted stores with d2, batch × all
+    * same-bucket mates, base × batch repair, one top-3 cut per layer)
+    * and the hierarchy never rebuilds. Merged ≡ rebuilt on each layer
+    * (spec-proven row-for-row), so serving is bit-identical to v88 —
+    * oracle = v88's hierarchical-walk SQL VERBATIM. At 100 TB a batch
+    * costs O(batch·bucket) edge scoring per layer instead of the
+    * O(N·bucket) rebuild, and the layer-1 store is 1/5th of that. */
+  def v103HierUpsert(s: SparkSession, d: String): DataFrame = {
+    val (l0, l1) = upsertedHierEdges(s, d)
+    // the walk re-reads its edge lists every step: checkpoint the
+    // merged frames so the 6 steps don't re-run the merge 6 times
+    hnswEntryServe(s, d,
+      l0.select(col("src_id"), col("dst_id")).localCheckpoint(false),
+      l1.select(col("src_id"), col("dst_id")).localCheckpoint(false))
+  }
 
   /** The beam-family recall row (v81/v94): the beam's rank-1 endpoint
     * vs the exact top-5 plus how many final-frontier nodes land in the
@@ -5965,18 +6016,29 @@ object Queries {
     * themselves). At 100 TB: batch work is O(batch · bucket), repair
     * fanout is bucket-bounded, and the base corpus is never
     * re-scanned — the stored edges stream from the bucketed store. */
-  def v80GraphUpsert(s: SparkSession, d: String): DataFrame = {
-    val v = bucketedVecs(s, d)
-    val base = v.filter(col("id") % 4 =!= 0)
-    val batch = v.filter(col("id") % 4 === 0)
+  /** The MERGED ranked edge list of an incremental graph upsert over
+    * `layer` (id % 4 = 0 is the arriving batch, the rest the stored
+    * base — v80's split): the base's bucket-blocked top-3 edges are
+    * read from a fingerprinted store (built once, WITH d2 so the merge
+    * never re-scores base×base), batch sources score against ALL
+    * same-bucket mates, base sources repair against same-bucket BATCH
+    * mates only, and one top-3 cut merges the three. Because the
+    * bucket blocking is deterministic, merged ≡ the graph REBUILT on
+    * the whole layer (v80's gate for layer 0; the v103 spec proves it
+    * for the coarse layer too). `tag` keys the base store per layer. */
+  private def upsertedGraphEdges(s: SparkSession, d: String,
+                                 layer: DataFrame, tag: String): DataFrame = {
+    val base = layer.filter(col("id") % 4 =!= 0)
+    val batch = layer.filter(col("id") % 4 === 0)
     // fingerprint suffix: regenerated embeddings ⇒ fresh edge store
-    val table = "graft_knn_base_edges_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+    val table = s"graft_${tag}_base_edges_" +
+      d.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
     val stored = graft.sources.BucketedStore.ensure(s, table,
       knnGraphRanked(base).select(col("src_id"), col("dst_id"), col("d2")),
       "src_id", numBuckets = 32)
     // batch-side edges: batch sources against ALL same-bucket mates
-    val batchCand = batch.as("x").join(v.as("y"),
+    val batchCand = batch.as("x").join(layer.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
       .select(col("x.id").as("src_id"), col("y.id").as("dst_id"),
         intL2Sq(col("x.qv"), col("y.qv")).cast("double").as("d2"))
@@ -5989,9 +6051,12 @@ object Queries {
     TopK.perGroup(
       stored.unionByName(repairCand).unionByName(batchCand),
       "src_id", "dst_id", "d2", k = 3, ascending = true)
+  }
+
+  def v80GraphUpsert(s: SparkSession, d: String): DataFrame =
+    upsertedGraphEdges(s, d, bucketedVecs(s, d), "knn")
       .select(col("src_id"), col("rnk"), col("dst_id"),
         distFromIntSq(col("d2")).as("dist"))
-  }
 
   /** Shard-balance audit — v37's imbalance factor applied to m3's
     * gated shard packing, per source: did the packer actually balance

@@ -147,6 +147,32 @@ class Round11OpsSpec extends SparkSpec {
     assert(perm.toSeq === want.toSeq)
   }
 
+  test("v103: merged edges equal the full rebuild row-for-row on " +
+    "BOTH hierarchy layers") {
+    val (l0, l1) = Queries.upsertedHierEdges(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("src_id", "rnk", "dst_id", "d2").collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("dst_id"), r.getAs[Double]("d2")))
+      .sortBy(t => (t._1, t._2)).toList
+    val (r0, r1) = Queries.rebuiltHierEdges(spark, sf)
+    assert(rows(l0).nonEmpty && rows(l0) === rows(r0))
+    assert(rows(l1).nonEmpty && rows(l1) === rows(r1))
+    // the coarse layer is the hash-sampled subset: strictly smaller
+    assert(rows(l1).size < rows(l0).size)
+  }
+
+  test("v103: serving from the merged stores is bit-identical to " +
+    "v88's full-store serve") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("node_id"), r.getAs[Double]("dist")))
+      .sortBy(t => (t._1, t._2)).toList
+    val got = rows(Queries.v103HierUpsert(spark, sf))
+    val want = rows(Queries.v88HnswEntry(spark, sf))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("v99: served rows are bit-identical to v87's full-store serve") {
     val got = Queries.v99CodeStoreUpsert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
