@@ -149,7 +149,24 @@ object ExplainAudit {
     // crossjoin (v57's class) plus the 1-row n_hit × dist_evals × nq
     // scalar crossjoins riding the curve row back (the q20/e19
     // class) — every BNLJ side is O(1) rows by construction.
-    "v96_ef_curve")
+    "v96_ef_curve",
+    // v99 serves v78's broadcast ADC-table crossjoin from the MERGED
+    // code store (the v87 persisted-serving class).
+    "v99_code_store_upsert",
+    // v100 composes v98's probe routing and v15's filtered scoring
+    // crossjoins (the v59 eval class).
+    "v100_filtered_trained_recall",
+    // v101's admission scan is the code-space broadcast(query-codes)
+    // crossjoin (the v17/v86 batch-KNN class); the verify joins BY ID.
+    "v101_range_prefilter",
+    // v102 composes v1's exact chain and v31's rotated-ADC chain over
+    // the trained permutation (the v69 eval class).
+    "v102_opq_trained_recall",
+    // v103 serves v88's walk from the merged upserted stores (the
+    // v88 scalar-entry class; checkpoint boundaries may hide the
+    // entry crossjoin from the printed final plan, but it is the
+    // same intentional 1-row shape either way).
+    "v103_hier_upsert")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the
