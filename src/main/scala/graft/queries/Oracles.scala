@@ -4722,11 +4722,14 @@ FROM frk WHERE rn <= 3""")
     // bit-transparent — so each twin IS its rebuild-shape SQL
     // verbatim (the v66/v86 contract extended to the trained family).
     "v87_trained_pq_persisted" -> r8Extra("v78_trained_pq"),
-    // Incremental code-store ingest: PQ encode is per-row under the
-    // persisted trained book, so the anti-join + encode-only-new +
-    // union serve must equal the full rebuild EXACTLY — v78's trained
-    // SQL verbatim is the gate for that claim (the v80 argument).
+    // Incremental code-store ingest: encode is per-row under the
+    // persisted trained artifacts (PQ book / SQ params / IVFPQ
+    // centroids+books), so the anti-join + encode-only-new + union
+    // serve must equal the full rebuild EXACTLY — each family's gate
+    // is its rebuild-shape SQL verbatim (the v80 argument).
     "v99_code_store_upsert" -> r8Extra("v78_trained_pq"),
+    "v104_sq_store_upsert" -> sqKnnSql(255),
+    "v105_ivfpq_store_upsert" -> base("v68_trained_ivfpq"),
     // Approximate range search: the SQ8 code prefilter must be
     // LOSSLESS (its admission bound provably excludes no true pair),
     // so the gate is v24's exact range SQL verbatim — transparency,

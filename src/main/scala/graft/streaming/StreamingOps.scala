@@ -559,6 +559,29 @@ object StreamingOps {
         (col("dist") / lit(scale.toDouble)).as("dist"))
   }
 
+  /** Per-micro-batch incremental code-store ingest — v99's contract
+    * on the streaming surface (faiss `add()` as a continuous job):
+    * the arriving vector batch anti-joins the codes ALREADY stored
+    * (re-delivered ids drop — d9's overlap semantics), only genuinely
+    * new ids pay the map-only encode against the FIXED persisted book,
+    * and the returned new-code rows are what the caller appends to the
+    * store. Encode is per-row under a fixed book, so any interleaving
+    * of batches accumulates to exactly the full-rebuild code table
+    * (the v99 spec's claim, proven per-batch here). */
+  def ingestCodesBatch(vecBatch: DataFrame, seenCodes: DataFrame,
+                       book: Seq[graft.operators.PqIndex.Codebook],
+                       dim: Int = 64, m: Int = 8,
+                       scale: Int = graft.functions.VectorFunctions.DefaultScale)
+      : DataFrame = {
+    import graft.functions.VectorFunctions.quantize
+    val g = vecBatch.select(col("vec_id").cast("long").as("id"),
+      transform(quantize(col("embedding"), scale),
+        x => x.cast("double")).as("qemb"))
+    val newRows = g.join(seenCodes.hint("merge"),
+      g("id") === seenCodes("id"), "left_anti")
+    graft.operators.PqIndex.encode(newRows, "id", "qemb", dim, m, book)
+  }
+
   def hybridRrfBatch(queryBatch: DataFrame, gallery: DataFrame,
                      inv: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.shingles

@@ -166,7 +166,12 @@ object ExplainAudit {
     // v88 scalar-entry class; checkpoint boundaries may hide the
     // entry crossjoin from the printed final plan, but it is the
     // same intentional 1-row shape either way).
-    "v103_hier_upsert")
+    "v103_hier_upsert",
+    // v104 serves v17/v86's code-space scoring crossjoin from the
+    // merged SQ8 store (the v86 persisted-serving class); v105 serves
+    // v68's driver-routed residual-ADC probe chain from the merged
+    // IVFPQ store (the v91 class).
+    "v104_sq_store_upsert", "v105_ivfpq_store_upsert")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

@@ -39,21 +39,21 @@ class Round11OpsSpec extends SparkSpec {
     assert(baseIds.subsetOf(all))
   }
 
-  test("v99: the anti-join probes the bucketed store with zero " +
-    "store-side exchange") {
-    // v27's contract on the code store: the bucketed side of the
-    // merge-hinted anti-join must not re-shuffle. Disable AQE +
-    // broadcast so the sort-merge path (and any exchange) is visible.
+  /** The zero-store-side-exchange assertion shared by every code-store
+    * upsert family (v27's contract): the bucketed side of the
+    * merge-hinted anti-join must not re-shuffle. The arriving batch
+    * side MAY shuffle to the store's bucketing — that is the contract.
+    * The STORE side must read its bucketed layout straight into the
+    * join: between the SortMergeJoin and its bucketed FileScan (the
+    * join's LAST child, drawn without the left branch's ':' rail) no
+    * Exchange may appear. AQE + broadcast are disabled so the
+    * sort-merge path (and any exchange) is visible. */
+  private def assertNoStoreSideExchange(
+      mkFrame: => org.apache.spark.sql.DataFrame): Unit = {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val (merged, _, _) = Queries.upsertedPqCodes(spark, sf)
-      val plan = merged.queryExecution.executedPlan.toString
-      // The arriving batch side may shuffle to the store's bucketing —
-      // that is the contract. The STORE side must read its bucketed
-      // layout straight into the join: between the SortMergeJoin and
-      // its bucketed FileScan (the join's LAST child, drawn without
-      // the left branch's ':' rail) no Exchange may appear.
+      val plan = mkFrame.queryExecution.executedPlan.toString
       val lines = plan.linesIterator.toVector
       val smj = lines.indexWhere(_.contains("SortMergeJoin"))
       val scan = lines.indexWhere(_.contains("Bucketed: true"), smj)
@@ -66,6 +66,62 @@ class Round11OpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("v99: the anti-join probes the bucketed store with zero " +
+    "store-side exchange") {
+    assertNoStoreSideExchange(Queries.upsertedPqCodes(spark, sf)._1)
+  }
+
+  test("v104/v105: the SQ8 and IVFPQ store anti-joins also probe " +
+    "with zero store-side exchange") {
+    assertNoStoreSideExchange(Queries.upsertedSqCodes(spark, sf))
+    assertNoStoreSideExchange(Queries.upsertedIvfpqCodes(spark, sf)._1)
+  }
+
+  test("v104: merged SQ8 codes equal an independent full re-encode " +
+    "and the served rows are bit-identical to v86's") {
+    val merged = Queries.upsertedSqCodes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).sortBy(_._1)
+      .toList
+    // independent full rebuild: quantize + stats + encode driver-side
+    // from the raw parquet (exact integer math, the v102 pattern)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue(),
+        r.getSeq[Float](1).map(x =>
+          math.round(x.toDouble * 10000)).toArray))
+    val mns = (0 until 64).map(i => vecs.map(_._2(i)).min).toArray
+    val rngs = (0 until 64)
+      .map(i => math.max(vecs.map(_._2(i)).max - mns(i), 1L)).toArray
+    val want = vecs.map { case (id, v) =>
+      (id, (0 until 64).map(i => ((v(i) - mns(i)) * 255L) / rngs(i))
+        .toList)
+    }.sortBy(_._1).toList
+    assert(merged.nonEmpty && merged === want)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(rows(Queries.v104SqStoreUpsert(spark, sf)) ===
+      rows(Queries.v86Sq8Persisted(spark, sf)))
+  }
+
+  test("v105: merged residual codes equal the full rebuild " +
+    "row-for-row and the served rows are bit-identical to v68's") {
+    val (merged, centsDf, book, g) = Queries.upsertedIvfpqCodes(spark, sf)
+    val rebuilt = graft.operators.IvfPq.encodeResidual(g, centsDf,
+      "id", "qemb", "cid", dim = 64, m = 8, book, scale = 1)
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "codes", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getLong(2)))
+      .sortBy(_._1).toList
+    val m = codeRows(merged)
+    assert(m.nonEmpty && m === codeRows(rebuilt))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(rows(Queries.v105IvfpqStoreUpsert(spark, sf)) ===
+      rows(Queries.v68TrainedIvfPq(spark, sf)))
   }
 
   test("v100: recall recomputes from the gated v98/v15 frames and " +

@@ -921,4 +921,59 @@ class StreamingSpec extends SparkSpec {
       assert(buf.toSet == expected && expected.nonEmpty)
     } finally q.stop()
   }
+
+  test("ingestCodesBatch via foreachBatch: overlapping vector micro-" +
+    "batches accumulate to exactly the full-rebuild code table (v99's " +
+    "contract as a continuous ingest job)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.quantize
+    import graft.operators.PqIndex
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val g = emb.select($"vec_id".cast("long").as("id"),
+      org.apache.spark.sql.functions.transform(quantize($"embedding"),
+        x => x.cast("double")).as("qemb"))
+    val book = PqIndex.seededBook(g, "id", "qemb", 64, 8, 16)
+    // stored state starts at the base split's codes (v99's base store)
+    val base = PqIndex.encode(g.filter($"id" % 4 =!= 0), "id", "qemb",
+      64, 8, book).localCheckpoint(false)
+    // two arriving batches that OVERLAP each other and the base:
+    // ids % 3 == 0 then ids % 2 == 0 (every id still re-delivered
+    // somewhere; union covers the id % 4 == 0 remainder)
+    val vecs = emb.select($"vec_id".cast("long"),
+        $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val b1 = vecs.filter(_._1 % 3 == 0)
+    val b2 = vecs.filter(v => v._1 % 2 == 0 || v._1 % 4 == 0)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    var acc = base
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized {
+          val fresh = StreamingOps.ingestCodesBatch(b, acc, book)
+            .localCheckpoint() // eager: acc must be stable state
+          acc = acc.unionByName(fresh).localCheckpoint()
+        }
+        ()
+      }.start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // ids 1 mod 4 etc. never arrived as "new" — they were base rows;
+      // the accumulated table must equal base ∪ batch-covered ids,
+      // each id EXACTLY once, codes identical to a full rebuild
+      val covered = vecs.map(_._1).filter(id =>
+        id % 4 != 0 || id % 3 == 0 || id % 2 == 0).toSet
+      val rebuilt = PqIndex.encode(g, "id", "qemb", 64, 8, book)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList)
+        .toMap
+      val got = acc.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList)
+      assert(got.length == covered.size, "an id was double-ingested")
+      assert(got.map(_._1).toSet == covered)
+      got.foreach { case (id, codes) => assert(codes == rebuilt(id)) }
+    } finally q.stop()
+  }
 }
