@@ -4730,6 +4730,19 @@ FROM frk WHERE rn <= 3""")
     "v99_code_store_upsert" -> r8Extra("v78_trained_pq"),
     "v104_sq_store_upsert" -> sqKnnSql(255),
     "v105_ivfpq_store_upsert" -> base("v68_trained_ivfpq"),
+    // Full store lifecycle (train → add → delete → serve): v78's
+    // trained chain with the ranking recomputed over the tombstone-
+    // filtered scores — dead rows drop BEFORE the top-k (v62's
+    // contract composed with v99's ingest).
+    "v106_store_maintenance" -> s"""
+WITH $trainedPqCtes,
+alive AS (SELECT query_id, gid, adc FROM adc WHERE gid % 7 <> 0),
+rk2 AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc, gid) AS rnk
+        FROM alive)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
+FROM rk2 WHERE rnk <= 5""",
     // Approximate range search: the SQ8 code prefilter must be
     // LOSSLESS (its admission bound provably excludes no true pair),
     // so the gate is v24's exact range SQL verbatim — transparency,

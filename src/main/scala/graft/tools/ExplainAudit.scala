@@ -171,7 +171,11 @@ object ExplainAudit {
     // merged SQ8 store (the v86 persisted-serving class); v105 serves
     // v68's driver-routed residual-ADC probe chain from the merged
     // IVFPQ store (the v91 class).
-    "v104_sq_store_upsert", "v105_ivfpq_store_upsert")
+    "v104_sq_store_upsert", "v105_ivfpq_store_upsert",
+    // v106 serves v78's broadcast ADC-table crossjoin over the
+    // tombstone-filtered merged store (the v87/v99 class composed
+    // with v62's anti-join).
+    "v106_store_maintenance")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

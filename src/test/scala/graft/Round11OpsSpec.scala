@@ -229,6 +229,30 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("v106: the maintained store (ingest + tombstones) serves " +
+    "bit-identically to a clean rebuild on the alive corpus, and no " +
+    "dead id survives") {
+    import graft.operators.PqIndex
+    val (_, book, gd) = Queries.upsertedPqCodes(spark, sf)
+    val aliveOnly = PqIndex.encode(
+      gd.filter(org.apache.spark.sql.functions.col("id") % 7 =!= 0),
+      "id", "qemb", dim = 64, m = 8, book)
+    val clean = PqIndex.searchAdc(aliveOnly,
+        gd.filter(org.apache.spark.sql.functions.col("id") % 100 === 0),
+        "id", "qemb", 64, 8, book, k = 5)
+      .select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("rnk"),
+        org.apache.spark.sql.functions.col("neighbor_id"),
+        (org.apache.spark.sql.functions.col("dist") /
+          org.apache.spark.sql.functions.lit(10000.0)).as("dist"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    val got = rows(Queries.v106StoreMaintenance(spark, sf))
+    assert(got.nonEmpty && got === rows(clean))
+    assert(got.forall(_._3 % 7 != 0), "a tombstoned id was served")
+  }
+
   test("v99: served rows are bit-identical to v87's full-store serve") {
     val got = Queries.v99CodeStoreUpsert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
