@@ -4743,6 +4743,30 @@ rk2 AS (SELECT query_id, gid, adc,
         FROM alive)
 SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
 FROM rk2 WHERE rnk <= 5""",
+    // Maintained-store retrieval quality: v106's alive-only ADC
+    // ranking vs the EXACT scan over the same alive corpus — the
+    // eval row the maintenance lifecycle serves under.
+    "v107_maintained_recall" -> s"""
+WITH $trainedPqCtes,
+alive AS (SELECT query_id, gid, adc FROM adc WHERE gid % 7 <> 0),
+rk2 AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc, gid) AS rnk
+        FROM alive),
+ha AS (SELECT query_id, gid FROM rk2 WHERE rnk <= 5),
+qf AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+dex AS (SELECT qf.query_id, g.gid, ${l2sq("g.v", "qf.qvec")} AS d2
+        FROM g CROSS JOIN qf WHERE g.gid % 7 <> 0),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
     // Approximate range search: the SQ8 code prefilter must be
     // LOSSLESS (its admission bound provably excludes no true pair),
     // so the gate is v24's exact range SQL verbatim — transparency,

@@ -1459,6 +1459,30 @@ object Queries {
         (col("dist") / lit(10000.0)).as("dist"))
   }
 
+  /** Maintained-store retrieval quality — the eval-matrix row for
+    * v106 (every serving twin carries a measured quality row):
+    * recall@5 of the maintained store's ADC ranking vs the EXACT scan
+    * over the same alive corpus (v62's tombstone-filtered exact
+    * semantics — the exact side must exclude dead rows too, or the
+    * row would punish the deletes instead of the codes). Both inputs
+    * gated O(Q·k) frames → broadcast join + tiny aggregate. */
+  def v107MaintainedRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val exact = KnnJoin.knnL2(e.filter(col("vec_id") % 7 =!= 0),
+        queryVecs(e), "vec_id", "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = v106StoreMaintenance(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   /** Incremental ingest into the persisted trained-PQ code store —
     * faiss's DAILY operation (`add()` on a loaded trained index,
     * faiss_utils.py:11-17) done the engine way: the batch anti-joins

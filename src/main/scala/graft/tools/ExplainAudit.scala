@@ -174,8 +174,9 @@ object ExplainAudit {
     "v104_sq_store_upsert", "v105_ivfpq_store_upsert",
     // v106 serves v78's broadcast ADC-table crossjoin over the
     // tombstone-filtered merged store (the v87/v99 class composed
-    // with v62's anti-join).
-    "v106_store_maintenance")
+    // with v62's anti-join); v107 composes v106's chain and the
+    // alive-only exact scoring crossjoin (the v89 eval class).
+    "v106_store_maintenance", "v107_maintained_recall")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

@@ -253,6 +253,26 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.forall(_._3 % 7 != 0), "a tombstoned id was served")
   }
 
+  test("v107: recall recomputes from the gated v106 frame and the " +
+    "alive-only exact scan") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = graft.operators.KnnJoin.knnL2(
+        e.filter(col("vec_id") % 7 =!= 0),
+        e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val approx = Queries.v106StoreMaintenance(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val want = exact.groupBy(_._1).map { case (q, rows) =>
+      (q, rows.count(approx).toLong)
+    }
+    val got = Queries.v107MaintainedRecall(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hit"))).toMap
+    assert(got.nonEmpty && got === want)
+  }
+
   test("v99: served rows are bit-identical to v87's full-store serve") {
     val got = Queries.v99CodeStoreUpsert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
