@@ -26,10 +26,12 @@ object Oracles {
     s"CAST(list_sum(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1])) AS BIGINT)"
 
   /** CTEs g/mm/mma/enc — gallery → per-dim (min,max) stats →
-    * `levels`-scaled integer codes by exact floor division (operands
-    * non-negative, so `//` matches Spark's truncating div). Shared by
-    * the SQ8 (255) and SQ4 (15) twins so the quantizer arithmetic is
-    * one definition. */
+    * `levels`-scaled integer codes by exact floor division, clamped
+    * to [0, levels] (identity on in-domain data; the clamp defines
+    * out-of-domain inputs and makes `//` and Spark's pmod-based floor
+    * division agree for ALL inputs — see Queries.sqEncodeCol). Shared
+    * by the SQ8 (255) and SQ4 (15) twins so the quantizer arithmetic
+    * is one definition. */
   private def sqEncCtes(levels: Int): String = s"""
 g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
 mm AS (SELECT i, CAST(min(v[CAST(i AS INT)+1]) AS BIGINT) AS mn,
@@ -38,7 +40,8 @@ mm AS (SELECT i, CAST(min(v[CAST(i AS INT)+1]) AS BIGINT) AS mn,
 mma AS (SELECT list(mn ORDER BY i) AS mns,
                list(greatest(mx - mn, 1) ORDER BY i) AS rgs FROM mm),
 enc AS (SELECT gid, list_transform(range(64),
-              i -> ((v[i+1] - mns[i+1]) * $levels) // rgs[i+1]) AS cv
+              i -> greatest(0, least($levels,
+                ((v[i+1] - mns[i+1]) * $levels) // rgs[i+1]))) AS cv
         FROM g CROSS JOIN mma)"""
 
   /** Scalar-quantizer code-space KNN (v17 = 255 levels, v82 = 15):

@@ -496,16 +496,24 @@ object Queries {
     * gallery → `levels+1`-level integer codes (gid, cv). Shared by the
     * rebuild-shape gates (v17/v82 via [[sqKnn]]) and the persisted
     * serving gate (v86), which stores this frame once. */
-  /** The SQ quantizer's per-dim (min, range) stats — one full-corpus
-    * reduction over 64 keys, broadcast-sized by construction. Shared
-    * by [[sqCodes]] (the encode) and v101 (whose completeness bound is
-    * a function of the SAME ranges the codes were built with). */
+  /** The SQ quantizer's per-dim (min, range) stats — the PERSISTED
+    * trained artifact (faiss ScalarQuantizer.train's output, stored
+    * like the PQ book — ADVICE r11): the full-corpus reduction over
+    * 64 keys runs once into a fingerprinted store, and every later
+    * caller — [[sqCodes]] full builds, v104's incremental ingest,
+    * v101 (whose completeness bound is a function of the SAME ranges
+    * the codes were built with) — READS the artifact, so "encode
+    * under stored params, ingest never refits" holds by construction,
+    * not coincidence. Broadcast-sized (64 rows) by contract. */
   private def sqStats(s: SparkSession, d: String)
       : (Array[Long], Array[Long]) = {
-    val g = emb(s, d).select(quantize(col("embedding")).as("v"))
-    val stats = g.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
-      .orderBy("i").collect()
+    val table = "graft_sq_stats_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
+    val stats = graft.sources.BucketedStore.ensure(s, table, {
+      val g = emb(s, d).select(quantize(col("embedding")).as("v"))
+      g.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+    }, "i", numBuckets = 4).orderBy("i").collect()
     (stats.map(_.getLong(1)),
       stats.map(r => math.max(r.getLong(2) - r.getLong(1), 1L)))
   }
@@ -514,17 +522,23 @@ object Queries {
     * — the trained-quantizer artifact applied per row, shared by
     * [[sqCodes]] (full builds) and v104 (incremental ingest, which
     * must encode new rows with the STORED params, never refit).
-    * code_i = ((x_i - mn_i) * levels) div rng_i. num - (num mod rng)
-    * is an exact multiple of rng, so the double division is exact
-    * before the long cast (num <= ~5.1e6 << 2^53); matches DuckDB's
-    * `//` on the same non-negative operands. */
+    * code_i = clamp(((x_i - mn_i) * levels) div rng_i, 0, levels).
+    * num - (num mod rng) is an exact multiple of rng, so the double
+    * division is exact before the long cast (num <= ~5.1e6 << 2^53).
+    * The CLAMP defines out-of-domain inputs (ADVICE r11): a genuinely
+    * new vector outside the stored [mn, mn+rng] encodes to the edge
+    * code — identity on in-domain data, and it makes the pmod-based
+    * floor division and DuckDB's truncating `//` agree for ALL
+    * inputs (any negative num lands at code 0 under either rounding;
+    * the oracle twin carries the same clamp). */
   private def sqEncodeCol(mns: Array[Long], rngs: Array[Long],
                           levels: Long)(vc: Column): Column = {
     val mnLit = array(mns.map(lit(_)).toIndexedSeq: _*)
     val rgLit = array(rngs.map(lit(_)).toIndexedSeq: _*)
     zip_with(
       zip_with(vc, mnLit, (x, mn) => (x - mn) * lit(levels)), rgLit,
-      (num, rg) => ((num - pmod(num, rg)) / rg).cast("long"))
+      (num, rg) => greatest(lit(0L), least(lit(levels),
+        ((num - pmod(num, rg)) / rg).cast("long"))))
   }
 
   private def sqCodes(s: SparkSession, d: String, levels: Long): DataFrame = {
@@ -1432,12 +1446,15 @@ object Queries {
     * one key so the composed semantics can't silently drift. The
     * tombstone anti-join runs on the merged code frame BEFORE the ADC
     * top-k (dead rows must not displace live neighbors — v62's
-    * contract), with the dead-id set BROADCAST: between compactions
-    * the live tombstone set is bounded by v71's rewrite threshold
-    * (any partition past 12.5% dead gets compacted by v95), and ids
-    * are 1/65th the bytes of their vectors — by the time the set
-    * outgrows broadcast, the deployment is overdue for the compaction
-    * this engine gates separately. Measured at the data-bound point
+    * contract), with the dead-id set BROADCAST. The hint ASSUMES a
+    * compacted deployment: there the live tombstone set is bounded by
+    * v71's rewrite threshold (any partition past 12.5% dead gets
+    * compacted by v95) and ids are 1/65th the bytes of their vectors.
+    * This fixture deliberately runs UNcompacted with ~14.3% dead
+    * (vec_id % 7 — above the threshold, so v95 would fire) to stress
+    * the anti-join at small scale; a deployment whose dead set is
+    * corpus-proportional must run the gated compaction first, or drop
+    * the hint and pay the shuffle. Measured at the data-bound point
     * the hint is the difference between a 4 s serve and a 32 s full
     * shuffle of the merged code frame (the unhinted plan sort-merges
     * 100% of the store to drop 14% of it). Oracle = v78's trained-PQ
@@ -2236,10 +2253,16 @@ object Queries {
   }
 
   /** Ceiling integer square root (exact, BigInt): the completeness
-    * bound of v101 must round UP or the admission proof breaks. */
+    * bound of v101 must round UP or the admission proof breaks. The
+    * double sqrt is only a SEED: the decrement loop fixes an
+    * overshoot and the increment loop fixes an undershoot (possible
+    * for n far above 2^53, where sqrt's absolute error can exceed the
+    * +2 margin — ADVICE r11), so the result is the exact minimal x
+    * with x² ≥ n regardless of seed quality. */
   private def bigIntSqrtCeil(n: BigInt): BigInt = {
     var x = BigInt(math.ceil(math.sqrt(n.toDouble)).toLong) + 2
     while (x > 0 && (x - 1) * (x - 1) >= n) x -= 1
+    while (x * x < n) x += 1
     x
   }
 
@@ -2266,6 +2289,11 @@ object Queries {
       b * b
     }
     require(bound.isValidLong, s"v101 bound overflows Long: $bound")
+    // the admission kernel itself must not overflow: intL2Sq over the
+    // pre-scaled codes sums 64 squared diffs each ≤ (levels·maxRng)²
+    // (ADVICE r11 — the bound check alone doesn't cover the scan)
+    require((BigInt(64) * (BigInt(levels) * rngs.max).pow(2)).isValidLong,
+      s"v101 code-space L2 can overflow Long: maxRng=${rngs.max}")
     val table = "graft_sq8_codes_" + d.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
     val coded = graft.sources.BucketedStore.ensure(s, table,

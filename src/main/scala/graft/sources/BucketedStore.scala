@@ -42,7 +42,19 @@ object BucketedStore {
     * `spark.sql.warehouse.dir` (a relative "spark-warehouse" guess
     * breaks under a non-default warehouse or changed CWD), with a
     * JVM-wide per-table lock so two sessions in one JVM can't race
-    * delete-then-save. */
+    * delete-then-save.
+    *
+    * CROSS-PROCESS guard (ADVICE r11, the ensurePersisted pattern):
+    * the delete+save also holds an OS advisory lock on
+    * `<table>.lock` next to the warehouse table dir, so two PROCESSES
+    * can't interleave their rebuild writes. The guard is narrower
+    * than ensurePersisted's: the catalog is per-session, so a second
+    * JVM (whose empty catalog can't see the first's table) still
+    * REBUILDS after the lock clears — and an unlocked reader in the
+    * first JVM can still see its files swapped mid-read. The
+    * never-two-JVMs protocol (serial verify/bench runs) remains the
+    * only complete guard for catalog tables; the lock closes the
+    * builder-vs-builder interleave only. */
   def ensure(spark: SparkSession, table: String, build: => DataFrame,
              bucketCol: String, numBuckets: Int): DataFrame = {
     val lock = locks.getOrElseUpdate(table, new Object)
@@ -53,14 +65,24 @@ object BucketedStore {
         val root = java.nio.file.Paths.get(
           if (warehouse.getScheme == "file") warehouse.getPath
           else warehouse.toString)
+        java.nio.file.Files.createDirectories(root)
         val dir = root.resolve(table)
-        if (java.nio.file.Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-        save(build, table, bucketCol, numBuckets)
+        val ch = java.nio.channels.FileChannel.open(
+          root.resolve(table + ".lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val fl = ch.lock()
+          try {
+            if (java.nio.file.Files.exists(dir)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+                .sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            }
+            save(build, table, bucketCol, numBuckets)
+          } finally fl.release()
+        } finally ch.close()
       }
     }
     load(spark, table)

@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
 object ProfileV106 {
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/tmp/graft_sfbig"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default 4, the shared probe-harness convention (ProfileDedup):
+    // a hardcoded 32 oversubscribes smaller hosts and runs the probe
+    // at a different parallelism than the bench it explains
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
