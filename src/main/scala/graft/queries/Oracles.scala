@@ -455,14 +455,44 @@ $beamGraphCtes,
 f0 AS (SELECT query_id, (SELECT min(gid) FROM g) AS nid FROM q),
 $beamLoopCtes"""
 
+  /** The tombstone-aware beam walk (v108): the shared layer-0 graph
+    * CTEs with the delete set applied — entry = min ALIVE gid, each
+    * step expands frontier ∪ neighbors ∪ the one-hop BYPASS through
+    * dead neighbors (a dead neighbor contributes its own neighbors
+    * instead of itself), dead nodes dropped before scoring, top-ef
+    * kept. Exposes g/q/fr3/f3 like the other walk CTE sets so the
+    * shared recall tail composes. */
+  private def tombBeamCtes: String = s"""
+$beamGraphCtes,
+f0 AS (SELECT query_id, (SELECT min(gid) FROM g WHERE gid % 7 <> 0) AS nid
+       FROM q),
+${(1 to 3).map(i => s"""nb$i AS (SELECT f.query_id, e.dst_id AS nid
+         FROM f${i - 1} f JOIN e ON e.src_id = f.nid),
+by$i AS (SELECT n.query_id, e.dst_id AS nid
+         FROM nb$i n JOIN e ON e.src_id = n.nid WHERE n.nid % 7 = 0),
+c$i AS (SELECT DISTINCT query_id, nid FROM (
+          SELECT query_id, nid FROM f${i - 1}
+          UNION ALL SELECT query_id, nid FROM nb$i
+          UNION ALL SELECT query_id, nid FROM by$i) t
+        WHERE nid % 7 <> 0),
+fr$i AS (SELECT c.query_id, c.nid, ${l2sq("gv.v", "q.qv")} AS d2,
+                row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
+         FROM c$i c JOIN g gv ON gv.gid = c.nid
+         JOIN q ON q.query_id = c.query_id),
+f$i AS (SELECT query_id, nid FROM fr$i WHERE rn <= 4)""")
+      .mkString(",\n")}"""
+
   /** The beam-family recall row over a full walk CTE set (must expose
     * g, q, fr3, f3): rank-1 endpoint vs the exact top-5 + final-
-    * frontier hit count — one definition shared by v81 (flat entry)
-    * and v94 (hierarchical entry). */
-  private def beamRecallSql(walkCtes: String): String = s"""
+    * frontier hit count — one definition shared by v81 (flat entry),
+    * v94 (hierarchical entry), and v113 (tombstone-aware walk, whose
+    * exact side is restricted to the alive corpus via `dexWhere`). */
+  private def beamRecallSql(walkCtes: String,
+                            dexWhere: String = ""): String = s"""
 WITH $walkCtes,
 dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qv")} AS d2
-        FROM g CROSS JOIN q),
+        FROM g CROSS JOIN q$dexWhere),
 rex AS (SELECT query_id, gid,
                row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
         FROM dex),
@@ -4770,6 +4800,20 @@ SELECT hx.query_id,
          / count(*) AS recall_at_5
 FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
 GROUP BY 1""",
+    // Tombstone-aware graph serving: the beam walk over the delete
+    // set — alive entry, one-hop bypass through dead neighbors, dead
+    // nodes dropped before scoring (faiss remove_ids for the graph
+    // family).
+    "v108_graph_tombstone_search" -> s"""
+WITH $tombBeamCtes
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
+       sqrt(d2) / $vscale.0 AS dist
+FROM fr3 WHERE rn <= 4""",
+    // Maintained-graph quality: v108's walk vs the alive-only exact
+    // scan (the shared beam recall tail, exact side alive-filtered —
+    // v107's rule, so the row measures the walk, not the deletes).
+    "v113_graph_maintained_recall" ->
+      beamRecallSql(tombBeamCtes, " WHERE g.gid % 7 <> 0"),
     // Approximate range search: the SQ8 code prefilter must be
     // LOSSLESS (its admission bound provably excludes no true pair),
     // so the gate is v24's exact range SQL verbatim — transparency,

@@ -6016,6 +6016,91 @@ object Queries {
   def v94HnswRecall(s: SparkSession, d: String): DataFrame =
     beamRecallOf(s, d, v88HnswEntry(s, d))
 
+  /** Tombstone-aware BEAM serving — faiss `remove_ids`
+    * (faiss_utils.py:11-17's persisted index under ops) applied to
+    * the GRAPH family, the one family where a delete batch broke
+    * serving until now: v62/v106 gate deletes for the flat/quantized
+    * stores, but v79/v88's walks would happily route a query THROUGH
+    * — and return — a deleted node. Semantics: dead nodes are
+    * excluded from scored frontiers and from results, but their edges
+    * stay TRAVERSABLE-AROUND — a dead neighbor contributes its own
+    * neighbors to the candidate set instead of itself (one-hop
+    * bypass), so the walk neither surfaces nor strands on tombstones
+    * even where deletes cut the alive graph locally. The entry is the
+    * min ALIVE id (the fixture's global min id 0 IS dead — vec_id %
+    * 7 — so the gate exercises the bypass from step 0).
+    *
+    * Plan shape per step: the O(Q·ef) frontier broadcasts against the
+    * streaming persisted edge store (v79's contract); dead-neighbor
+    * detection inner-joins the tombstone scan with the BROADCAST
+    * O(Q·ef·k) neighbor frame — never the reverse: the delete set is
+    * data-sized and must not be broadcast (v106's bound argument does
+    * not apply to an uncompacted graph store); the bypass re-reads
+    * the edge store for the O(dead-neighbor) rows only; scoring joins
+    * candidates to the ALIVE vector frame by id, so dead candidates
+    * drop out with no anti-join in the per-step path. The alive frame
+    * is ONE corpus-sized anti-join per query batch, checkpointed and
+    * amortized across all steps (a deployment persists it as the
+    * compacted store); everything else is O(Q·ef·k) frames,
+    * independent of N. */
+  def v108GraphTombstoneSearch(s: SparkSession, d: String): DataFrame = {
+    val ef = 4
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val edges = persistedKnnEdges(s, d)
+    val tombs = emb(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast("long").as("dead_id"))
+    val aliveVec = vec.join(tombs, vec("id") === tombs("dead_id"),
+      "left_anti").localCheckpoint(false)
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    val entry = aliveVec.agg(min("id").as("nid"))
+    var frontier = q.select(col("query_id")).crossJoin(entry)
+    var ranked: DataFrame = null
+    for (_ <- 1 to 3) {
+      val nbrs = broadcast(frontier)
+        .join(edges, col("nid") === col("src_id"))
+        .select(col("query_id"), col("dst_id").as("nid"))
+        .distinct()
+      val deadN = tombs.join(broadcast(nbrs),
+          col("dead_id") === col("nid"))
+        .select(col("query_id"), col("nid"))
+      val bypass = broadcast(deadN)
+        .join(edges, col("nid") === col("src_id"))
+        .select(col("query_id"), col("dst_id").as("nid"))
+      val cand = frontier.unionAll(nbrs).unionAll(bypass).distinct()
+      val scored = cand
+        .join(aliveVec.select(col("id").as("nid"), col("qv").as("nv")),
+          "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+      ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
+        ascending = true).localCheckpoint(false)
+      frontier = ranked.select(col("query_id"), col("nid"))
+    }
+    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+      distFromIntSq(col("d2")).as("dist"))
+  }
+
+  /** Maintained-GRAPH retrieval quality — v107's eval convention for
+    * v108 (every maintained serving path carries a measured quality
+    * row): the tombstone-aware beam's rank-1 endpoint and frontier
+    * hits vs the EXACT scan over the same alive corpus (the exact
+    * side excludes dead rows too — v107's rule — so the row measures
+    * the graph walk under deletes, not the deletes themselves). Read
+    * next to v81: the delta is what an UNcompacted delete batch costs
+    * the beam at equal steps. Both inputs gated O(Q·k) frames →
+    * broadcast join + tiny aggregate. */
+  def v113GraphMaintainedRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val exact = KnnJoin.knnL2(e.filter(col("vec_id") % 7 =!= 0),
+        queryVecs(e), "vec_id", "embedding", "vec_id", k = 5)
+      .select(col("query_id").as("qx"),
+        col("rnk").cast("long").as("exact_rnk"), col("neighbor_id"))
+    beamRecallAgainst(exact, v108GraphTombstoneSearch(s, d))
+  }
+
   /** Both merged edge layers of the hierarchy upsert — exposed to the
     * spec so "merged ≡ rebuilt" is provable row-for-row PER LAYER
     * against [[knnGraphRanked]] of the full layer corpus. */
@@ -6063,10 +6148,18 @@ object Queries {
     * exact top-5 — one definition so the flat- and hierarchical-entry
     * rows cannot drift in eval semantics. */
   private def beamRecallOf(s: SparkSession, d: String,
-                           beamOut: DataFrame): DataFrame = {
-    val exact = v1KnnL2(s, d)
+                           beamOut: DataFrame): DataFrame =
+    beamRecallAgainst(v1KnnL2(s, d)
       .select(col("query_id").as("qx"),
-        col("rnk").cast("long").as("exact_rnk"), col("neighbor_id"))
+        col("rnk").cast("long").as("exact_rnk"), col("neighbor_id")),
+      beamOut)
+
+  /** The beam-family recall row against a CALLER-SUPPLIED exact frame
+    * (qx, exact_rnk, neighbor_id) — shared by v81/v94 (exact = v1's
+    * full-corpus scan) and v113 (exact = the alive-only scan), so the
+    * eval arithmetic is one definition. */
+  private def beamRecallAgainst(exact: DataFrame,
+                                beamOut: DataFrame): DataFrame = {
     val beam = beamOut.localCheckpoint(false)
     val joined = beam.join(broadcast(exact),
       col("query_id") === col("qx") &&

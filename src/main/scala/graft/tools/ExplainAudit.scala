@@ -176,7 +176,12 @@ object ExplainAudit {
     // tombstone-filtered merged store (the v87/v99 class composed
     // with v62's anti-join); v107 composes v106's chain and the
     // alive-only exact scoring crossjoin (the v89 eval class).
-    "v106_store_maintenance", "v107_maintained_recall")
+    "v106_store_maintenance", "v107_maintained_recall",
+    // v108 is v79's beam shape (1-row alive-entry scalar crossjoin +
+    // broadcast frontier/neighbor frames) over the tombstone-filtered
+    // alive vectors; v113 composes v108's walk and the alive-only
+    // exact scoring crossjoin (the v81/v94 eval class).
+    "v108_graph_tombstone_search", "v113_graph_maintained_recall")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the
