@@ -45,12 +45,14 @@ enc AS (SELECT gid, list_transform(range(64),
         FROM g CROSS JOIN mma)"""
 
   /** Scalar-quantizer code-space KNN (v17 = 255 levels, v82 = 15):
-    * exact integer L2 on the codes, top-5 per query. */
-  private def sqKnnSql(levels: Int): String = s"""
+    * exact integer L2 on the codes, top-5 per query. `scanWhere`
+    * restricts the scanned code rows (v109's tombstone filter —
+    * applied BEFORE the ranking, v62's contract). */
+  private def sqKnnSql(levels: Int, scanWhere: String = ""): String = s"""
 WITH ${sqEncCtes(levels)},
 q AS (SELECT gid AS query_id, cv AS qcv FROM enc WHERE gid % 100 = 0),
 d AS (SELECT query_id, gid, ${l2sq("cv", "qcv")} AS d2c
-      FROM enc CROSS JOIN q),
+      FROM enc CROSS JOIN q$scanWhere),
 r AS (SELECT query_id, gid, d2c,
              row_number() OVER (PARTITION BY query_id ORDER BY d2c, gid) AS rnk
       FROM d)
@@ -4814,6 +4816,69 @@ FROM fr3 WHERE rn <= 4""",
     // v107's rule, so the row measures the walk, not the deletes).
     "v113_graph_maintained_recall" ->
       beamRecallSql(tombBeamCtes, " WHERE g.gid % 7 <> 0"),
+    // SQ8 maintenance lifecycle: v17/v86's code-space chain with the
+    // ranking recomputed over tombstone-filtered codes (v106's
+    // contract for the scalar-quantizer store).
+    "v109_sq_maintenance" -> sqKnnSql(255, " WHERE gid % 7 <> 0"),
+    // Maintained-SQ8 quality: v109's alive-only code ranking vs the
+    // EXACT scan over the same alive corpus (the v107 tail).
+    "v114_sq_maintained_recall" -> s"""
+WITH ${sqEncCtes(255)},
+q AS (SELECT gid AS query_id, cv AS qcv FROM enc WHERE gid % 100 = 0),
+da AS (SELECT query_id, gid, ${l2sq("cv", "qcv")} AS d2c
+       FROM enc CROSS JOIN q WHERE gid % 7 <> 0),
+ra AS (SELECT query_id, gid,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2c, gid) AS rnk
+       FROM da),
+ha AS (SELECT query_id, gid FROM ra WHERE rnk <= 5),
+qf AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
+dex AS (SELECT qf.query_id, g.gid, ${l2sq("g.v", "qf.qvec")} AS d2
+        FROM g CROSS JOIN qf WHERE g.gid % 7 <> 0),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+    // IVFPQ maintenance lifecycle: v68's trained residual chain with
+    // the ranking recomputed over tombstone-filtered scores (v106's
+    // contract for the production-default compressed store).
+    "v110_ivfpq_maintenance" -> s"""
+WITH $trainedIvfpqCtes,
+alive AS (SELECT query_id, gid, adc FROM adc WHERE gid % 7 <> 0),
+rk2 AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc, gid) AS rnk
+        FROM alive)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
+FROM rk2 WHERE rnk <= 5""",
+    // Maintained-IVFPQ quality: v110's alive-only residual-ADC
+    // ranking vs the EXACT scan over the same alive corpus.
+    "v115_ivfpq_maintained_recall" -> s"""
+WITH $trainedIvfpqCtes,
+alive AS (SELECT query_id, gid, adc FROM adc WHERE gid % 7 <> 0),
+rk2 AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc, gid) AS rnk
+        FROM alive),
+ha AS (SELECT query_id, gid FROM rk2 WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+        FROM g CROSS JOIN q WHERE g.gid % 7 <> 0),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
     // Approximate range search: the SQ8 code prefilter must be
     // LOSSLESS (its admission bound provably excludes no true pair),
     // so the gate is v24's exact range SQL verbatim — transparency,

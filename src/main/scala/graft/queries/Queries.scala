@@ -1500,6 +1500,106 @@ object Queries {
         (col("n_hit") / col("k")).as("recall_at_5"))
   }
 
+  /** The SQ8 maintenance lifecycle — v106's composed contract
+    * (train → incremental ADD → DELETE → serve) for the SCALAR
+    * quantizer store: v104's merged ingest (encode under the STORED
+    * per-dim params, never refit) with v62's tombstone set anti-joined
+    * BEFORE the code-space top-k, so dead rows can neither surface nor
+    * displace live neighbors. The dead-id set is broadcast-HINTED
+    * under v106's documented bound argument (compacted deployments
+    * keep the live set under v71's threshold; this fixture's ~14.3%
+    * is the deliberate uncompacted small-scale exception) — the store
+    * side is the same union-of-bucketed-frames shape AQE mis-planned
+    * for v106. Oracle = v17/v86's SQ-KNN chain with the ranking
+    * recomputed over tombstone-filtered codes; spec proves the
+    * maintained store serves bit-identically to a clean alive-corpus
+    * re-encode UNDER THE SAME stored quantizer params. At 100 TB:
+    * O(batch) ingest + O(dead) filter, zero store rewrites. */
+  def v109SqMaintenance(s: SparkSession, d: String): DataFrame = {
+    val merged = upsertedSqCodes(s, d)
+    val tomb = emb(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast("long").as("dead_id"))
+    val alive = merged.join(broadcast(tomb),
+      merged("gid") === tomb("dead_id"), "left_anti")
+    KnnJoin.knnL2Pre(alive, merged.filter(col("gid") % 100 === 0),
+      "gid", "cv", "gid", k = 5, scale = 1)
+  }
+
+  /** Maintained-SQ8 retrieval quality — v107's eval row for v109:
+    * recall@5 of the maintained SQ store's code ranking vs the EXACT
+    * scan over the same alive corpus (the exact side excludes dead
+    * rows too, so the row measures the 1-byte codes under
+    * maintenance, not the deletes). Both inputs gated O(Q·k) frames
+    * → broadcast join + tiny aggregate. */
+  def v114SqMaintainedRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val exact = KnnJoin.knnL2(e.filter(col("vec_id") % 7 =!= 0),
+        queryVecs(e), "vec_id", "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = v109SqMaintenance(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
+  /** The IVFPQ maintenance lifecycle — v106's composed contract for
+    * the trained residual-IVFPQ store (the last of the three code-
+    * store families; faiss train/add/remove_ids/search on the
+    * production-default index): v105's merged ingest (per-row residual
+    * encode against the persisted trained centroids + codebook) with
+    * v62's tombstone set anti-joined BEFORE the nprobe=2 residual-ADC
+    * top-k. The dead-id set is broadcast-HINTED under v106's
+    * documented bound argument (the fixture's uncompacted 14.3% is
+    * the deliberate small-scale exception). Oracle = v68's trained
+    * chain with the ranking recomputed over tombstone-filtered
+    * scores; spec proves the maintained store serves bit-identically
+    * to a clean alive-corpus re-encode under the same persisted
+    * artifacts. At 100 TB: O(batch) ingest + O(dead) filter over a
+    * ~1/60th-the-vector-bytes store, zero rewrites. */
+  def v110IvfpqMaintenance(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64
+    val (merged, centsDf, book, g) = upsertedIvfpqCodes(s, d)
+    val tomb = emb(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast("long").as("dead_id"))
+    val alive = merged.join(broadcast(tomb),
+      merged("id") === tomb("dead_id"), "left_anti")
+    IvfPq.searchResidual(alive, centsDf,
+        g.filter(col("id") % 100 === 0), "cid", "id", "qemb",
+        dim, m, book, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
+  /** Maintained-IVFPQ retrieval quality — v107's eval row for v110:
+    * recall@5 of the maintained residual-ADC ranking vs the EXACT
+    * scan over the same alive corpus. Completes the maintenance
+    * eval matrix (trained-PQ v107, SQ8 v114, IVFPQ v115, graph v113)
+    * — every store family's lifecycle carries a measured quality
+    * row. Both inputs gated O(Q·k) frames → broadcast join + tiny
+    * aggregate. */
+  def v115IvfpqMaintainedRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val exact = KnnJoin.knnL2(e.filter(col("vec_id") % 7 =!= 0),
+        queryVecs(e), "vec_id", "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = v110IvfpqMaintenance(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   /** Incremental ingest into the persisted trained-PQ code store —
     * faiss's DAILY operation (`add()` on a loaded trained index,
     * faiss_utils.py:11-17) done the engine way: the batch anti-joins

@@ -181,7 +181,15 @@ object ExplainAudit {
     // broadcast frontier/neighbor frames) over the tombstone-filtered
     // alive vectors; v113 composes v108's walk and the alive-only
     // exact scoring crossjoin (the v81/v94 eval class).
-    "v108_graph_tombstone_search", "v113_graph_maintained_recall")
+    "v108_graph_tombstone_search", "v113_graph_maintained_recall",
+    // v109 serves v86's code-space scoring crossjoin over the
+    // tombstone-filtered merged SQ store (the v104 class composed
+    // with v62's anti-join); v110 serves v68's driver-routed
+    // residual-ADC probe chain over the tombstone-filtered merged
+    // IVFPQ store (the v105 class); v114/v115 compose those chains
+    // with the alive-only exact scoring crossjoin (the v107 class).
+    "v109_sq_maintenance", "v110_ivfpq_maintenance",
+    "v114_sq_maintained_recall", "v115_ivfpq_maintained_recall")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

@@ -86,6 +86,78 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got === expected)
   }
 
+  test("v109: the maintained SQ store serves no dead id, every query " +
+    "(including DELETED query ids) gets a full top-5, and the serve " +
+    "equals a clean alive-corpus re-encode under the stored params") {
+    val dead = tombstoneIds
+    val out = Queries.v109SqMaintenance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(r => !dead.contains(r._3)), "a tombstoned id served")
+    val perQuery = out.groupBy(_._1)
+    assert(perQuery.values.forall(_.length === 5))
+    // deleted vectors may still arrive as queries — serving answers them
+    assert(perQuery.keySet.exists(dead.contains))
+    // SQ encode is per-row under stored params, so the clean rebuild
+    // on the alive corpus IS the alive filter of the merged store —
+    // serve from it and compare bit-for-bit
+    val merged = Queries.upsertedSqCodes(spark, sf)
+    val clean = graft.operators.KnnJoin.knnL2Pre(
+        merged.filter(col("gid") % 7 =!= 0),
+        merged.filter(col("gid") % 100 === 0),
+        "gid", "cv", "gid", k = 5, scale = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(out.sortBy(t => (t._1, t._2)).toList === clean)
+  }
+
+  test("v110: the maintained IVFPQ store serves bit-identically to a " +
+    "clean re-encode of the alive corpus under the same persisted " +
+    "artifacts, and no dead id survives") {
+    import graft.operators.IvfPq
+    val (_, centsDf, book, g) = Queries.upsertedIvfpqCodes(spark, sf)
+    val aliveOnly = IvfPq.encodeResidual(g.filter(col("id") % 7 =!= 0),
+      centsDf, "id", "qemb", "cid", dim = 64, m = 8, book, scale = 1)
+    val clean = IvfPq.searchResidual(aliveOnly, centsDf,
+        g.filter(col("id") % 100 === 0), "cid", "id", "qemb",
+        dim = 64, m = 8, book, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    val got = rows(Queries.v110IvfpqMaintenance(spark, sf))
+    assert(got.nonEmpty && got === rows(clean))
+    assert(got.forall(_._3 % 7 != 0), "a tombstoned id was served")
+  }
+
+  test("v114/v115: the maintenance recall rows recompute from their " +
+    "gated serve frames and the alive-only exact scan") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = graft.operators.KnnJoin.knnL2(
+        e.filter(col("vec_id") % 7 =!= 0),
+        e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    def check(approxDf: org.apache.spark.sql.DataFrame,
+              recallDf: org.apache.spark.sql.DataFrame): Unit = {
+      val approx = approxDf.collect()
+        .map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      val want = exact.groupBy(_._1).map { case (q, rs) =>
+        (q, rs.count(approx).toLong)
+      }
+      val got = recallDf.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hit")))
+        .toMap
+      assert(got.nonEmpty && got === want)
+    }
+    check(Queries.v109SqMaintenance(spark, sf),
+      Queries.v114SqMaintainedRecall(spark, sf))
+    check(Queries.v110IvfpqMaintenance(spark, sf),
+      Queries.v115IvfpqMaintainedRecall(spark, sf))
+  }
+
   test("v113: frontier_hits recomputes from the gated v108 frame and " +
     "an alive-only exact top-5") {
     val frontier = Queries.v108GraphTombstoneSearch(spark, sf)
