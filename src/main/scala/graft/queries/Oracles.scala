@@ -316,19 +316,27 @@ rk AS (SELECT query_id, gid, adc,
     * — shared by the nprobe=2 serving twins (v65/v90/v92 via
     * [[trainedIvfCtes]]) and v97's nprobe sweep, so the routing
     * arithmetic is one definition. */
-  private def trainedIvfRouteCtes: String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+  private def trainedIvfRouteCtes: String = trainedIvfRouteCtesR(4)
+
+  /** The trained-IVF route at an arbitrary round depth `r`: rounds
+    * 1..r of the shared Lloyd template, queries routed against the
+    * round-r (n, Σ) state. r=4 is the standard trained chain (3
+    * training rounds + the ADD step); r=5 is v111's warm-restart
+    * retrain (ONE more round from the stored round-4 state — the
+    * template composes, so the warm round needs no new arithmetic). */
+  private def trainedIvfRouteCtesR(r: Int): String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
 c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
 asn0 AS (SELECT gid, cid AS lab FROM (
           SELECT g.gid, c.cid,
                  row_number() OVER (PARTITION BY g.gid
                    ORDER BY ${l2sq("g.v", "c.cv")}, c.cid) AS rn
           FROM g CROSS JOIN c) WHERE rn = 1),
-${(1 to 4).map(lloydRoundCtes).mkString(",\n")},
+${(1 to r).map(lloydRoundCtes).mkString(",\n")},
 q AS (SELECT gid AS query_id, v AS qvec FROM g WHERE gid % 100 = 0),
-qd AS (SELECT q.query_id, m.c AS lab, cnt4.n,
-              sum((cnt4.n * q.qvec[CAST(m.i AS INT)+1] - m.s)
-                    * (cnt4.n * q.qvec[CAST(m.i AS INT)+1] - m.s)) AS a2
-       FROM q CROSS JOIN cm4 m JOIN cnt4 ON cnt4.c = m.c
+qd AS (SELECT q.query_id, m.c AS lab, cnt$r.n,
+              sum((cnt$r.n * q.qvec[CAST(m.i AS INT)+1] - m.s)
+                    * (cnt$r.n * q.qvec[CAST(m.i AS INT)+1] - m.s)) AS a2
+       FROM q CROSS JOIN cm$r m JOIN cnt$r ON cnt$r.c = m.c
        GROUP BY 1, 2, 3),
 qr AS (SELECT query_id, lab,
               row_number() OVER (PARTITION BY query_id
@@ -339,10 +347,11 @@ qr AS (SELECT query_id, lab,
     * np), the probed-partition scan, and its ranking — suffix-
     * parameterized so v97 instantiates three depths in one statement
     * (empty suffix + np=2 reproduces the serving twins' chain). */
-  private def trainedIvfProbeCtes(np: Int, sfx: String): String =
+  private def trainedIvfProbeCtes(np: Int, sfx: String,
+                                  r: Int = 4): String =
     s"""pr$sfx AS (SELECT query_id, lab FROM qr WHERE rn <= $np),
 sc$sfx AS (SELECT p.query_id, a.gid, ${l2sq("gv.v", "q.qvec")} AS d2
-       FROM pr$sfx p JOIN asn4 a ON a.lab = p.lab
+       FROM pr$sfx p JOIN asn$r a ON a.lab = p.lab
        JOIN g gv ON gv.gid = a.gid
        JOIN q ON q.query_id = p.query_id),
 rr$sfx AS (SELECT query_id, gid, d2,
@@ -4879,6 +4888,20 @@ SELECT hx.query_id,
          / count(*) AS recall_at_5
 FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
 GROUP BY 1""",
+    // Warm-restart retrain: one more application of the SHARED Lloyd
+    // round template from the stored round-4 state (rounds 1..5),
+    // served by the same probe chain — warm ≡ cold + one round IS the
+    // retrain contract, proven by the template composing.
+    "v111_incremental_retrain" -> s"""
+WITH ${trainedIvfRouteCtesR(5)},
+${trainedIvfProbeCtes(2, "", 5)}
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
+FROM rr WHERE rnk <= 5""",
+    // Segment-merge serving for the trained IVF store: per-row coarse
+    // assignment under fixed stored centroids makes merged ≡
+    // monolithic exactly, so the gate is v65's SQL verbatim (the
+    // v77/v80 transparency argument).
+    "v112_trained_segment_serve" -> base("v65_trained_ivf_search"),
     // Approximate range search: the SQ8 code prefilter must be
     // LOSSLESS (its admission bound provably excludes no true pair),
     // so the gate is v24's exact range SQL verbatim — transparency,

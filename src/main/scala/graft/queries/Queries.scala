@@ -965,8 +965,14 @@ object Queries {
     * shared by v90 (nprobe=2 serving) and v97 (the nprobe sweep, which
     * must read the SAME store so the curve measures routing depth, not
     * training variance). */
-  private def trainedIvfStore(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, Array[(Long, Long, Array[Long])]) = {
+  /** The persisted trained-centroid carrier (lab, n, svec) collected
+    * from (or first built into) the fingerprinted bucketed store —
+    * v90's training artifact factored out so the monolithic ADD
+    * (trainedIvfStore), v112's SEGMENTED ADD, and v111's warm-restart
+    * retrain all read the SAME stored quantizer. Broadcast-sized
+    * (O(nlist·dim)) by contract. */
+  private def trainedCentsStored(s: SparkSession, d: String)
+      : Array[(Long, Long, Array[Long])] = {
     val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
     val fp = graft.sources.BucketedStore
       .fingerprint(s"$d/embeddings.parquet")
@@ -977,9 +983,17 @@ object Queries {
           .map { case (lab, n, sv) => (lab, n, sv.toSeq) }
           .toDF("lab", "n", "svec")
       }, "lab", numBuckets = 4)
-    val cs = centsDf.collect()
+    centsDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .sortBy(_._1)
+  }
+
+  private def trainedIvfStore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Array[(Long, Long, Array[Long])]) = {
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val cs = trainedCentsStored(s, d)
     val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
       quantize(col("embedding")).as("qv"))
     // the ADD step also stores the filterable metadata column INLINE
@@ -1009,6 +1023,85 @@ object Queries {
   def v90TrainedIvfPersisted(s: SparkSession, d: String): DataFrame = {
     val (added, g, cs) = trainedIvfStore(s, d)
     trainedIvfServe(added, g, cs)
+  }
+
+  /** The warm-restart refresh state: ONE exact Lloyd round seeded
+    * from the PERSISTED trained assignment — the (n, Σ) carrier of
+    * the stored round-4 state (collectClassSums over the store's `c`
+    * column, NEVER the seeds) and the map-only reassignment under it.
+    * Exposed to the spec so "the warm state derives from the store"
+    * is provable against an independent recompute of the stored
+    * partitions' sums. */
+  private[graft] def warmRetrainState(s: SparkSession, d: String)
+      : (DataFrame, Array[(Long, Long, Array[Long])]) = {
+    val (added, _, _) = trainedIvfStore(s, d)
+    val cur = added.select(col("id"), col("qv"), col("c"))
+    val cs5 = collectClassSums(cur)
+    (cur.select(col("id"), col("qv"),
+      graft.plans.GridArgmin.nearestLab(col("qv"), cs5,
+        DefaultScale.toLong).as("c")), cs5)
+  }
+
+  /** WARM-RESTART retrain — the staged re-index v70 SIZES but nothing
+    * executed until now: one incremental exact Lloyd round seeded
+    * from the PERSISTED trained centroids over base+batch (the stored
+    * index's assignment column IS the round-4 state, so the refresh
+    * is collectClassSums over the store + one map-only reassignment —
+    * training never restarts from seeds), then v65's probe serve from
+    * the refreshed centroids and refreshed lists. Because the shared
+    * round template composes, the oracle is the SAME Lloyd CTE
+    * template at depth 5 — the warm round needs no new arithmetic,
+    * which is exactly the retrain contract (warm ≡ cold + one round).
+    * Scale shape: the refresh collects only the O(nlist·dim) (n, Σ)
+    * table and reassigns map-only (one scan); serving is v65's
+    * broadcast-probe + partial top-k. At 100 TB the warm round costs
+    * one scan of the stored index instead of the full from-seeds
+    * training job — the staged rollout v70's drift matrix decides. */
+  def v111IncrementalRetrain(s: SparkSession, d: String): DataFrame = {
+    val (refreshed, cs5) = warmRetrainState(s, d)
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      quantize(col("embedding")).as("qv"))
+    trainedIvfServe(refreshed, g, cs5)
+  }
+
+  /** SEGMENT-MERGE serving for the TRAINED IVF store — v77's
+    * persist-SEGMENTED contract pointed at v90's trained family: the
+    * corpus lands in two parity-split segment stores (the rolling
+    * per-snapshot build a 100 TB trained index actually ships — each
+    * day's data becomes its own segment until compaction), each
+    * segment assigned under the SAME stored trained quantizer and
+    * persisted PARTITIONED BY trained list, and serving unions the
+    * segment scans behind v65's probe join. Coarse assignment is
+    * per-row under fixed stored centroids, so merged ≡ monolithic
+    * EXACTLY — oracle = v65's SQL VERBATIM (the v77/v80 transparency
+    * argument: the gate proves the segmented layout, not a new
+    * ranking). At 100 TB each probe prunes to nprobe/nlist of EACH
+    * segment (partition pruning survives the union), and a new
+    * snapshot costs one O(segment) assignment job, never a store
+    * rewrite. */
+  def v112TrainedSegmentServe(s: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val cs = trainedCentsStored(s, d)
+    def segment(par: Int): DataFrame = {
+      val path = s"/tmp/graft_tivfseg${par}_${safe}_$fp"
+      ensurePersisted(path) {
+        emb(s, d).filter(col("vec_id") % 2 === par)
+          .select(col("vec_id").cast("long").as("id"),
+            quantize(col("embedding")).as("qv"),
+            col("label").cast("long").as("label"))
+          .withColumn("c", graft.plans.GridArgmin.nearestLab(col("qv"),
+            cs, DefaultScale.toLong))
+          .write.mode("overwrite").partitionBy("c").parquet(path)
+      }
+      Tables.ensureParallelism(s.read.parquet(path), Some(path))
+        .select(col("id"), col("qv"), col("c").cast("long").as("c"))
+    }
+    val merged = segment(0).unionByName(segment(1))
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      quantize(col("embedding")).as("qv"))
+    trainedIvfServe(merged, g, cs)
   }
 
   /** TRAINED-IVF nprobe/recall curve — v46's sweep pointed at the

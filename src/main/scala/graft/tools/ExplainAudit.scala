@@ -189,7 +189,12 @@ object ExplainAudit {
     // IVFPQ store (the v105 class); v114/v115 compose those chains
     // with the alive-only exact scoring crossjoin (the v107 class).
     "v109_sq_maintenance", "v110_ivfpq_maintenance",
-    "v114_sq_maintained_recall", "v115_ivfpq_maintained_recall")
+    "v114_sq_maintained_recall", "v115_ivfpq_maintained_recall",
+    // v111 serves v65's probe chain from the warm-refreshed state
+    // (the v90 persisted-serving class: probe routing is the
+    // centroids × broadcast(queries) shape); v112 serves the same
+    // chain from the unioned segment stores (the v77 class).
+    "v111_incremental_retrain", "v112_trained_segment_serve")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

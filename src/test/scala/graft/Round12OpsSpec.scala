@@ -158,6 +158,37 @@ class Round12OpsSpec extends SparkSpec {
       Queries.v115IvfpqMaintainedRecall(spark, sf))
   }
 
+  test("v111: the warm-refresh (n, Σ) state derives from the PERSISTED " +
+    "trained index — an independent recompute over the stored parquet " +
+    "matches exactly (so the warm round cannot have restarted from " +
+    "seeds: the store holds the round-4 state)") {
+    val (_, cs5) = Queries.warmRetrainState(spark, sf) // ensures the store
+    val safe = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$sf/embeddings.parquet")
+    val stored = spark.read.parquet(s"/tmp/graft_tivfidx2_${safe}_$fp")
+      .select(col("c").cast("long").as("c"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    val want = stored.groupBy(_._1).map { case (c, rows) =>
+      (c, rows.length.toLong, rows.toList.map(_._2).transpose.map(_.sum))
+    }.toList.sortBy(_._1)
+    assert(cs5.nonEmpty && cs5.length === want.length)
+    cs5.toList.zip(want).foreach { case ((l1, n1, s1), (l2, n2, s2)) =>
+      assert(l1 === l2 && n1 === n2 && s1.toList === s2)
+    }
+  }
+
+  test("v112: segment-merge serving is bit-identical to the " +
+    "monolithic trained serve — twice in a row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    val mono = rows(Queries.v90TrainedIvfPersisted(spark, sf))
+    val s1 = rows(Queries.v112TrainedSegmentServe(spark, sf))
+    val s2 = rows(Queries.v112TrainedSegmentServe(spark, sf))
+    assert(s1.nonEmpty && s1 === mono && s2 === mono)
+  }
+
   test("v113: frontier_hits recomputes from the gated v108 frame and " +
     "an alive-only exact top-5") {
     val frontier = Queries.v108GraphTombstoneSearch(spark, sf)
