@@ -582,6 +582,42 @@ object StreamingOps {
     graft.operators.PqIndex.encode(newRows, "id", "qemb", dim, m, book)
   }
 
+  /** Per-micro-batch tombstone ingest — the DELETE side of v106's
+    * lifecycle as a continuous job: new dead ids anti-join the
+    * already-recorded set, so re-delivered deletes are idempotent
+    * (at-least-once delivery safe — d9's overlap semantics applied to
+    * the delete stream). Returns only the genuinely new tombstones;
+    * the caller appends them to its accumulated set. */
+  def tombstoneBatch(deleteBatch: DataFrame, seenTombs: DataFrame)
+      : DataFrame =
+    deleteBatch.select(col("dead_id").cast("long").as("dead_id"))
+      .distinct()
+      .join(seenTombs, Seq("dead_id"), "left_anti")
+
+  /** v106's maintained ADC serve on the streaming surface — the alive
+    * view (accumulated codes MINUS the accumulated tombstone set)
+    * served through the batch ADC kernel. Composed with
+    * [[ingestCodesBatch]] (the ADD side) and [[tombstoneBatch]] (the
+    * DELETE side), this is the CONTINUOUS twin of the batch
+    * maintenance lifecycle: any interleaving of ingest and delete
+    * micro-batches serves exactly what the batch chain serves on the
+    * same alive corpus (StreamingSpec proves the equality). The
+    * tombstone side is broadcast under v106's documented bound
+    * argument — compacted deployments keep the live set under v71's
+    * threshold; an uncompacted corpus-proportional set must compact
+    * first or drop the hint. */
+  def maintainedAdcServeBatch(queryBatch: DataFrame, codes: DataFrame,
+                              tombs: DataFrame,
+                              book: Seq[graft.operators.PqIndex.Codebook],
+                              dim: Int = 64, m: Int = 8, k: Int = 5,
+                              scale: Int = graft.functions.VectorFunctions.DefaultScale)
+      : DataFrame = {
+    val alive = codes.join(
+      broadcast(tombs.select(col("dead_id").cast("long").as("dead_id"))),
+      codes("id") === col("dead_id"), "left_anti")
+    adcServeBatch(queryBatch, alive, book, dim, m, k, scale)
+  }
+
   def hybridRrfBatch(queryBatch: DataFrame, gallery: DataFrame,
                      inv: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.shingles

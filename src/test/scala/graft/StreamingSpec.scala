@@ -976,4 +976,69 @@ class StreamingSpec extends SparkSpec {
       got.foreach { case (id, codes) => assert(codes == rebuilt(id)) }
     } finally q.stop()
   }
+
+  test("maintained lifecycle via foreachBatch: interleaved ingest and " +
+    "delete micro-batches (deletes re-delivered) serve exactly the " +
+    "batch v106 rows — the continuous twin of the maintenance chain") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.PqIndex
+    // the SAME trained book + base split the batch lifecycle uses
+    val (_, book, gd) = graft.queries.Queries.upsertedPqCodes(spark, sf)
+    val base = PqIndex.encode(gd.filter($"id" % 4 =!= 0), "id", "qemb",
+      64, 8, book).localCheckpoint()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vecs = emb.select($"vec_id".cast("long"),
+        $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val deadIds = vecs.map(_._1).filter(_ % 7 == 0)
+    var codes = base
+    var tombs = Seq.empty[Long].toDF("dead_id")
+      .select($"dead_id".cast("long").as("dead_id")).localCheckpoint()
+    val vecMem = MemoryStream[(Long, Seq[Double])]
+    val delMem = MemoryStream[Long]
+    val vq = vecMem.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        codes.synchronized {
+          val fresh = StreamingOps.ingestCodesBatch(b, codes, book)
+            .localCheckpoint()
+          codes = codes.unionByName(fresh).localCheckpoint()
+        }
+        ()
+      }.start()
+    val dq = delMem.toDF().toDF("dead_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        codes.synchronized {
+          val fresh = StreamingOps.tombstoneBatch(b, tombs)
+            .localCheckpoint()
+          tombs = tombs.unionByName(fresh).localCheckpoint()
+        }
+        ()
+      }.start()
+    try {
+      // interleave: half the ingest, half the deletes, rest of the
+      // ingest, then ALL deletes RE-delivered (idempotency under
+      // at-least-once delivery)
+      vecMem.addData(vecs.filter(_._1 % 3 == 0): _*)
+      vq.processAllAvailable()
+      delMem.addData(deadIds.filter(_ % 2 == 0): _*)
+      dq.processAllAvailable()
+      vecMem.addData(vecs: _*)
+      vq.processAllAvailable()
+      delMem.addData(deadIds: _*)
+      dq.processAllAvailable()
+      assert(tombs.count() == deadIds.size.toLong,
+        "a re-delivered delete was double-recorded")
+      val queryBatch = emb.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".cast("long").as("query_id"), $"embedding")
+      val served = StreamingOps.maintainedAdcServeBatch(queryBatch,
+          codes, tombs, book)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val expected = graft.queries.Queries
+        .v106StoreMaintenance(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(served == expected && expected.nonEmpty)
+    } finally { vq.stop(); dq.stop() }
+  }
 }
