@@ -17,7 +17,19 @@ only if its SOLO time also exceeds threshold x old. Probing needs the
 classpath file /tmp/graft_cp.txt (see the build notes); heap via
 GRAFT_PROBE_XMX (default 64g).
 
-Usage: python3 tools/bench_regress.py OLD.json NEW.json [threshold] [--probe]
+With --same-code=REF (implies --probe), every SOLO-CONFIRMED key also
+gets the decisive noise-attribution receipt (the r11 t8 method,
+automated): REF — normally the previous round's commit — is rebuilt in
+a git worktree (/tmp/graft_samecode_wt, sbt compile, cached across
+keys/runs) and the key is probed twice per side, INTERLEAVED
+(old-classes, new-classes, old, new), so both builds sample the same
+host window. Results land in probes[key]["same_code"] =
+{"ref", "old_classes": [s,...], "new_classes": [s,...], "verdict"}.
+Overlapping time bands (min(new) <= max(old)) = the old build measures
+the same band today -> "host-drift"; disjoint bands -> "code-attributed".
+
+Usage: python3 tools/bench_regress.py OLD.json NEW.json [threshold]
+           [--probe] [--same-code=REF]
 """
 import json
 import os
@@ -25,8 +37,13 @@ import subprocess
 import sys
 import tempfile
 
-argv = [a for a in sys.argv[1:] if a != "--probe"]
-do_probe = "--probe" in sys.argv[1:]
+same_code_ref = None
+for a in sys.argv[1:]:
+    if a.startswith("--same-code="):
+        same_code_ref = a.split("=", 1)[1]
+argv = [a for a in sys.argv[1:]
+        if a != "--probe" and not a.startswith("--same-code=")]
+do_probe = "--probe" in sys.argv[1:] or same_code_ref is not None
 old_doc = json.load(open(argv[0]))
 new_doc = json.load(open(argv[1]))
 old, new = old_doc["queries"], new_doc["queries"]
@@ -50,9 +67,11 @@ if only_new:
     print("only in new:", ", ".join(only_new))
 
 
-def solo_probe(key, sf_dir):
-    """One-key Bench run, same binary and SF dir as the sweep."""
-    cp = open("/tmp/graft_cp.txt").read().strip()
+def solo_probe(key, sf_dir, cp=None):
+    """One-key Bench run, same SF dir as the sweep; `cp` overrides the
+    classpath (the same-code worktree's classes)."""
+    if cp is None:
+        cp = open("/tmp/graft_cp.txt").read().strip()
     out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
@@ -89,6 +108,29 @@ if do_probe and flagged:
             json.dump(new_doc, f)
         os.replace(tmp, argv[1])
 
+    wt_cp = None
+
+    def same_code_cp():
+        """Build REF's classes in a cached worktree, return its cp."""
+        global wt_cp
+        if wt_cp is not None:
+            return wt_cp
+        wt = "/tmp/graft_samecode_wt"
+        if not os.path.isdir(wt):
+            subprocess.run(["git", "worktree", "add", "--detach", wt,
+                            same_code_ref], check=True)
+        else:
+            subprocess.run(["git", "-C", wt, "checkout", "--detach",
+                            same_code_ref], check=True)
+        print(f"[same-code] sbt compile of {same_code_ref} in {wt} ...",
+              flush=True)
+        subprocess.run(["sbt", "compile"], cwd=wt, check=True,
+                       stdout=subprocess.DEVNULL)
+        spark_jars = open("/tmp/graft_cp.txt").read().strip()
+        spark_jars = spark_jars.split(":", 1)[1]  # drop repo classes
+        wt_cp = f"{wt}/target/scala-2.13/classes:{spark_jars}"
+        return wt_cp
+
     real = []
     for k in flagged:
         print(f"[probe] re-measuring {k} solo on {sf_dir} ...",
@@ -102,6 +144,25 @@ if do_probe and flagged:
               f"old={old[k]:.2f}s solo_ratio={ratio:.2f} -> {verdict}")
         if ratio > thr:
             real.append(k)
+            if same_code_ref:
+                # the decisive receipt: interleaved old/new-classes
+                # solos sample the same host window
+                cp_old = same_code_cp()
+                olds, news = [], []
+                for _ in range(2):
+                    olds.append(solo_probe(k, sf_dir, cp=cp_old))
+                    news.append(solo_probe(k, sf_dir))
+                sc_verdict = ("host-drift" if min(news) <= max(olds)
+                              else "code-attributed")
+                probes[k]["same_code"] = {
+                    "ref": same_code_ref,
+                    "old_classes": [round(t, 3) for t in olds],
+                    "new_classes": [round(t, 3) for t in news],
+                    "verdict": sc_verdict}
+                print(f"[same-code] {k}: old_classes={olds} "
+                      f"new_classes={news} -> {sc_verdict}")
+                if sc_verdict == "host-drift":
+                    real.remove(k)
         write_back()  # persist each probe as it lands
     print(f"[probe] annotations written back to {argv[1]}")
 
