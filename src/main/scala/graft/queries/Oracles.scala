@@ -4902,6 +4902,10 @@ FROM rr WHERE rnk <= 5""",
     // monolithic exactly, so the gate is v65's SQL verbatim (the
     // v77/v80 transparency argument).
     "v112_trained_segment_serve" -> base("v65_trained_ivf_search"),
+    // Segment-merge serving for the trained IVFPQ store: per-row
+    // residual encode under fixed persisted artifacts makes merged ≡
+    // monolithic exactly — v68's SQL verbatim (the v112 pair).
+    "v116_ivfpq_segment_serve" -> base("v68_trained_ivfpq"),
     // Approximate range search: the SQ8 code prefilter must be
     // LOSSLESS (its admission bound provably excludes no true pair),
     // so the gate is v24's exact range SQL verbatim — transparency,

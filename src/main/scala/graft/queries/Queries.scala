@@ -1307,6 +1307,42 @@ object Queries {
         (col("dist") / lit(10000.0)).as("dist"))
   }
 
+  /** SEGMENT-MERGE serving for the TRAINED IVFPQ store — v112's
+    * rolling-build contract on the COMPRESSED family (completing
+    * verdict #3's pair: v112 = flat trained IVF, v116 = residual
+    * IVFPQ): two parity-split segments, each residual-encoded under
+    * the SAME persisted trained centroids + codebook and persisted
+    * PARTITIONED BY coarse list (v91's layout per segment), unioned
+    * at serve behind the nprobe=2 residual-ADC probe. Residual encode
+    * is per-row under fixed artifacts, so merged ≡ monolithic
+    * EXACTLY — oracle = v68's SQL VERBATIM. At 100 TB each probe
+    * prunes to nprobe/nlist of EACH segment's 9-byte code rows, and a
+    * snapshot ingest costs one O(segment) encode job, never a store
+    * rewrite. */
+  def v116IvfpqSegmentServe(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val (centsDf, book, g) = trainedIvfpqArtifacts(s, d)
+    def segment(par: Int): DataFrame = {
+      val path = s"/tmp/graft_tpqseg${par}_${safe}_$fp"
+      ensurePersisted(path) {
+        IvfPq.encodeResidual(g.filter(col("id") % 2 === par), centsDf,
+            "id", "qemb", "cid", dim, m, book, scale = 1)
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(path)
+      }
+      Tables.ensureParallelism(s.read.parquet(path), Some(path))
+    }
+    val merged = segment(0).unionByName(segment(1))
+    IvfPq.searchResidual(merged, centsDf,
+        g.filter(col("id") % 100 === 0), "cid", "id", "qemb",
+        dim, m, book, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
   def v91TrainedIvfpqPersisted(s: SparkSession, d: String): DataFrame = {
     val m = 8; val dim = 64
     val safe = d.replaceAll("[^a-zA-Z0-9]", "_")

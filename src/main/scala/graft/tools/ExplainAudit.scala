@@ -194,7 +194,10 @@ object ExplainAudit {
     // (the v90 persisted-serving class: probe routing is the
     // centroids × broadcast(queries) shape); v112 serves the same
     // chain from the unioned segment stores (the v77 class).
-    "v111_incremental_retrain", "v112_trained_segment_serve")
+    "v111_incremental_retrain", "v112_trained_segment_serve",
+    // v116 serves v68's driver-routed residual-ADC probe chain from
+    // the unioned segment stores (the v91/v77 class).
+    "v116_ivfpq_segment_serve")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

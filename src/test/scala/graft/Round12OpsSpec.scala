@@ -189,6 +189,17 @@ class Round12OpsSpec extends SparkSpec {
     assert(s1.nonEmpty && s1 === mono && s2 === mono)
   }
 
+  test("v116: IVFPQ segment-merge serving is bit-identical to the " +
+    "monolithic trained serve — twice in a row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    val mono = rows(Queries.v91TrainedIvfpqPersisted(spark, sf))
+    val s1 = rows(Queries.v116IvfpqSegmentServe(spark, sf))
+    val s2 = rows(Queries.v116IvfpqSegmentServe(spark, sf))
+    assert(s1.nonEmpty && s1 === mono && s2 === mono)
+  }
+
   test("v113: frontier_hits recomputes from the gated v108 frame and " +
     "an alive-only exact top-5") {
     val frontier = Queries.v108GraphTombstoneSearch(spark, sf)
