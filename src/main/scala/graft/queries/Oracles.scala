@@ -473,11 +473,12 @@ $beamLoopCtes"""
     * instead of itself), dead nodes dropped before scoring, top-ef
     * kept. Exposes g/q/fr3/f3 like the other walk CTE sets so the
     * shared recall tail composes. */
-  private def tombBeamCtes: String = s"""
-$beamGraphCtes,
-f0 AS (SELECT query_id, (SELECT min(gid) FROM g WHERE gid % 7 <> 0) AS nid
-       FROM q),
-${(1 to 3).map(i => s"""nb$i AS (SELECT f.query_id, e.dst_id AS nid
+  /** The three tombstone-aware beam steps from an in-scope
+    * `f0(query_id, nid)` frontier — ONE definition shared by v108
+    * (flat alive entry) and v118 (hierarchical entry), mirroring the
+    * Spark side's shared tombBeamLoop. */
+  private def tombBeamLoopCtes: String =
+    (1 to 3).map(i => s"""nb$i AS (SELECT f.query_id, e.dst_id AS nid
          FROM f${i - 1} f JOIN e ON e.src_id = f.nid),
 by$i AS (SELECT n.query_id, e.dst_id AS nid
          FROM nb$i n JOIN e ON e.src_id = n.nid WHERE n.nid % 7 = 0),
@@ -492,7 +493,51 @@ fr$i AS (SELECT c.query_id, c.nid, ${l2sq("gv.v", "q.qv")} AS d2,
          FROM c$i c JOIN g gv ON gv.gid = c.nid
          JOIN q ON q.query_id = c.query_id),
 f$i AS (SELECT query_id, nid FROM fr$i WHERE rn <= 4)""")
-      .mkString(",\n")}"""
+      .mkString(",\n")
+
+  private def tombBeamCtes: String = s"""
+$beamGraphCtes,
+f0 AS (SELECT query_id, (SELECT min(gid) FROM g WHERE gid % 7 <> 0) AS nid
+       FROM q),
+$tombBeamLoopCtes"""
+
+  /** v118's CTEs: the shared layer-0 graph, v88's coarse layer over
+    * the portable-hash subset, the tombstone-aware width-1 descent
+    * (dead coarse nodes excluded from the state, bypassed through
+    * their edges, entry = the subset's min ALIVE id), then the SHARED
+    * tombstone beam seeded by the descent winner. */
+  private def tombHnswCtes: String = s"""
+$beamGraphCtes,
+sg AS (SELECT gid, v, bucket FROM b
+       WHERE ((gid % 2147483647) * 2654435761) % 2147483647 % 5 = 0),
+scand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                 ${l2sq("x.v", "y.v")} AS d2
+          FROM sg x JOIN sg y ON x.bucket = y.bucket AND x.gid <> y.gid),
+sr AS (SELECT src_id, dst_id, d2,
+              row_number() OVER (PARTITION BY src_id
+                ORDER BY d2, dst_id) AS rnk
+       FROM scand),
+se AS (SELECT src_id, dst_id FROM sr WHERE rnk <= 3),
+w0 AS (SELECT query_id, (SELECT min(gid) FROM sg WHERE gid % 7 <> 0) AS cur
+       FROM q),
+${(1 to 3).map(i => s"""wnb$i AS (SELECT s.query_id, se.dst_id AS nid
+         FROM w${i - 1} s JOIN se ON se.src_id = s.cur),
+wby$i AS (SELECT n.query_id, se.dst_id AS nid
+          FROM wnb$i n JOIN se ON se.src_id = n.nid WHERE n.nid % 7 = 0),
+wc$i AS (SELECT DISTINCT query_id, nid FROM (
+           SELECT query_id, cur AS nid FROM w${i - 1}
+           UNION ALL SELECT query_id, nid FROM wnb$i
+           UNION ALL SELECT query_id, nid FROM wby$i) t
+         WHERE nid % 7 <> 0),
+w$i AS (SELECT query_id, nid AS cur FROM (
+          SELECT c.query_id, c.nid,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
+          FROM wc$i c JOIN sg gv ON gv.gid = c.nid
+          JOIN q ON q.query_id = c.query_id) WHERE rn = 1)""")
+  .mkString(",\n")},
+f0 AS (SELECT query_id, cur AS nid FROM w3),
+$tombBeamLoopCtes"""
 
   /** The beam-family recall row over a full walk CTE set (must expose
     * g, q, fr3, f3): rank-1 endpoint vs the exact top-5 + final-
@@ -4825,6 +4870,18 @@ FROM fr3 WHERE rn <= 4""",
     // v107's rule, so the row measures the walk, not the deletes).
     "v113_graph_maintained_recall" ->
       beamRecallSql(tombBeamCtes, " WHERE g.gid % 7 <> 0"),
+    // Segment-merge serving for the trained PQ store: per-row encode
+    // under the fixed persisted book makes merged ≡ monolithic
+    // exactly — v78's SQL verbatim (the v112/v116 set completed).
+    "v117_pq_segment_serve" -> r8Extra("v78_trained_pq"),
+    // Tombstone-aware 2-layer serving: both layers walk the delete
+    // set — coarse descent with the one-hop bypass, winner seeds the
+    // SHARED tombstone beam.
+    "v118_hier_tombstone_search" -> s"""
+WITH $tombHnswCtes
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
+       sqrt(d2) / $vscale.0 AS dist
+FROM fr3 WHERE rn <= 4""",
     // SQ8 maintenance lifecycle: v17/v86's code-space chain with the
     // ranking recomputed over tombstone-filtered codes (v106's
     // contract for the scalar-quantizer store).

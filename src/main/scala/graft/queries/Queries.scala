@@ -1524,6 +1524,35 @@ object Queries {
     (book, gd)
   }
 
+  /** SEGMENT-MERGE serving for the TRAINED PQ store — the third (and
+    * last) trained family of the v112/v116 rolling-build pair set
+    * (v112 = flat IVF, v116 = residual IVFPQ, v117 = pure PQ): two
+    * parity-split segments, each encoded under the SAME persisted
+    * trained book into its own fingerprinted bucketed table (v87's
+    * layout per segment), unioned at serve behind the ADC scan. PQ
+    * encode is per-row under a fixed book, so merged ≡ monolithic
+    * EXACTLY — oracle = v78's SQL VERBATIM. At 100 TB a snapshot
+    * ingest costs one O(segment) encode job into a fresh segment
+    * table; the ADC scan streams the union's 8-byte code rows. */
+  def v117PqSegmentServe(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val (book, gd) = trainedPqBookStore(s, d)
+    def segment(par: Int): DataFrame =
+      graft.sources.BucketedStore.ensure(s,
+        s"graft_pq_tcodes_seg${par}_${safe}_$fp",
+        PqIndex.encode(gd.filter(col("id") % 2 === par), "id", "qemb",
+          dim, m, book),
+        "id", numBuckets = 32)
+    val merged = segment(0).unionByName(segment(1))
+    PqIndex.searchAdc(merged, gd.filter(col("id") % 100 === 0), "id",
+      "qemb", dim, m, book, k = 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
   def v87TrainedPqPersisted(s: SparkSession, d: String): DataFrame = {
     val m = 8; val dim = 64
     val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
@@ -6273,7 +6302,6 @@ object Queries {
     * compacted store); everything else is O(Q·ef·k) frames,
     * independent of N. */
   def v108GraphTombstoneSearch(s: SparkSession, d: String): DataFrame = {
-    val ef = 4
     val v = bucketedVecs(s, d)
     val vec = v.select(col("id"), col("qv"))
     val edges = persistedKnnEdges(s, d)
@@ -6284,7 +6312,21 @@ object Queries {
     val q = vec.filter(col("id") % 100 === 0)
       .select(col("id").as("query_id"), col("qv").as("query_v"))
     val entry = aliveVec.agg(min("id").as("nid"))
-    var frontier = q.select(col("query_id")).crossJoin(entry)
+    val frontier0 = q.select(col("query_id")).crossJoin(entry)
+    tombBeamLoop(frontier0, q, aliveVec, edges, tombs)
+      .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+        distFromIntSq(col("d2")).as("dist"))
+  }
+
+  /** The 3-step tombstone-aware ef=4 beam from an (already alive)
+    * frontier — ONE definition shared by v108 (flat alive entry) and
+    * v118 (hierarchical entry, seeded by the coarse descent winner),
+    * so the delete semantics cannot drift between the entry paths.
+    * Returns the final ranked frontier (query_id, rnk, nid, d2). */
+  private def tombBeamLoop(frontier0: DataFrame, q: DataFrame,
+                           aliveVec: DataFrame, edges: DataFrame,
+                           tombs: DataFrame, ef: Int = 4): DataFrame = {
+    var frontier = frontier0
     var ranked: DataFrame = null
     for (_ <- 1 to 3) {
       val nbrs = broadcast(frontier)
@@ -6308,8 +6350,69 @@ object Queries {
         ascending = true).localCheckpoint(false)
       frontier = ranked.select(col("query_id"), col("nid"))
     }
-    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
-      distFromIntSq(col("d2")).as("dist"))
+    ranked
+  }
+
+  /** Tombstone-aware 2-LAYER serving — v108's delete semantics on
+    * v88's hierarchical entry (the r11 verdict #1's parenthetical):
+    * BOTH layers walk the delete set. The coarse greedy descent
+    * excludes dead nodes from its width-1 state but bypasses through
+    * their edges (entry = the sampled layer's min ALIVE id — the
+    * fixture's sampled min IS reachable only past dead checks), and
+    * the layer-1 winner seeds the SHARED layer-0 tombstone beam. A
+    * delete batch can therefore neither surface a dead node at either
+    * layer nor strand the descent where deletes cut the coarse graph.
+    * Plan shape: v88's per-step frames with v108's dead-detection
+    * joins — all O(Q·k) broadcast frames against the streaming
+    * persisted edge stores; the alive frames are one corpus-sized and
+    * one subset-sized anti-join per query batch, checkpointed and
+    * amortized across all six steps. */
+  def v118HierTombstoneSearch(s: SparkSession, d: String): DataFrame = {
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val edges = persistedKnnEdges(s, d)
+    val coarse = persistedCoarseEdges(s, d)
+    val tombs = emb(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast("long").as("dead_id"))
+    val aliveVec = vec.join(tombs, vec("id") === tombs("dead_id"),
+      "left_anti").localCheckpoint(false)
+    val subAlive = aliveVec
+      .filter(Sampling.portableHash(col("id")) % 5 === 0)
+      .localCheckpoint(false)
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    // layer 1: greedy width-1 descent with the one-hop bypass
+    val entry = subAlive.agg(min("id").as("cur"))
+    var cur = q.select(col("query_id")).crossJoin(entry)
+    for (_ <- 1 to 3) {
+      val nbrs = broadcast(cur)
+        .join(coarse, col("cur") === col("src_id"))
+        .select(col("query_id"), col("dst_id").as("nid"))
+        .distinct()
+      val deadN = tombs.join(broadcast(nbrs),
+          col("dead_id") === col("nid"))
+        .select(col("query_id"), col("nid"))
+      val bypass = broadcast(deadN)
+        .join(coarse, col("nid") === col("src_id"))
+        .select(col("query_id"), col("dst_id").as("nid"))
+      val cand = cur.select(col("query_id"), col("cur").as("nid"))
+        .unionAll(nbrs).unionAll(bypass).distinct()
+      cur = cand
+        .join(subAlive.select(col("id").as("nid"), col("qv").as("nv")),
+          "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+        .groupBy("query_id")
+        .agg(min(struct(col("d2"), col("nid"))).as("m"))
+        .select(col("query_id"), col("m.nid").as("cur"))
+    }
+    // layer 0: the SHARED tombstone beam, seeded by the layer-1 winner
+    val frontier0 = cur.select(col("query_id"), col("cur").as("nid"))
+      .localCheckpoint(false)
+    tombBeamLoop(frontier0, q, aliveVec, edges, tombs)
+      .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+        distFromIntSq(col("d2")).as("dist"))
   }
 
   /** Maintained-GRAPH retrieval quality — v107's eval convention for

@@ -196,8 +196,14 @@ object ExplainAudit {
     // chain from the unioned segment stores (the v77 class).
     "v111_incremental_retrain", "v112_trained_segment_serve",
     // v116 serves v68's driver-routed residual-ADC probe chain from
-    // the unioned segment stores (the v91/v77 class).
-    "v116_ivfpq_segment_serve")
+    // the unioned segment stores (the v91/v77 class); v117 serves
+    // v78's broadcast ADC-table crossjoin from the unioned PQ
+    // segment stores (the v87 class).
+    "v116_ivfpq_segment_serve", "v117_pq_segment_serve",
+    // v118 is v88's 2-layer shape (1-row alive-entry scalar
+    // crossjoins per layer + broadcast frontier/neighbor frames)
+    // over the tombstone-filtered layers (the v108 class).
+    "v118_hier_tombstone_search")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

@@ -200,6 +200,72 @@ class Round12OpsSpec extends SparkSpec {
     assert(s1.nonEmpty && s1 === mono && s2 === mono)
   }
 
+  test("v117: PQ segment-merge serving is bit-identical to the " +
+    "monolithic trained serve — twice in a row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    val mono = rows(Queries.v87TrainedPqPersisted(spark, sf))
+    val s1 = rows(Queries.v117PqSegmentServe(spark, sf))
+    val s2 = rows(Queries.v117PqSegmentServe(spark, sf))
+    assert(s1.nonEmpty && s1 === mono && s2 === mono)
+  }
+
+  test("v118: no dead node surfaces at either layer, and an " +
+    "independent driver-side simulation of BOTH tombstone walks " +
+    "(coarse descent + beam) reproduces the gated frame exactly") {
+    val dead = tombstoneIds
+    val (l0df, l1df) = Queries.rebuiltHierEdges(spark, sf)
+    def adj(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("src_id"), col("dst_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toList) }
+    val l0 = adj(l0df); val l1 = adj(l1df)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"),
+        quantize(col("embedding")).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+    // the portable-hash layer-1 membership (v9's split contract)
+    def sampled(id: Long): Boolean =
+      ((id % 2147483647L) * 2654435761L) % 2147483647L % 5 == 0
+    val entry = vecs.keySet.filter(id => sampled(id) && !dead(id)).min
+    val queries = vecs.keySet.filter(_ % 100 == 0).toList.sorted
+    val expected = queries.flatMap { qid =>
+      val qv = vecs(qid)
+      // layer 1: width-1 descent with the one-hop bypass
+      var cur = entry
+      for (_ <- 1 to 3) {
+        val nbrs = l1.getOrElse(cur, Nil).toSet
+        val bypass = nbrs.filter(dead).flatMap(n => l1.getOrElse(n, Nil))
+        val cand = (Set(cur) ++ nbrs ++ bypass).filterNot(dead)
+        cur = cand.toList.map(n => (d2(vecs(n), qv), n)).min._2
+      }
+      // layer 0: the tombstone beam from the descent winner
+      var frontier = Set(cur)
+      var ranked: List[(Long, Long)] = Nil
+      for (_ <- 1 to 3) {
+        val nbrs = frontier.flatMap(n => l0.getOrElse(n, Nil))
+        val bypass = nbrs.filter(dead)
+          .flatMap(n => l0.getOrElse(n, Nil))
+        val cand = (frontier ++ nbrs ++ bypass).filterNot(dead)
+        ranked = cand.toList
+          .map(n => (d2(vecs(n), qv), n))
+          .sortBy(identity).take(4).zipWithIndex
+          .map { case ((_, n), i) => (i + 1L, n) }
+        frontier = ranked.map(_._2).toSet
+      }
+      ranked.map { case (rnk, nid) => (qid, rnk, nid) }
+    }.toSet
+    val got = Queries.v118HierTombstoneSearch(spark, sf)
+      .select(col("query_id"), col("rnk"), col("node_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === expected)
+    assert(got.forall(r => !dead.contains(r._3)))
+  }
+
   test("v113: frontier_hits recomputes from the gated v108 frame and " +
     "an alive-only exact top-5") {
     val frontier = Queries.v108GraphTombstoneSearch(spark, sf)
