@@ -495,6 +495,26 @@ fr$i AS (SELECT c.query_id, c.nid, ${l2sq("gv.v", "q.qv")} AS d2,
 f$i AS (SELECT query_id, nid FROM fr$i WHERE rn <= 4)""")
       .mkString(",\n")
 
+  /** v119's CTEs: the beam walk over the graph REBUILT FROM THE
+    * ALIVE CORPUS — compaction's transparency target (compacted ≡
+    * rebuilt, so the oracle builds the alive graph directly). Queries
+    * stay the FULL gallery's % 100 set; entry = min alive gid. */
+  private def compactedBeamCtes: String = s"""
+g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+ga AS (SELECT gid, v FROM g WHERE gid % 7 <> 0),
+b AS (SELECT gid, v, ${lshBucket("v")} AS bucket FROM ga),
+cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                ${l2sq("x.v", "y.v")} AS d2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.gid <> y.gid),
+r AS (SELECT src_id, dst_id, d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY d2, dst_id) AS rnk
+      FROM cand),
+e AS (SELECT src_id, dst_id FROM r WHERE rnk <= 3),
+q AS (SELECT gid AS query_id, v AS qv FROM g WHERE gid % 100 = 0),
+f0 AS (SELECT query_id, (SELECT min(gid) FROM ga) AS nid FROM q),
+$beamLoopCtes"""
+
   private def tombBeamCtes: String = s"""
 $beamGraphCtes,
 f0 AS (SELECT query_id, (SELECT min(gid) FROM g WHERE gid % 7 <> 0) AS nid
@@ -4879,6 +4899,13 @@ FROM fr3 WHERE rn <= 4""",
     // SHARED tombstone beam.
     "v118_hier_tombstone_search" -> s"""
 WITH $tombHnswCtes
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
+       sqrt(d2) / $vscale.0 AS dist
+FROM fr3 WHERE rn <= 4""",
+    // Graph compaction: compacted ≡ rebuilt-from-alive, so the gate
+    // is the plain beam walk over the ALIVE-built graph.
+    "v119_graph_compaction" -> s"""
+WITH $compactedBeamCtes
 SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
        sqrt(d2) / $vscale.0 AS dist
 FROM fr3 WHERE rn <= 4""",

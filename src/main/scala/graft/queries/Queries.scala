@@ -6318,6 +6318,110 @@ object Queries {
         distFromIntSq(col("d2")).as("dist"))
   }
 
+  /** The COMPACTED edge list — the graph family's reclaim step
+    * (v95's economics applied to the KNN graph): dead nodes' rows
+    * drop, edges INTO dead nodes are repaired by re-cutting ONLY the
+    * affected sources' top-3 among their alive bucket mates (v80's
+    * localized bucket-blocked repair — O(affected·bucket), never the
+    * O(N·bucket) rebuild), and untouched alive→alive rows copy
+    * through. An unaffected source's original top-3 is all-alive, and
+    * deleting non-members of a top-3 cannot change it, so compacted ≡
+    * REBUILT-FROM-THE-ALIVE-CORPUS row-for-row (spec-proven against
+    * [[aliveRebuiltEdges]]). Exposed to the spec. */
+  private[graft] def compactedGraphEdges(s: SparkSession, d: String)
+      : DataFrame = {
+    val v = bucketedVecs(s, d)
+    val tombs = emb(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast("long").as("dead_id"))
+    val alive = v.join(tombs, v("id") === tombs("dead_id"), "left_anti")
+      .localCheckpoint(false)
+    val edges = persistedKnnEdges(s, d)
+    // sources that LOST an edge: alive src with a dead dst
+    val affected = edges
+      .join(tombs, edges("dst_id") === tombs("dead_id"), "left_semi")
+      .select(col("src_id")).distinct()
+      .join(tombs, col("src_id") === col("dead_id"), "left_anti")
+      .localCheckpoint(false)
+    // untouched alive→alive rows of unaffected sources copy through
+    val keep = edges
+      .join(tombs, edges("src_id") === tombs("dead_id"), "left_anti")
+      .join(tombs, edges("dst_id") === tombs("dead_id"), "left_anti")
+      .join(affected, Seq("src_id"), "left_anti")
+      .select(col("src_id"), col("dst_id"))
+    // repair: affected × same-bucket ALIVE mates, one top-3 cut
+    val afV = alive.join(affected.withColumnRenamed("src_id", "id"),
+      Seq("id"))
+    val scored = afV.as("x").join(alive.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src_id"), col("y.id").as("dst_id"),
+        intL2Sq(col("x.qv"), col("y.qv")).cast("double").as("d2"))
+    val repaired = TopK.perGroup(scored, "src_id", "dst_id", "d2",
+        k = 3, ascending = true)
+      .select(col("src_id"), col("dst_id"))
+    keep.unionByName(repaired)
+  }
+
+  /** The spec's rebuild reference for v119: the KNN graph built from
+    * scratch on the ALIVE corpus (what compaction must equal). */
+  private[graft] def aliveRebuiltEdges(s: SparkSession, d: String)
+      : DataFrame = {
+    val tombs = emb(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast("long").as("dead_id"))
+    val v = bucketedVecs(s, d)
+    knnGraphRanked(v.join(tombs, v("id") === tombs("dead_id"),
+      "left_anti"))
+  }
+
+  /** GRAPH compaction + serve — the graph family's RECLAIM step
+    * (v95's contract: the eventual answer to tombstone mass that
+    * v108/v118's bypass serving only defers): the compacted edge list
+    * (dead rows dropped, affected sources' top-3 re-cut among alive
+    * bucket mates — [[compactedGraphEdges]], O(affected·bucket) work)
+    * persists into a fresh fingerprinted bucketed store, and v79's
+    * PLAIN beam serves from it — no tombstone logic at serve time,
+    * because the store is clean again (that asymmetry IS the point of
+    * compaction: pay O(affected) once, drop the per-query bypass
+    * joins forever). Compacted ≡ rebuilt-from-alive row-for-row, so
+    * the oracle is the beam-walk SQL over the ALIVE-built graph
+    * (entry = min alive id; queries stay the full gallery's % 100
+    * set — deleted vectors may still arrive as queries). */
+  def v119GraphCompaction(s: SparkSession, d: String): DataFrame = {
+    val ef = 4
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val edges = graft.sources.BucketedStore.ensure(s,
+      s"graft_knn_edges_cpt_${safe}_$fp",
+      compactedGraphEdges(s, d), "src_id", numBuckets = 32)
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val tombs = emb(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast("long").as("dead_id"))
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    val entry = vec.join(tombs, vec("id") === tombs("dead_id"),
+      "left_anti").agg(min("id").as("nid"))
+    var frontier = q.select(col("query_id")).crossJoin(entry)
+    var ranked: DataFrame = null
+    for (_ <- 1 to 3) {
+      val cand = frontier
+        .unionAll(broadcast(frontier)
+          .join(edges, col("nid") === col("src_id"))
+          .select(col("query_id"), col("dst_id").as("nid")))
+        .distinct()
+      val scored = cand
+        .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
+        .join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+      ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
+        ascending = true).localCheckpoint(false)
+      frontier = ranked.select(col("query_id"), col("nid"))
+    }
+    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+      distFromIntSq(col("d2")).as("dist"))
+  }
+
   /** The 3-step tombstone-aware ef=4 beam from an (already alive)
     * frontier — ONE definition shared by v108 (flat alive entry) and
     * v118 (hierarchical entry, seeded by the coarse descent winner),

@@ -203,7 +203,11 @@ object ExplainAudit {
     // v118 is v88's 2-layer shape (1-row alive-entry scalar
     // crossjoins per layer + broadcast frontier/neighbor frames)
     // over the tombstone-filtered layers (the v108 class).
-    "v118_hier_tombstone_search")
+    "v118_hier_tombstone_search",
+    // v119 serves v79's beam shape (1-row alive-entry scalar
+    // crossjoin + broadcast frontier frames) from the compacted
+    // persisted edge store (the v64/v79 class).
+    "v119_graph_compaction")
 
   /** Queries whose PARTITION-LESS windows run over frames bounded by a
     * VALUE DOMAIN rather than a salted-rank cap — boundedness the

@@ -266,6 +266,20 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.forall(r => !dead.contains(r._3)))
   }
 
+  test("v119: the compacted edge list (dead rows dropped, affected " +
+    "sources locally repaired) equals the graph REBUILT from the " +
+    "alive corpus row-for-row, and no endpoint is dead") {
+    val dead = tombstoneIds
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("src_id"), col("dst_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compacted = edgeSet(Queries.compactedGraphEdges(spark, sf))
+    val rebuilt = edgeSet(Queries.aliveRebuiltEdges(spark, sf))
+    assert(compacted.nonEmpty && compacted === rebuilt)
+    assert(compacted.forall { case (s1, d1) =>
+      !dead.contains(s1) && !dead.contains(d1) })
+  }
+
   test("v113: frontier_hits recomputes from the gated v108 frame and " +
     "an alive-only exact top-5") {
     val frontier = Queries.v108GraphTombstoneSearch(spark, sf)
