@@ -6129,14 +6129,35 @@ object Queries {
     * of N. Output: the final ranked frontier (the top-ef the serving
     * layer would re-rank or return). */
   def v79BeamSearch(s: SparkSession, d: String): DataFrame = {
-    val ef = 4
     val v = bucketedVecs(s, d)
     val vec = v.select(col("id"), col("qv"))
     val edges = persistedKnnEdges(s, d)
     val q = vec.filter(col("id") % 100 === 0)
       .select(col("id").as("query_id"), col("qv").as("query_v"))
     val entry = vec.agg(min("id").as("nid"))
-    var frontier = q.select(col("query_id")).crossJoin(entry)
+    plainBeamLoop(q.select(col("query_id")).crossJoin(entry), q, vec,
+        edges)
+      .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+        distFromIntSq(col("d2")).as("dist"))
+  }
+
+  /** The plain (tombstone-free) 3-step ef=4 beam from a caller-supplied
+    * frontier — ONE definition shared by v79 (flat min-id entry),
+    * [[hnswEntryServe]]'s layer 0 (v88/v103 hierarchical entry), and
+    * v119 (compacted-store serve): the [[tombBeamLoop]] convention
+    * applied to the clean-store paths, so the serve loop cannot drift
+    * between entry/build variants (ADVICE r12). Each step expands the
+    * whole frontier through the edge list (broadcast O(Q·ef) frontier
+    * against the streaming bucketed edge scan), dedups, scores against
+    * `vec` by id, and keeps the ef best by (d2, nid). The ranked frame
+    * is checkpointed per step: the next step references it TWICE
+    * (union + edge join), so without truncation the plan doubles per
+    * step (v26's localCheckpoint rationale applied to the walk state).
+    * Returns the final ranked frontier (query_id, rnk, nid, d2). */
+  private def plainBeamLoop(frontier0: DataFrame, q: DataFrame,
+                            vec: DataFrame, edges: DataFrame,
+                            ef: Int = 4): DataFrame = {
+    var frontier = frontier0
     var ranked: DataFrame = null
     for (_ <- 1 to 3) {
       val cand = frontier
@@ -6149,16 +6170,11 @@ object Queries {
         .join(q, "query_id")
         .select(col("query_id"), col("nid"),
           intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
-      // checkpoint the O(Q·ef) frontier per step: cand references the
-      // frontier TWICE (union + edge join), so without truncation the
-      // plan doubles per step (v26's localCheckpoint rationale applied
-      // to the walk state; v73's greedy-step precedent)
       ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
         ascending = true).localCheckpoint(false)
       frontier = ranked.select(col("query_id"), col("nid"))
     }
-    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
-      distFromIntSq(col("d2")).as("dist"))
+    ranked
   }
 
   /** Coarse-layer edge list over the portable-hash-sampled subset
@@ -6206,7 +6222,6 @@ object Queries {
   private def hnswEntryServe(s: SparkSession, d: String,
                              edges: DataFrame, coarse: DataFrame)
       : DataFrame = {
-    val ef = 4
     val v = bucketedVecs(s, d)
     val vec = v.select(col("id"), col("qv"))
     val subVec = vec.filter(Sampling.portableHash(col("id")) % 5 === 0)
@@ -6230,27 +6245,12 @@ object Queries {
         .agg(min(struct(col("d2"), col("nid"))).as("m"))
         .select(col("query_id"), col("m.nid").as("cur"))
     }
-    // layer 0: v79's ef-beam, frontier seeded by the layer-1 winner
-    var frontier = cur.select(col("query_id"), col("cur").as("nid"))
+    // layer 0: the SHARED plain ef-beam, seeded by the layer-1 winner
+    val frontier0 = cur.select(col("query_id"), col("cur").as("nid"))
       .localCheckpoint(false)
-    var ranked: DataFrame = null
-    for (_ <- 1 to 3) {
-      val cand = frontier
-        .unionAll(broadcast(frontier)
-          .join(edges, col("nid") === col("src_id"))
-          .select(col("query_id"), col("dst_id").as("nid")))
-        .distinct()
-      val scored = cand
-        .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
-        .join(q, "query_id")
-        .select(col("query_id"), col("nid"),
-          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
-      ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
-        ascending = true).localCheckpoint(false)
-      frontier = ranked.select(col("query_id"), col("nid"))
-    }
-    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
-      distFromIntSq(col("d2")).as("dist"))
+    plainBeamLoop(frontier0, q, vec, edges)
+      .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+        distFromIntSq(col("d2")).as("dist"))
   }
 
   /** Beam-search quality eval — v61's recall row for v79: per query,
@@ -6386,7 +6386,6 @@ object Queries {
     * (entry = min alive id; queries stay the full gallery's % 100
     * set — deleted vectors may still arrive as queries). */
   def v119GraphCompaction(s: SparkSession, d: String): DataFrame = {
-    val ef = 4
     val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
     val fp = graft.sources.BucketedStore
       .fingerprint(s"$d/embeddings.parquet")
@@ -6401,25 +6400,10 @@ object Queries {
       .select(col("id").as("query_id"), col("qv").as("query_v"))
     val entry = vec.join(tombs, vec("id") === tombs("dead_id"),
       "left_anti").agg(min("id").as("nid"))
-    var frontier = q.select(col("query_id")).crossJoin(entry)
-    var ranked: DataFrame = null
-    for (_ <- 1 to 3) {
-      val cand = frontier
-        .unionAll(broadcast(frontier)
-          .join(edges, col("nid") === col("src_id"))
-          .select(col("query_id"), col("dst_id").as("nid")))
-        .distinct()
-      val scored = cand
-        .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
-        .join(q, "query_id")
-        .select(col("query_id"), col("nid"),
-          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
-      ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
-        ascending = true).localCheckpoint(false)
-      frontier = ranked.select(col("query_id"), col("nid"))
-    }
-    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
-      distFromIntSq(col("d2")).as("dist"))
+    plainBeamLoop(q.select(col("query_id")).crossJoin(entry), q, vec,
+        edges)
+      .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+        distFromIntSq(col("d2")).as("dist"))
   }
 
   /** The 3-step tombstone-aware ef=4 beam from an (already alive)

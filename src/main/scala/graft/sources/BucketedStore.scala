@@ -54,7 +54,18 @@ object BucketedStore {
     * first JVM can still see its files swapped mid-read. The
     * never-two-JVMs protocol (serial verify/bench runs) remains the
     * only complete guard for catalog tables; the lock closes the
-    * builder-vs-builder interleave only. */
+    * builder-vs-builder interleave only.
+    *
+    * The OS lock (and the orphan-dir sweep) only make sense when the
+    * warehouse is a LOCAL filesystem path: for a remote scheme (hdfs,
+    * s3a, ...) a java.nio path built from the URI string would create
+    * bogus local directories like `hdfs:/...` instead of locking the
+    * real location (ADVICE r12), so we fall back to the JVM-wide lock
+    * alone and let `saveAsTable(overwrite)` own the remote files —
+    * cross-process coordination on a remote warehouse belongs to a
+    * transactional table format, not an advisory file lock. Note the
+    * local `<table>.lock` files are left behind by design (deleting
+    * them would race a peer that holds the lock). */
   def ensure(spark: SparkSession, table: String, build: => DataFrame,
              bucketCol: String, numBuckets: Int): DataFrame = {
     val lock = locks.getOrElseUpdate(table, new Object)
@@ -62,27 +73,33 @@ object BucketedStore {
       if (!spark.catalog.tableExists(table)) {
         val warehouse = java.net.URI.create(
           spark.conf.get("spark.sql.warehouse.dir"))
-        val root = java.nio.file.Paths.get(
-          if (warehouse.getScheme == "file") warehouse.getPath
-          else warehouse.toString)
-        java.nio.file.Files.createDirectories(root)
-        val dir = root.resolve(table)
-        val ch = java.nio.channels.FileChannel.open(
-          root.resolve(table + ".lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val fl = ch.lock()
+        val isLocalFs =
+          warehouse.getScheme == null || warehouse.getScheme == "file"
+        if (!isLocalFs) {
+          save(build, table, bucketCol, numBuckets)
+        } else {
+          val root = java.nio.file.Paths.get(
+            if (warehouse.getScheme == "file") warehouse.getPath
+            else warehouse.toString)
+          java.nio.file.Files.createDirectories(root)
+          val dir = root.resolve(table)
+          val ch = java.nio.channels.FileChannel.open(
+            root.resolve(table + ".lock"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
           try {
-            if (java.nio.file.Files.exists(dir)) {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-                .sortBy(-_.getNameCount)
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-            }
-            save(build, table, bucketCol, numBuckets)
-          } finally fl.release()
-        } finally ch.close()
+            val fl = ch.lock()
+            try {
+              if (java.nio.file.Files.exists(dir)) {
+                import scala.jdk.CollectionConverters._
+                java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+                  .sortBy(-_.getNameCount)
+                  .foreach(java.nio.file.Files.deleteIfExists(_))
+              }
+              save(build, table, bucketCol, numBuckets)
+            } finally fl.release()
+          } finally ch.close()
+        }
       }
     }
     load(spark, table)

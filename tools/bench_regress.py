@@ -126,8 +126,19 @@ if do_probe and flagged:
               flush=True)
         subprocess.run(["sbt", "compile"], cwd=wt, check=True,
                        stdout=subprocess.DEVNULL)
-        spark_jars = open("/tmp/graft_cp.txt").read().strip()
-        spark_jars = spark_jars.split(":", 1)[1]  # drop repo classes
+        entries = open("/tmp/graft_cp.txt").read().strip().split(":")
+        # drop the repo's OWN classes entry by path match (not by
+        # position): if it stayed on the classpath it would shadow, or
+        # be shadowed by, the worktree build and silently corrupt the
+        # same-code verdict
+        repo_classes = [e for e in entries
+                        if "/target/scala-" in e and e.endswith("/classes")
+                        and not e.startswith(wt)]
+        assert repo_classes, (
+            "no repo classes entry found in /tmp/graft_cp.txt -- "
+            "refusing to build a same-code classpath that might still "
+            "contain the new build")
+        spark_jars = ":".join(e for e in entries if e not in repo_classes)
         wt_cp = f"{wt}/target/scala-2.13/classes:{spark_jars}"
         return wt_cp
 
@@ -140,19 +151,24 @@ if do_probe and flagged:
         probes[k] = {"sweep": new[k], "solo": solo, "old": old[k],
                      "solo_ratio": round(ratio, 3)}
         verdict = "REGRESSION" if ratio > thr else "noise (solo-clean)"
+        probes[k]["verdict"] = verdict
         print(f"[probe] {k}: sweep={new[k]:.2f}s solo={solo:.2f}s "
               f"old={old[k]:.2f}s solo_ratio={ratio:.2f} -> {verdict}")
         if ratio > thr:
             real.append(k)
             if same_code_ref:
                 # the decisive receipt: interleaved old/new-classes
-                # solos sample the same host window
+                # solos sample the same host window. 3 pairs, and the
+                # demotion criterion is MEDIAN(new) <= max(old) -- a
+                # single lucky new sample can no longer flip a noisy
+                # true regression to PASS (ADVICE r12)
                 cp_old = same_code_cp()
                 olds, news = [], []
-                for _ in range(2):
+                for _ in range(3):
                     olds.append(solo_probe(k, sf_dir, cp=cp_old))
                     news.append(solo_probe(k, sf_dir))
-                sc_verdict = ("host-drift" if min(news) <= max(olds)
+                med_new = sorted(news)[len(news) // 2]
+                sc_verdict = ("host-drift" if med_new <= max(olds)
                               else "code-attributed")
                 probes[k]["same_code"] = {
                     "ref": same_code_ref,
@@ -163,6 +179,10 @@ if do_probe and flagged:
                       f"new_classes={news} -> {sc_verdict}")
                 if sc_verdict == "host-drift":
                     real.remove(k)
+                    # keep the persisted verdict consistent with the
+                    # exit-code demotion (ADVICE r12: a demoted key
+                    # must not stay annotated as a real regression)
+                    probes[k]["verdict"] = "host-drift (same-code)"
         write_back()  # persist each probe as it lands
     print(f"[probe] annotations written back to {argv[1]}")
 
