@@ -4806,6 +4806,33 @@ SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
        sqrt(d2) / $vscale.0 AS dist
 FROM frk WHERE rn <= 3""")
 
+  /** The three maintenance-serve SQL texts (v106/v109/v110) — hoisted
+    * so the code-store compaction twins (v126/v120/v121) bind the SAME
+    * strings: compaction is bit-transparent, so each rewrite key's
+    * gate is its family's maintenance SQL VERBATIM (the v95/v119
+    * contract applied to the code stores). */
+  private lazy val pqMaintSql: String = s"""
+WITH $trainedPqCtes,
+alive AS (SELECT query_id, gid, adc FROM adc WHERE gid % 7 <> 0),
+rk2 AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc, gid) AS rnk
+        FROM alive)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
+FROM rk2 WHERE rnk <= 5"""
+
+  private lazy val sqMaintSql: String = sqKnnSql(255, " WHERE gid % 7 <> 0")
+
+  private lazy val ivfpqMaintSql: String = s"""
+WITH $trainedIvfpqCtes,
+alive AS (SELECT query_id, gid, adc FROM adc WHERE gid % 7 <> 0),
+rk2 AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adc, gid) AS rnk
+        FROM alive)
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
+FROM rk2 WHERE rnk <= 5"""
+
   val sql: Map[String, String] = base ++ hllExtra ++ r7bExtra ++ r8Extra ++ Map(
     // persisted-index serving twins: identical math (and therefore
     // identical oracle SQL) to the rebuild-shape keys — the gate checks
@@ -4843,15 +4870,15 @@ FROM frk WHERE rn <= 3""")
     // trained chain with the ranking recomputed over the tombstone-
     // filtered scores — dead rows drop BEFORE the top-k (v62's
     // contract composed with v99's ingest).
-    "v106_store_maintenance" -> s"""
-WITH $trainedPqCtes,
-alive AS (SELECT query_id, gid, adc FROM adc WHERE gid % 7 <> 0),
-rk2 AS (SELECT query_id, gid, adc,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY adc, gid) AS rnk
-        FROM alive)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
-FROM rk2 WHERE rnk <= 5""",
+    "v106_store_maintenance" -> pqMaintSql,
+    // Code-store compaction twins: rewriting over-threshold shards
+    // with tombstones purged (serving from the compacted store behind
+    // the bounded residual sidecar) must be bit-transparent to the
+    // maintenance serve — each family's maintenance SQL verbatim is
+    // the gate for that claim (the v95/v119 contract).
+    "v126_pq_compaction" -> pqMaintSql,
+    "v120_sq_compaction" -> sqMaintSql,
+    "v121_ivfpq_compaction" -> ivfpqMaintSql,
     // Maintained-store retrieval quality: v106's alive-only ADC
     // ranking vs the EXACT scan over the same alive corpus — the
     // eval row the maintenance lifecycle serves under.
@@ -4912,7 +4939,7 @@ FROM fr3 WHERE rn <= 4""",
     // SQ8 maintenance lifecycle: v17/v86's code-space chain with the
     // ranking recomputed over tombstone-filtered codes (v106's
     // contract for the scalar-quantizer store).
-    "v109_sq_maintenance" -> sqKnnSql(255, " WHERE gid % 7 <> 0"),
+    "v109_sq_maintenance" -> sqMaintSql,
     // Maintained-SQ8 quality: v109's alive-only code ranking vs the
     // EXACT scan over the same alive corpus (the v107 tail).
     "v114_sq_maintained_recall" -> s"""
@@ -4941,15 +4968,7 @@ GROUP BY 1""",
     // IVFPQ maintenance lifecycle: v68's trained residual chain with
     // the ranking recomputed over tombstone-filtered scores (v106's
     // contract for the production-default compressed store).
-    "v110_ivfpq_maintenance" -> s"""
-WITH $trainedIvfpqCtes,
-alive AS (SELECT query_id, gid, adc FROM adc WHERE gid % 7 <> 0),
-rk2 AS (SELECT query_id, gid, adc,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY adc, gid) AS rnk
-        FROM alive)
-SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
-FROM rk2 WHERE rnk <= 5""",
+    "v110_ivfpq_maintenance" -> ivfpqMaintSql,
     // Maintained-IVFPQ quality: v110's alive-only residual-ADC
     // ranking vs the EXACT scan over the same alive corpus.
     "v115_ivfpq_maintained_recall" -> s"""

@@ -190,6 +190,12 @@ object ExplainAudit {
     // with the alive-only exact scoring crossjoin (the v107 class).
     "v109_sq_maintenance", "v110_ivfpq_maintenance",
     "v114_sq_maintained_recall", "v115_ivfpq_maintained_recall",
+    // v120 serves v109's code-space scoring crossjoin from the
+    // COMPACTED SQ store (the same chain behind the bounded residual
+    // sidecar); v126 serves v106's broadcast ADC-table crossjoin
+    // from the compacted PQ store. (v121's residual-ADC probe chain
+    // carries no BNLJ — the v105/v110 class.)
+    "v120_sq_compaction", "v126_pq_compaction",
     // v111 serves v65's probe chain from the warm-refreshed state
     // (the v90 persisted-serving class: probe routing is the
     // centroids × broadcast(queries) shape); v112 serves the same
