@@ -586,34 +586,70 @@ SELECT b1.query_id, b1.nid AS node_id,
 FROM b1 LEFT JOIN hx h2 ON h2.query_id = b1.query_id AND h2.gid = b1.nid
 JOIN hits ON hits.query_id = b1.query_id"""
 
+  /** A coarse LAYER's edge-list CTEs: the `pfx`-prefixed sampled
+    * gallery (hash % `modBy` = 0 — v9's portable-hash contract),
+    * bucket-blocked candidates, and the ranked top-3 edges
+    * `${pfx}e`. Shared by v88's single coarse layer (pfx "s",
+    * mod 5) and v122's two (pfx "s"/"t", mod 5/25), so the layer
+    * build arithmetic is one definition at every depth. */
+  private def coarseLayerCtes(pfx: String, modBy: Int): String = s"""${pfx}g AS (SELECT gid, v, bucket FROM b
+       WHERE ((gid % 2147483647) * 2654435761) % 2147483647 % $modBy = 0),
+${pfx}cand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
+                 ${l2sq("x.v", "y.v")} AS d2
+          FROM ${pfx}g x JOIN ${pfx}g y ON x.bucket = y.bucket AND x.gid <> y.gid),
+${pfx}r AS (SELECT src_id, dst_id, d2,
+              row_number() OVER (PARTITION BY src_id
+                ORDER BY d2, dst_id) AS rnk
+       FROM ${pfx}cand),
+${pfx}e AS (SELECT src_id, dst_id FROM ${pfx}r WHERE rnk <= 3)"""
+
+  /** Three unrolled width-1 greedy descent steps over one coarse
+    * layer, from an in-scope `$walk0(query_id, cur)` state: each step
+    * considers {current} ∪ layer-neighbors(current), scores against
+    * the layer's gallery `$lg`, keeps the (d2, nid)-min. ONE
+    * definition shared by v88's layer-1 walk and both of v122's upper
+    * layers — descent semantics cannot drift between hierarchy
+    * depths (the Spark side's shared coarseDescentLoop, mirrored). */
+  private def coarseWalkSteps(walk: String, edges: String,
+                              lg: String): String =
+    (1 to 3).map(i => s"""${walk}c$i AS (SELECT query_id, cur AS nid FROM $walk${i - 1}
+        UNION ALL
+        SELECT s.query_id, $edges.dst_id AS nid
+        FROM $walk${i - 1} s JOIN $edges ON $edges.src_id = s.cur),
+$walk$i AS (SELECT query_id, nid AS cur FROM (
+          SELECT c.query_id, c.nid,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
+          FROM ${walk}c$i c JOIN $lg gv ON gv.gid = c.nid
+          JOIN q ON q.query_id = c.query_id) WHERE rn = 1)""")
+      .mkString(",\n")
+
   /** v88's CTEs: the shared layer-0 graph, a coarse layer-1 graph over
     * the portable-hash subset (hash % 5 = 0 — v9's contract), v57's
     * 3-step greedy walk over the coarse edges, then the SHARED beam
     * loop seeded by the walk winner. */
   private def hnswEntryCtes: String = s"""
 $beamGraphCtes,
-sg AS (SELECT gid, v, bucket FROM b
-       WHERE ((gid % 2147483647) * 2654435761) % 2147483647 % 5 = 0),
-scand AS (SELECT x.gid AS src_id, y.gid AS dst_id,
-                 ${l2sq("x.v", "y.v")} AS d2
-          FROM sg x JOIN sg y ON x.bucket = y.bucket AND x.gid <> y.gid),
-sr AS (SELECT src_id, dst_id, d2,
-              row_number() OVER (PARTITION BY src_id
-                ORDER BY d2, dst_id) AS rnk
-       FROM scand),
-se AS (SELECT src_id, dst_id FROM sr WHERE rnk <= 3),
+${coarseLayerCtes("s", 5)},
 w0 AS (SELECT query_id, (SELECT min(gid) FROM sg) AS cur FROM q),
-${(1 to 3).map(i => s"""wc$i AS (SELECT query_id, cur AS nid FROM w${i - 1}
-        UNION ALL
-        SELECT s.query_id, se.dst_id AS nid
-        FROM w${i - 1} s JOIN se ON se.src_id = s.cur),
-w$i AS (SELECT query_id, nid AS cur FROM (
-          SELECT c.query_id, c.nid,
-                 row_number() OVER (PARTITION BY c.query_id
-                   ORDER BY ${l2sq("gv.v", "q.qv")}, c.nid) AS rn
-          FROM wc$i c JOIN sg gv ON gv.gid = c.nid
-          JOIN q ON q.query_id = c.query_id) WHERE rn = 1)""")
-  .mkString(",\n")},
+${coarseWalkSteps("w", "se", "sg")},
+f0 AS (SELECT query_id, cur AS nid FROM w3),
+$beamLoopCtes"""
+
+  /** v122's CTEs: the shared layer-0 graph, TWO geometric coarse
+    * layers (L1 = hash % 5, L2 = hash % 25 — nesting by construction:
+    * % 25 = 0 ⇒ % 5 = 0), entry at the TOP layer's min id, the SHARED
+    * width-1 descent through L2 (`u`-walk over te/tg) whose winner
+    * seeds the L1 descent (`w`-walk over se/sg), whose winner seeds
+    * the SHARED layer-0 beam loop. */
+  private def hnswMultiCtes: String = s"""
+$beamGraphCtes,
+${coarseLayerCtes("s", 5)},
+${coarseLayerCtes("t", 25)},
+u0 AS (SELECT query_id, (SELECT min(gid) FROM tg) AS cur FROM q),
+${coarseWalkSteps("u", "te", "tg")},
+w0 AS (SELECT query_id, cur FROM u3),
+${coarseWalkSteps("w", "se", "sg")},
 f0 AS (SELECT query_id, cur AS nid FROM w3),
 $beamLoopCtes"""
 
@@ -5098,6 +5134,15 @@ GROUP BY 1""",
     // Hierarchical-entry beam recall: v81's shared recall tail over
     // the coarse-walk-seeded CTEs.
     "v94_hnsw_recall" -> beamRecallSql(hnswEntryCtes),
+    // Multi-layer HNSW: the geometric 3-level walk (shared layer and
+    // descent CTE definitions at every depth) + the shared beam loop;
+    // its recall row is the shared tail over the same CTEs.
+    "v122_hnsw_multilayer" -> s"""
+WITH $hnswMultiCtes
+SELECT query_id, CAST(rn AS BIGINT) AS rnk, nid AS node_id,
+       sqrt(d2) / $vscale.0 AS dist
+FROM fr3 WHERE rn <= 4""",
+    "v127_hnswml_recall" -> beamRecallSql(hnswMultiCtes),
     // Trained-PQ retrieval quality: the trained ADC ranking (v78's
     // chain verbatim) against the exact top-5 — v36's eval shape, so
     // the seeded-vs-trained delta is a measured pair of rows.

@@ -6380,13 +6380,37 @@ object Queries {
     // layer 1: greedy width-1 descent over the coarse graph (v57's
     // loop on the sampled layer, entry = the subset's min id)
     val entry = subVec.agg(min("id").as("cur"))
-    var cur = q.select(col("query_id")).crossJoin(entry)
+    val cur = coarseDescentLoop(
+      q.select(col("query_id")).crossJoin(entry), q, subVec, coarse)
+    // layer 0: the SHARED plain ef-beam, seeded by the layer-1 winner
+    val frontier0 = cur.select(col("query_id"), col("cur").as("nid"))
+      .localCheckpoint(false)
+    plainBeamLoop(frontier0, q, vec, edges)
+      .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+        distFromIntSq(col("d2")).as("dist"))
+  }
+
+  /** The 3-step greedy width-1 descent over ONE coarse layer — v57's
+    * loop from a caller-supplied (query_id, cur) state, ONE definition
+    * shared by [[hnswEntryServe]] (v88/v103's single coarse layer) and
+    * v122's multi-layer descent, the plainBeamLoop convention applied
+    * to the upper layers so descent semantics cannot drift between
+    * hierarchy depths. Each step considers {current} ∪
+    * neighbors(current) (broadcast O(Q) state against the streaming
+    * layer edge scan), scores against the LAYER's vectors by id, and
+    * keeps the (d2, nid)-min — monotone, stalls at the greedy fixed
+    * point (HNSW's per-layer stop rule). Returns (query_id, cur). */
+  private def coarseDescentLoop(cur0: DataFrame, q: DataFrame,
+                                layerVec: DataFrame,
+                                layerEdges: DataFrame): DataFrame = {
+    var cur = cur0
     for (_ <- 1 to 3) {
       val cand = cur.select(col("query_id"), col("cur").as("nid"))
-        .unionAll(broadcast(cur).join(coarse, col("cur") === col("src_id"))
+        .unionAll(broadcast(cur).join(layerEdges,
+            col("cur") === col("src_id"))
           .select(col("query_id"), col("dst_id").as("nid")))
       cur = cand
-        .join(subVec.select(col("id").as("nid"), col("qv").as("nv")),
+        .join(layerVec.select(col("id").as("nid"), col("qv").as("nv")),
           "nid")
         .join(q, "query_id")
         .select(col("query_id"), col("nid"),
@@ -6395,13 +6419,82 @@ object Queries {
         .agg(min(struct(col("d2"), col("nid"))).as("m"))
         .select(col("query_id"), col("m.nid").as("cur"))
     }
-    // layer 0: the SHARED plain ef-beam, seeded by the layer-1 winner
-    val frontier0 = cur.select(col("query_id"), col("cur").as("nid"))
+    cur
+  }
+
+  /** Layer-2 edge list over the hash % 25 sample — the third level of
+    * v122's geometric hierarchy, persisted into the fingerprinted
+    * bucketed store exactly like the layer-0/1 lists. 1/25th of the
+    * corpus: the O(|S|·k) build cost shrinks geometrically per level,
+    * which is why a log-depth hierarchy is affordable at 100 TB. */
+  private def persistedCoarse2Edges(s: SparkSession, d: String)
+      : DataFrame = {
+    val table = "graft_coarse2_edges_" +
+      d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + graft.sources.BucketedStore.fingerprint(s"$d/embeddings.parquet")
+    graft.sources.BucketedStore.ensure(s, table,
+      knnGraphRanked(bucketedVecs(s, d)
+          .filter(Sampling.portableHash(col("id")) % 25 === 0))
+        .select(col("src_id"), col("dst_id")),
+      "src_id", numBuckets = 32)
+  }
+
+  /** The three persisted edge stores of the multi-layer hierarchy
+    * (L0 = full corpus, L1 = hash % 5, L2 = hash % 25) — exposed to
+    * the spec so the driver-side walk simulation reads the exact
+    * graphs v122 serves from. */
+  private[graft] def multilayerEdges(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (persistedKnnEdges(s, d), persistedCoarseEdges(s, d),
+      persistedCoarse2Edges(s, d))
+
+  /** MULTI-LAYER HNSW — v88's 2-layer entry extended to the geometric
+    * hierarchy proper (Malkov & Yashunin '16: ~log N levels, each a
+    * 1/p sample of the one below): level membership is the
+    * DETERMINISTIC hash-based assignment level(id) ≥ ℓ ⇔
+    * portableHash(id) % 5^ℓ = 0 — the seeded-literal discipline's
+    * stand-in for HNSW's exponential level draw, with the NESTING
+    * property (hash % 25 = 0 ⇒ hash % 5 = 0) that makes every layer's
+    * winner a valid seed for the layer below. The walk: entry = the
+    * TOP layer's min id, width-1 greedy descent through L2 then L1
+    * (the SHARED coarseDescentLoop, each winner seeding the next
+    * layer), then v79's ef=4 beam at layer 0 (the SHARED
+    * plainBeamLoop). All three layers serve from persisted
+    * fingerprinted edge stores — zero build per batch; the added cost
+    * over v88 is 3 greedy steps of O(Q·(k+1)) distance evals on a
+    * 1/25th-size layer, and at scale each extra level replaces the
+    * linear traversal a too-shallow hierarchy pays crossing a level
+    * that is still too big. Walk state is checkpointed BETWEEN layers
+    * (each descent step references its state twice; 9 steps would
+    * otherwise stack 2^9 plan copies). Oracle = the L2+L1 walk CTEs +
+    * the SHARED beam CTEs; spec replays all nine steps driver-side
+    * and proves the nesting/membership invariants. */
+  def v122HnswMultilayer(s: SparkSession, d: String): DataFrame = {
+    val v = bucketedVecs(s, d)
+    val vec = v.select(col("id"), col("qv"))
+    val sub1 = vec.filter(Sampling.portableHash(col("id")) % 5 === 0)
+    val sub2 = vec.filter(Sampling.portableHash(col("id")) % 25 === 0)
+    val (edges0, edges1, edges2) = multilayerEdges(s, d)
+    val q = vec.filter(col("id") % 100 === 0)
+      .select(col("id").as("query_id"), col("qv").as("query_v"))
+    val entry = sub2.agg(min("id").as("cur"))
+    val w2 = coarseDescentLoop(
+        q.select(col("query_id")).crossJoin(entry), q, sub2, edges2)
       .localCheckpoint(false)
-    plainBeamLoop(frontier0, q, vec, edges)
+    val w1 = coarseDescentLoop(w2, q, sub1, edges1)
+      .localCheckpoint(false)
+    plainBeamLoop(w1.select(col("query_id"), col("cur").as("nid")), q,
+        vec, edges0)
       .select(col("query_id"), col("rnk"), col("nid").as("node_id"),
         distFromIntSq(col("d2")).as("dist"))
   }
+
+  /** Multi-layer HNSW quality — v94's recall convention for v122, so
+    * the (v81, v94, v127) triple reads as what each added level buys
+    * at equal layer-0 beam steps. Both inputs gated O(Q·k) frames →
+    * broadcast join + tiny aggregate. */
+  def v127HnswmlRecall(s: SparkSession, d: String): DataFrame =
+    beamRecallOf(s, d, v122HnswMultilayer(s, d))
 
   /** Beam-search quality eval — v61's recall row for v79: per query,
     * the beam's rank-1 endpoint against the exact top-5 (node, exact

@@ -140,8 +140,9 @@ object ExplainAudit {
     // (the v36/v39 eval class).
     "v92_trained_ivf_recall", "v93_trained_ivfpq_recall",
     // v94 composes v88's walk (scalar entry) and v1's exact chain
-    // (the v81 class).
-    "v94_hnsw_recall",
+    // (the v81 class); v127 composes v122's multi-layer walk and the
+    // same exact chain.
+    "v94_hnsw_recall", "v127_hnswml_recall",
     // v95 serves v62's broadcast(queries) scoring crossjoin from the
     // compacted store (the v62 batch-KNN class).
     "v95_compaction_exec",

@@ -118,6 +118,98 @@ class Round13OpsSpec extends SparkSpec {
     assertCompacted("pqcmp")
   }
 
+  // ---------- v122/v127: multi-layer HNSW ----------
+
+  private def pHash(id: Long): Long =
+    ((id % 2147483647L) * 2654435761L) % 2147483647L
+
+  test("v122: the geometric levels NEST (hash%25=0 implies hash%5=0), " +
+    "both upper layers are non-empty, and the top entry is a valid " +
+    "seed at every depth (fixture-level)") {
+    val ids = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    val l1 = ids.filter(pHash(_) % 5 == 0)
+    val l2 = ids.filter(pHash(_) % 25 == 0)
+    assert(l2.nonEmpty && l1.nonEmpty)
+    assert(l2.subsetOf(l1), "level nesting broken: an L2 node is " +
+      "missing from L1 — its descent winner could not seed L1")
+    assert(l1.subsetOf(ids))
+    assert(l2.size < l1.size && l1.size < ids.size,
+      "the geometric sampling did not thin between levels")
+  }
+
+  test("v122: an independent driver-side simulation of all nine steps " +
+    "(L2 descent -> L1 descent -> ef=4 beam) reproduces the gated " +
+    "frame exactly") {
+    val (e0df, e1df, e2df) = Queries.multilayerEdges(spark, sf)
+    def adj(df: org.apache.spark.sql.DataFrame): Map[Long, List[Long]] =
+      df.select(col("src_id"), col("dst_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toList) }
+    val (e0, e1, e2) = (adj(e0df), adj(e1df), adj(e2df))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"),
+        graft.functions.VectorFunctions.quantize(col("embedding"))
+          .as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+    val l2ids = vecs.keySet.filter(pHash(_) % 25 == 0)
+    val entry = l2ids.min
+    val queries = vecs.keySet.filter(_ % 100 == 0).toList.sorted
+    val expected = queries.flatMap { qid =>
+      val qv = vecs(qid)
+      def descend(start: Long, edges: Map[Long, List[Long]]): Long = {
+        var cur = start
+        for (_ <- 1 to 3) {
+          val cand = Set(cur) ++ edges.getOrElse(cur, Nil)
+          cur = cand.toList.map(n => (d2(vecs(n), qv), n))
+            .sortBy(identity).head._2
+        }
+        cur
+      }
+      val seed = descend(descend(entry, e2), e1)
+      var frontier = Set(seed)
+      var ranked: List[(Long, Long)] = Nil
+      for (_ <- 1 to 3) {
+        val cand = frontier ++ frontier.flatMap(n => e0.getOrElse(n, Nil))
+        ranked = cand.toList.map(n => (d2(vecs(n), qv), n))
+          .sortBy(identity).take(4).zipWithIndex
+          .map { case ((_, n), i) => (i + 1L, n) }
+        frontier = ranked.map(_._2).toSet
+      }
+      ranked.map { case (rnk, nid) => (qid, rnk, nid) }
+    }.toSet
+    val got = Queries.v122HnswMultilayer(spark, sf)
+      .select(col("query_id"), col("rnk"), col("node_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("v127: the recall row recomputes from the gated v122 frame " +
+    "and v1's exact scan") {
+    val beam = Queries.v122HnswMultilayer(spark, sf)
+      .select(col("query_id"), col("rnk"), col("node_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = Queries.v1KnnL2(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byQ = beam.groupBy(_._1)
+    val want = byQ.map { case (q, rs) =>
+      val hits = rs.count(r => exact.contains((q, r._3))).toLong
+      val top = rs.minBy(_._2)
+      (q, top._3, if (exact.contains((q, top._3))) 1L else 0L, hits)
+    }.toSet
+    val got = Queries.v127HnswmlRecall(spark, sf)
+      .select(col("query_id"), col("node_id"), col("in_top5"),
+        col("frontier_hits")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty && got === want)
+  }
+
   test("flat code stores compact on v71's shards: the executed flag " +
     "set IS the planner's decision") {
     // builds are idempotent (ensurePersisted); the serve tests above
