@@ -308,6 +308,63 @@ rk AS (SELECT query_id, gid, adc,
               row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
        FROM adc)"""
 
+  /** v123's staged warm-retrain chain: v68's trained CTEs (tc / asn /
+    * enc ARE the depth-4 store), ONE more floored-mean round seeded
+    * from the STORED assignment (cnt5w/cm5w → tc5), the map-only
+    * reassignment asn5, the migrated set (assignment changed), the
+    * re-encode of ONLY migrated rows under the FIXED codebook `cb`,
+    * and the nprobe=2 residual-ADC search routed against the
+    * REFRESHED centroids over the mixed codes — unmigrated rows keep
+    * their depth-4 code bytes verbatim (the deterministic staleness a
+    * staged rollout serves). */
+  private def ivfpqRetrainCtes: String = s"""$trainedIvfpqCtes,
+cnt5w AS (SELECT acid AS c, CAST(count(*) AS BIGINT) AS n
+          FROM asn GROUP BY 1),
+cm5w AS (SELECT a.acid AS c, i, sum(g.v[CAST(i AS INT)+1]) AS s
+         FROM asn a JOIN g ON g.gid = a.gid
+         CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+tc5 AS (SELECT m.c AS ccid,
+               list(CAST(floor(CAST(m.s AS DOUBLE) / cnt5w.n) AS BIGINT)
+                 ORDER BY m.i) AS cv
+        FROM cm5w m JOIN cnt5w ON cnt5w.c = m.c GROUP BY 1),
+asn5 AS (SELECT gid, ccid AS acid FROM (
+          SELECT g.gid, t.ccid,
+                 row_number() OVER (PARTITION BY g.gid
+                   ORDER BY ${l2sq("g.v", "t.cv")}, t.ccid) AS rn
+          FROM g CROSS JOIN tc5 t) WHERE rn = 1),
+mig AS (SELECT a5.gid FROM asn5 a5 JOIN asn a4 ON a4.gid = a5.gid
+        WHERE a5.acid <> a4.acid),
+r5 AS (SELECT g.gid, a5.acid,
+              list_transform(range(64), i -> g.v[i+1] - t.cv[i+1]) AS rv
+       FROM g JOIN asn5 a5 ON a5.gid = g.gid
+       JOIN tc5 t ON t.ccid = a5.acid
+       WHERE g.gid IN (SELECT gid FROM mig)),
+enc5 AS (SELECT gid, acid, j, cid AS code FROM (
+          SELECT r5.gid, r5.acid, jj.j, cb.cid,
+                 row_number() OVER (PARTITION BY r5.gid, jj.j
+                   ORDER BY ${subL2("r5.rv", "cb.cbv", "jj.j", 8)}, cb.cid) AS rn
+          FROM r5 CROSS JOIN jj CROSS JOIN cb) WHERE rn = 1),
+encx AS (SELECT gid, acid, j, code FROM enc
+         WHERE gid NOT IN (SELECT gid FROM mig)
+         UNION ALL SELECT gid, acid, j, code FROM enc5),
+probe5 AS (SELECT query_id, ccid AS pcid FROM (
+            SELECT q.query_id, t.ccid,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${l2sq("q.qvec", "t.cv")}, t.ccid) AS rn
+            FROM q CROSS JOIN tc5 t) WHERE rn <= 2),
+qr5 AS (SELECT p.query_id, p.pcid,
+              list_transform(range(64), i -> q.qvec[i+1] - t.cv[i+1]) AS qres
+       FROM probe5 p JOIN q USING (query_id) JOIN tc5 t ON t.ccid = p.pcid),
+adc5 AS (SELECT qr5.query_id, e.gid,
+               CAST(sum(${subL2("qr5.qres", "cb.cbv", "e.j", 8)}) AS BIGINT) AS adc
+        FROM qr5
+        JOIN encx e ON e.acid = qr5.pcid
+        JOIN cb ON cb.cid = e.code
+        GROUP BY 1, 2),
+rk5 AS (SELECT query_id, gid, adc,
+              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
+       FROM adc5)"""
+
   /** v65's trained-IVF chain as CTEs (3 Lloyd rounds + the add step
     * asn4 + probe routing), ending in the ranked `rr`. Shared by v65,
     * v90 (verbatim via the map) and v92's recall eval. */
@@ -5045,6 +5102,15 @@ FROM rr WHERE rnk <= 5""",
     // residual encode under fixed persisted artifacts makes merged ≡
     // monolithic exactly — v68's SQL verbatim (the v112 pair).
     "v116_ivfpq_segment_serve" -> base("v68_trained_ivfpq"),
+    // Staged residual re-encode after a warm coarse retrain: v68's
+    // chain + one floored warm round from the stored assignment +
+    // the mixed-encode search (only migrated rows re-encode; the
+    // fixed codebook and the verbatim-kept depth-4 codes are the
+    // staging contract).
+    "v123_ivfpq_retrain" -> s"""
+WITH $ivfpqRetrainCtes
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(adc) / $vscale.0 AS dist
+FROM rk5 WHERE rnk <= 5""",
     // Approximate range search: the SQ8 code prefilter must be
     // LOSSLESS (its admission bound provably excludes no true pair),
     // so the gate is v24's exact range SQL verbatim — transparency,

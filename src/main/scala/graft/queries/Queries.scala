@@ -1345,20 +1345,120 @@ object Queries {
 
   def v91TrainedIvfpqPersisted(s: SparkSession, d: String): DataFrame = {
     val m = 8; val dim = 64
+    val (centsDf, book, g) = trainedIvfpqArtifacts(s, d)
+    val codes = trainedIvfpqCodeStore(s, d, centsDf, book, g)
+    val queries = g.filter(col("id") % 100 === 0)
+    IvfPq.searchResidual(codes, centsDf, queries, "cid", "id", "qemb",
+      dim, m, book, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
+  /** v91's persisted residual-code table (the depth-4 trained-IVFPQ
+    * store, PARTITIONED BY coarse list) — factored out so v123's
+    * staged warm retrain reads, and provably leaves unmigrated rows
+    * of, the SAME stored code rows v91 serves. */
+  private def trainedIvfpqCodeStore(s: SparkSession, d: String,
+      centsDf: DataFrame, book: Seq[PqIndex.Codebook], g: DataFrame)
+      : DataFrame = {
+    val m = 8; val dim = 64
     val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
     val fp = graft.sources.BucketedStore
       .fingerprint(s"$d/embeddings.parquet")
-    val (centsDf, book, g) = trainedIvfpqArtifacts(s, d)
     val path = s"/tmp/graft_tpqidx_${safe}_$fp"
     ensurePersisted(path) {
       IvfPq.encodeResidual(g, centsDf, "id", "qemb", "cid",
           dim, m, book, scale = 1)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     }
-    val codes = Tables.ensureParallelism(s.read.parquet(path), Some(path))
-    val queries = g.filter(col("id") % 100 === 0)
-    IvfPq.searchResidual(codes, centsDf, queries, "cid", "id", "qemb",
-      dim, m, book, k = 5, nprobe = 2)
+    Tables.ensureParallelism(s.read.parquet(path), Some(path))
+  }
+
+  /** v123's staged warm-retrain state: the depth-4 code store, the
+    * refreshed floored centroid table `tc5` (ONE warm Lloyd round
+    * seeded from the STORE's assignment column — never the seeds),
+    * the migrated-id frame (assignment changed under tc5), and the
+    * MIXED code store persisted into the refreshed serving layout
+    * where ONLY migrated rows were re-encoded. Exposed to the spec so
+    * the byte-unchanged / cold-equal / drift-set receipts read the
+    * exact frames the gate serves. */
+  private[graft] def retrainedIvfpqState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame,
+         Seq[PqIndex.Codebook], DataFrame) = {
+    val m = 8; val dim = 64
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.sources.BucketedStore
+      .fingerprint(s"$d/embeddings.parquet")
+    val (centsDf, book, g) = trainedIvfpqArtifacts(s, d)
+    val codes4 = trainedIvfpqCodeStore(s, d, centsDf, book, g)
+    // warm round: exact integer (n, Σ) per list over the STORED
+    // assignment (the store's partition column IS the round state,
+    // v111's warm-seeding rule), floored onto the grid — the IVFPQ
+    // family's one-IEEE-division-per-dim centroid carrier (v68)
+    val qvG = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      quantize(col("embedding")).as("qv"))
+    val cs5 = Centroids.classSums(
+        qvG.join(codes4.select(col("id"), col("centroid_id")), "id")
+          .select(col("id"), col("qv"),
+            col("centroid_id").cast("long").as("c")),
+        "c", "qv")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    import s.implicits._
+    val tc5 = cs5.toIndexedSeq.map { case (lab, n, sv) =>
+      (lab, sv.toIndexedSeq.map(si => math.floor(si.toDouble / n)))
+    }.toDF("cid", "qemb")
+    // map-only reassignment under the refreshed centroids; the drift
+    // set {id : asn5 ≠ stored} IS the re-encode work list (v70's
+    // matrix is its size estimate)
+    val asn5 = IvfIndex.assign(g, tc5, "id", "qemb", "cid", scale = 1)
+      .select(col("id"), col("centroid_id").as("c5"))
+    val joined = codes4.join(asn5, "id")
+    val migIds = joined.filter(col("c5") =!= col("centroid_id"))
+      .select(col("id"))
+    val path5 = s"/tmp/graft_tpqretr_${safe}_$fp"
+    ensurePersisted(path5) {
+      val kept = joined.filter(col("c5") === col("centroid_id"))
+        .select(col("id"), col("codes"), col("centroid_id"))
+      val reenc = IvfPq.encodeResidual(g.join(migIds, "id"), tc5,
+        "id", "qemb", "cid", dim, m, book, scale = 1)
+      kept.unionByName(reenc)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(path5)
+    }
+    val mixed = Tables.ensureParallelism(s.read.parquet(path5),
+      Some(path5))
+    (codes4, tc5, mixed, migIds, book, g)
+  }
+
+  /** STAGED RESIDUAL RE-ENCODE after a warm coarse retrain — the
+    * composition the r12 verdict's #3 named: v111's warm-restart rule
+    * applied to the COMPRESSED family. One incremental Lloyd round
+    * refreshes the coarse centroids from the stored assignment
+    * (collect the O(nlist·dim) exact (n, Σ) table, floor onto the
+    * grid — training never restarts from seeds), then ONLY the
+    * vectors whose assignment MIGRATED under the refreshed centroids
+    * pay the per-row residual re-encode (fixed persisted codebook —
+    * faiss refreshes the coarse quantizer without retraining the PQ
+    * books; a full retrain = re-add would re-encode everything, and
+    * v70's drift matrix is exactly the work estimate this staging
+    * buys back). Unmigrated rows keep their stored code bytes
+    * VERBATIM — their residuals were taken against the pre-refresh
+    * centroid of the SAME list, the deterministic staleness a staged
+    * rollout serves until its next encode wave — and the nprobe=2
+    * residual-ADC search serves the mixed store against the REFRESHED
+    * centroids. Scale shape: the refresh is one map-side-combined
+    * (list, dim) aggregate + a map-only reassignment; the re-encode
+    * is O(|migrated|), never O(N); the serve is v91's partition-
+    * pruned probe. Oracle = v68's chain + one floored warm round +
+    * the mixed-encode search CTEs; spec proves unmigrated rows
+    * byte-unchanged, migrated rows equal a cold re-encode, and the
+    * re-encode set IS the drift set. */
+  def v123IvfpqRetrain(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dim = 64
+    val (_, tc5, mixed, _, book, g) = retrainedIvfpqState(s, d)
+    IvfPq.searchResidual(mixed, tc5, g.filter(col("id") % 100 === 0),
+        "cid", "id", "qemb", dim, m, book, k = 5, nprobe = 2)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         (col("dist") / lit(10000.0)).as("dist"))
   }

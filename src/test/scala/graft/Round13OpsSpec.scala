@@ -210,6 +210,40 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  // ---------- v123: staged re-encode after warm coarse retrain ----------
+
+  test("v123: the re-encode set IS the drift set, unmigrated rows keep " +
+    "their stored code bytes verbatim, and migrated rows equal a cold " +
+    "re-encode under the refreshed centroids") {
+    val (codes4, tc5, mixed, migIds, book, g) =
+      Queries.retrainedIvfpqState(spark, sf)
+    def cmap(df: DataFrame): Map[Long, (Seq[Int], Long)] =
+      df.select(col("id").cast("long"), col("codes"),
+          col("centroid_id").cast("long")).collect()
+        .map(r => (r.getLong(0), (r.getSeq[Int](1), r.getLong(2)))).toMap
+    val old = cmap(codes4)
+    val mix = cmap(mixed)
+    val mig = migIds.select(col("id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(mix.keySet === old.keySet, "retrain changed store membership")
+    // the staging is real at this fixture: some rows migrate, most
+    // keep their bytes (fixture-level expectation)
+    assert(mig.nonEmpty && mig.size < old.size)
+    // cold full re-encode under tc5 with the SAME fixed codebook
+    val cold = cmap(graft.operators.IvfPq.encodeResidual(g, tc5,
+      "id", "qemb", "cid", 64, 8, book, scale = 1))
+    // the re-encode work list is exactly the assignment-drift set,
+    // derived independently from the cold assignment vs the store
+    assert(mig === old.keySet.filter(id => cold(id)._2 != old(id)._2),
+      "the migrated set is not the drift set")
+    mix.foreach { case (id, row) =>
+      if (mig(id))
+        assert(row === cold(id), s"migrated $id != cold re-encode")
+      else
+        assert(row === old(id), s"unmigrated $id code bytes changed")
+    }
+  }
+
   test("flat code stores compact on v71's shards: the executed flag " +
     "set IS the planner's decision") {
     // builds are idempotent (ensurePersisted); the serve tests above
