@@ -478,6 +478,63 @@ object StreamingOps {
     ranked
   }
 
+  /** Per-micro-batch TOMBSTONE-AWARE beam serving (streaming twin of
+    * the gated v108) — the serve side of the graph family's continuous
+    * maintenance loop: [[graphUpsertBatch]] folds arriving vectors
+    * into the edge state, [[tombstoneBatch]] folds arriving deletes
+    * into the delete set, and each query micro-batch walks the
+    * CURRENT (edges, tombstones) state with v108's exact delete
+    * semantics — dead nodes are excluded from scored frontiers and
+    * results but their edges stay traversable-around (one-hop bypass),
+    * so the walk neither surfaces nor strands on tombstones. The
+    * caller passes `entryId` = the min ALIVE id of the current state
+    * (the entry is state, recomputed when a delete kills it — v108's
+    * alive-entry rule on the streaming surface). Per step: v108's plan
+    * shape verbatim — the O(batch·ef) frontier broadcasts against the
+    * streaming edge scan, dead-neighbor detection inner-joins the
+    * tombstone scan WITH the broadcast neighbor frame (never the
+    * reverse: the delete set is data-sized on an uncompacted store),
+    * and scoring joins candidates to the alive vector frame by id.
+    * The alive frame is one anti-join per query batch, checkpointed
+    * and amortized across steps. Every query walks independently →
+    * ANY micro-batch partitioning unions to the gated v108 rows (the
+    * lifecycle spec proves it against interleaved upserts+deletes). */
+  def tombBeamServeBatch(queryBatch: DataFrame, vecs: DataFrame,
+                         edges: DataFrame, tombs: DataFrame,
+                         entryId: Long, ef: Int = 4, steps: Int = 3,
+                         scale: Int = graft.functions.VectorFunctions.DefaultScale): DataFrame = {
+    import graft.functions.VectorFunctions.{distFromIntSq, intL2Sq, quantize}
+    val q = queryBatch
+      .select(col("query_id").cast("long").as("query_id"),
+        quantize(col("embedding"), scale).as("query_v"))
+    val t = tombs.select(col("dead_id").cast("long").as("dead_id"))
+    val v = vecs.select(col("id").cast("long").as("nid"), col("qv").as("nv"))
+    val aliveV = v.join(t, v("nid") === t("dead_id"), "left_anti")
+      .localCheckpoint(false)
+    var frontier = q.select(col("query_id"), lit(entryId).as("nid"))
+    var ranked: DataFrame = null
+    for (_ <- 1 to steps) {
+      val nbrs = broadcast(frontier)
+        .join(edges, col("nid") === col("src_id"))
+        .select(col("query_id"), col("dst_id").as("nid"))
+        .distinct()
+      val deadN = t.join(broadcast(nbrs), col("dead_id") === col("nid"))
+        .select(col("query_id"), col("nid"))
+      val bypass = broadcast(deadN)
+        .join(edges, col("nid") === col("src_id"))
+        .select(col("query_id"), col("dst_id").as("nid"))
+      val cand = frontier.unionAll(nbrs).unionAll(bypass).distinct()
+      val scored = cand.join(aliveV, "nid").join(q, "query_id")
+        .select(col("query_id"), col("nid"),
+          intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
+      ranked = graft.operators.TopK.perGroup(scored, "query_id", "nid",
+        "d2", ef, ascending = true).localCheckpoint(false)
+      frontier = ranked.select(col("query_id"), col("nid"))
+    }
+    ranked.select(col("query_id"), col("rnk"), col("nid").as("node_id"),
+      distFromIntSq(col("d2"), scale).as("dist"))
+  }
+
   /** Per-micro-batch 2-LAYER HNSW-ENTRY beam serving (streaming twin
     * of the gated v88): each arriving query batch first descends the
     * persisted COARSE layer-1 graph with v57's greedy width-1 walk

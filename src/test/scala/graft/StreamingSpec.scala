@@ -977,6 +977,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graph maintained lifecycle via foreachBatch: interleaved " +
+    "vector upserts and re-delivered deletes serve exactly the batch " +
+    "v108 rows — the graph family's continuous maintenance loop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.{intL2Sq, quantize}
+    import graft.operators.{LshIndex, TopK}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    // the stored base edge list (WITH distances) — v80's persisted
+    // pre-stream state for the base corpus
+    val planes = LshIndex.quantizePlanes(
+      LshIndex.hyperplanes(dim = 64, nPlanes = 6, seed = 42L))
+    val bv = base.select($"vec_id".cast("long").as("id"),
+        quantize($"embedding").as("qv"))
+      .withColumn("bucket", LshIndex.bucketKeyQ($"qv", planes))
+    val baseScored = bv.as("x").join(bv.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.id" =!= $"y.id")
+      .select($"x.id".as("src_id"), $"y.id".as("dst_id"),
+        intL2Sq($"x.qv", $"y.qv").cast("double").as("d2"))
+    val stored = TopK.perGroup(baseScored, "src_id", "dst_id", "d2",
+        k = 3, ascending = true).select("src_id", "dst_id", "d2")
+      .localCheckpoint()
+    val vecs = emb.select($"vec_id".cast("long"),
+        $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val batchRows = vecs.filter(_._1 % 4 == 0)
+    val deadIds = vecs.map(_._1).filter(_ % 7 == 0)
+    // edge state starts at the base graph; the upsert batch folds the
+    // merged full-corpus graph in (insert-only contract: one batch)
+    var edgesState = stored.select($"src_id", $"dst_id").localCheckpoint()
+    var tombs = Seq.empty[Long].toDF("dead_id")
+      .select($"dead_id".cast("long").as("dead_id")).localCheckpoint()
+    val vecMem = MemoryStream[(Long, Seq[Double])]
+    val delMem = MemoryStream[Long]
+    val vq = vecMem.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        edgesState.synchronized {
+          edgesState = StreamingOps.graphUpsertBatch(b, base, stored)
+            .select($"src_id", $"dst_id").localCheckpoint()
+        }
+        ()
+      }.start()
+    val dq = delMem.toDF().toDF("dead_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        edgesState.synchronized {
+          val fresh = StreamingOps.tombstoneBatch(b, tombs)
+            .localCheckpoint()
+          tombs = tombs.unionByName(fresh).localCheckpoint()
+        }
+        ()
+      }.start()
+    try {
+      // interleave: half the deletes land BEFORE the vector batch
+      // (tombstones for not-yet-upserted ids are legal state), then
+      // the upsert, then ALL deletes RE-delivered (idempotency)
+      delMem.addData(deadIds.filter(_ % 2 == 0): _*)
+      dq.processAllAvailable()
+      vecMem.addData(batchRows: _*)
+      vq.processAllAvailable()
+      delMem.addData(deadIds: _*)
+      dq.processAllAvailable()
+      assert(tombs.count() == deadIds.size.toLong,
+        "a re-delivered delete was double-recorded")
+      val vAll = emb.select($"vec_id".cast("long").as("id"),
+        quantize($"embedding").as("qv"))
+      val entryId = vecs.map(_._1).filterNot(deadIds.toSet).min
+      // queries split across two serve batches — unions to v108
+      val qAll = emb.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".cast("long").as("query_id"), $"embedding")
+      val served = (StreamingOps.tombBeamServeBatch(
+          qAll.filter($"query_id" % 200 === 0), vAll, edgesState,
+          tombs, entryId)
+          .as[(Long, Long, Long, Double)].collect() ++
+        StreamingOps.tombBeamServeBatch(
+          qAll.filter($"query_id" % 200 =!= 0), vAll, edgesState,
+          tombs, entryId)
+          .as[(Long, Long, Long, Double)].collect()).toSet
+      val expected = graft.queries.Queries
+        .v108GraphTombstoneSearch(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(served == expected && expected.nonEmpty)
+    } finally { vq.stop(); dq.stop() }
+  }
+
   test("maintained lifecycle via foreachBatch: interleaved ingest and " +
     "delete micro-batches (deletes re-delivered) serve exactly the " +
     "batch v106 rows — the continuous twin of the maintenance chain") {
