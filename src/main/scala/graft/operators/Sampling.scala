@@ -23,6 +23,22 @@ object Sampling {
     ((id.cast("long") % lit(2147483647L)) * lit(2654435761L)) %
       lit(2147483647L)
 
+  /** k-means++ training-sample bound (v124): the selection runs on
+    * the 256·k hash-smallest vectors (k = nlist = 10) — faiss's
+    * subsampled-training contract (max_points_per_centroid = 256), so
+    * the per-round D² scan is corpus-INDEPENDENT. */
+  val KppSampleSize: Int = 2560
+
+  /** The seeded rational threshold of k-means++ selection round `r`
+    * (0-based; round 0 picks the uniform first seed): u_r =
+    * kppThreshold(r) / 2³¹ ∈ [0, 1) — the portable hash applied to
+    * the round counter, the seeded-literal stand-in for k-means++'s
+    * PRNG draw. ONE definition: the Spark selection replays it and
+    * the oracle SQL interpolates the VALUE, so the draw cannot drift
+    * between engines. */
+  def kppThreshold(r: Int): Long =
+    ((9973L * (r + 1) % 2147483647L) * 2654435761L) % 2147483647L
+
   /** N-per-class deterministic sample: the n hash-smallest ids per
     * class, through the native partial top-k aggregate — map-side heaps
     * of size n, shuffle O(classes·n·partitions). The previous

@@ -375,14 +375,65 @@ rk5 AS (SELECT query_id, gid, adc,
     * arithmetic is one definition. */
   private def trainedIvfRouteCtes: String = trainedIvfRouteCtesR(4)
 
+  /** The deterministic k-means++ selection as CTEs (expects the
+    * gallery `g(gid, v)` in scope): the bounded hash-ordered sample
+    * `smp` (Sampling.KppSampleSize rows), the uniform first seed s1
+    * at rank 1 + ⌊n·a₀/2³¹⌋, then nine exact inverse-CDF rounds — per
+    * round the D²-to-nearest-selected of every sample point, the
+    * (h, id)-ordered prefix sum, and the FIRST point with
+    * cum·2³¹ > T·a_r (HUGEINT products — no float compares). The
+    * a_r literals are Sampling.kppThreshold values, interpolated so
+    * the draw has ONE definition. Ends with selall(rnk, id). */
+  private def kppSelectionCtes: String = {
+    val h = "((gid % 2147483647) * 2654435761) % 2147483647"
+    val rounds = (1 to 9).map { r =>
+      val ar = graft.operators.Sampling.kppThreshold(r)
+      s"""sv$r AS MATERIALIZED (SELECT smp.v AS sv FROM sel$r JOIN smp ON smp.id = sel$r.id),
+dm$r AS MATERIALIZED (SELECT p.id, p.h, min(${l2sq("p.v", "s.sv")}) AS dmin
+         FROM smp p CROSS JOIN sv$r s GROUP BY 1, 2),
+kc$r AS (SELECT id, h, dmin,
+                sum(dmin) OVER (ORDER BY h, id
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(dmin) OVER () AS t
+         FROM dm$r),
+s${r + 1} AS MATERIALIZED (SELECT id FROM (
+            SELECT id, row_number() OVER (ORDER BY h, id) AS rn
+            FROM kc$r
+            WHERE CAST(cum AS HUGEINT) * 2147483648 >
+                  CAST(t AS HUGEINT) * $ar) WHERE rn = 1),
+sel${r + 1} AS MATERIALIZED (SELECT rnk, id FROM sel$r
+          UNION ALL SELECT ${r + 1} AS rnk, id FROM s${r + 1})"""
+    }.mkString(",\n")
+    s"""smp AS MATERIALIZED (SELECT id, v, h FROM (
+         SELECT gid AS id, v, $h AS h,
+                row_number() OVER (ORDER BY $h, gid) AS srn
+         FROM g) WHERE srn <= ${graft.operators.Sampling.KppSampleSize}),
+s1 AS MATERIALIZED (SELECT id FROM (
+         SELECT id, row_number() OVER (ORDER BY h, id) AS rn FROM smp)
+       WHERE rn = 1 + ((SELECT CAST(count(*) AS BIGINT) FROM smp)
+                        * ${graft.operators.Sampling.kppThreshold(0)})
+                      // 2147483648),
+sel1 AS MATERIALIZED (SELECT 1 AS rnk, id FROM s1),
+$rounds,
+selall AS MATERIALIZED (SELECT rnk, id FROM sel10)"""
+  }
+
   /** The trained-IVF route at an arbitrary round depth `r`: rounds
     * 1..r of the shared Lloyd template, queries routed against the
     * round-r (n, Σ) state. r=4 is the standard trained chain (3
     * training rounds + the ADD step); r=5 is v111's warm-restart
     * retrain (ONE more round from the stored round-4 state — the
-    * template composes, so the warm round needs no new arithmetic). */
-  private def trainedIvfRouteCtesR(r: Int): String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
-c AS (SELECT gid AS cid, v AS cv FROM g WHERE gid < 10),
+    * template composes, so the warm round needs no new arithmetic).
+    * `preCtes` (must start with "\n" and end with ",") injects extra
+    * CTEs between the gallery and the seed set, and `seedSel`
+    * overrides the seed-centroid SELECT — v128 routes the SAME chain
+    * from the k-means++ seeds; the defaults reproduce the original
+    * template byte-for-byte. */
+  private def trainedIvfRouteCtesR(
+      r: Int, preCtes: String = "",
+      seedSel: String = "SELECT gid AS cid, v AS cv FROM g WHERE gid < 10")
+      : String = s"""g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),$preCtes
+c AS ($seedSel),
 asn0 AS (SELECT gid, cid AS lab FROM (
           SELECT g.gid, c.cid,
                  row_number() OVER (PARTITION BY g.gid
@@ -5084,6 +5135,29 @@ SELECT hx.query_id,
          / count(*) AS recall_at_5
 FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
 GROUP BY 1""",
+    // Deterministic k-means++ seeding: the bounded hash-ordered
+    // sample, the uniform first pick, nine exact inverse-CDF D²-mass
+    // rounds with seeded rational thresholds — the selection trace
+    // (rank, seed id, total mass before the pick).
+    "v124_kmeanspp_seeds" -> s"""
+WITH g AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v FROM embeddings),
+$kppSelectionCtes,
+masses AS (SELECT 1 AS rnk, CAST(0 AS BIGINT) AS mass
+           ${(1 to 9).map(r =>
+      s"UNION ALL SELECT ${r + 1} AS rnk, (SELECT CAST(sum(dmin) AS BIGINT) FROM dm$r) AS mass")
+      .mkString("\n           ")})
+SELECT CAST(s.rnk AS BIGINT) AS rnk, s.id AS vec_id, m.mass
+FROM selall s JOIN masses m ON m.rnk = s.rnk""",
+    // v26's Lloyd chain FROM the k-means++ seeds: the SAME route
+    // template at depth 4 with asn0 seeded by the ++ selection — the
+    // (v65, v128) pair measures what ++ init buys at equal rounds.
+    "v128_kmeanspp_train" -> s"""
+WITH ${trainedIvfRouteCtesR(4, preCtes = "\n" + kppSelectionCtes + ",",
+      seedSel =
+        "SELECT s.id AS cid, g.v AS cv FROM selall s JOIN g ON g.gid = s.id")},
+${trainedIvfProbeCtes(2, "")}
+SELECT query_id, rnk, gid AS neighbor_id, sqrt(d2) / $vscale.0 AS dist
+FROM rr WHERE rnk <= 5""",
     // Warm-restart retrain: one more application of the SHARED Lloyd
     // round template from the stored round-4 state (rounds 1..5),
     // served by the same probe chain — warm ≡ cold + one round IS the

@@ -905,6 +905,102 @@ object Queries {
     trainedIvfServe(added, g, cs)
   }
 
+  /** DETERMINISTIC k-means++ selection (v124's engine): the exact
+    * inverse-CDF D²-mass draw with seeded rational thresholds, run on
+    * the BOUNDED hash-ordered sample (Sampling.KppSampleSize = 256·k,
+    * faiss's subsampled-training contract). Round 0 picks the uniform
+    * first seed at rank ⌊n·u₀⌋; each later round computes every sample
+    * point's exact integer D² to its nearest selected seed, orders the
+    * sample by (portableHash, id), and picks the FIRST point whose
+    * running D² prefix sum satisfies cum·2³¹ > T·a_r (all BigInt — no
+    * float ever compares), i.e. the point the CDF inverse lands on at
+    * u_r = a_r/2³¹. Points with larger D² own wider CDF intervals —
+    * the ++ weighting — and selected points (D² = 0) are zero-width,
+    * never re-chosen. Returns the selection trace (rank, vec_id,
+    * total D² mass before the pick; 0 for the uniform first pick).
+    * The distributed part is ONE bounded TakeOrdered sample scan; the
+    * O(k·sample·dim) selection itself runs on the collected sample —
+    * exactly where faiss runs it. Oracle = the same sample, prefix
+    * sums, and thresholds in SQL (windows over the BOUNDED sample
+    * only); spec replays the selection independently. */
+  private[graft] def kmeansppSeedTrace(s: SparkSession, d: String)
+      : IndexedSeq[(Long, Long, Long)] = {
+    val sample = emb(s, d)
+      .select(col("vec_id").cast("long").as("id"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("h", Sampling.portableHash(col("id")))
+      .orderBy(col("h"), col("id")).limit(Sampling.KppSampleSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val n = sample.length
+    require(n >= 10, s"k-means++ sample too small: $n")
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    val two31 = BigInt(2147483648L)
+    val first = ((BigInt(n) * Sampling.kppThreshold(0)) / two31).toInt
+    var seeds = Vector((1L, sample(first)._1, 0L))
+    val dmin = sample.map(p => d2(p._2, sample(first)._2))
+    for (r <- 1 to 9) {
+      val t = dmin.foldLeft(BigInt(0))(_ + BigInt(_))
+      require(t > 0, "k-means++ degenerate sample: zero D² mass")
+      val ar = BigInt(Sampling.kppThreshold(r))
+      var cum = BigInt(0); var chosen = -1; var i = 0
+      while (chosen < 0) {
+        cum += dmin(i)
+        if (cum * two31 > t * ar) chosen = i
+        i += 1
+      }
+      seeds = seeds :+ ((r + 1).toLong, sample(chosen)._1, t.toLong)
+      var j = 0
+      while (j < n) {
+        dmin(j) = math.min(dmin(j), d2(sample(j)._2, sample(chosen)._2))
+        j += 1
+      }
+    }
+    seeds
+  }
+
+  /** k-means++ (D²-weighted) seeding as a gated row — the selection
+    * trace (rank, vec_id, mass) of [[kmeansppSeedTrace]], closing the
+    * last train-fidelity gap to faiss's init family (v41/v84 gate
+    * maximin/Gonzalez; faiss Clustering's default init is SAMPLED
+    * k-means++ — this is that draw with the seeded-literal PRNG).
+    * The `mass` column is the exact total D² before each pick — the
+    * convergence diagnostic an operator reads off a ++ run. */
+  def v124KmeansppSeeds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kmeansppSeedTrace(s, d).toDF("rnk", "vec_id", "mass")
+  }
+
+  /** v26's Lloyd chain FROM the k-means++ seeds — v65's full
+    * train→add→search composition with asn0 = the assignment to
+    * v124's selected seed vectors instead of the min-id seeds, so the
+    * (v65, v128) pair measures what ++ initialization buys the
+    * trained quantizer at equal rounds. Identical scale shape to v65:
+    * the selection adds one bounded sample scan; each round collects
+    * only the O(nlist·dim) (n, Σ) table; add/route are map-only;
+    * serving is the broadcast-probe partial top-k. */
+  def v128KmeansppTrain(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val ids = kmeansppSeedTrace(s, d).map(_._2)
+    val seedDf = e.filter(col("vec_id").cast("long").isin(ids: _*))
+      .select(col("vec_id").cast("long").as("cid"), col("embedding"))
+    var cur = IvfIndex.assign(e, seedDf, "vec_id", "embedding", "cid")
+      .select(col("id"), quantize(col("vec")).as("qv"),
+        col("centroid_id").as("c"))
+    for (_ <- 1 to 3) cur = lloydRound(cur).localCheckpoint(false)
+    val cs = collectClassSums(cur)
+    val g = e.select(col("vec_id").cast("long").as("id"),
+      quantize(col("embedding")).as("qv"))
+    val added = g.select(col("id"), col("qv"),
+      graft.plans.GridArgmin.nearestLab(col("qv"), cs,
+        DefaultScale.toLong).as("c"))
+    trainedIvfServe(added, g, cs)
+  }
+
   /** The TRAINED coarse quantizer as its exact (lab, n, sum-vector)
     * carrier: v26's three Lloyd rounds from the seed assignment, sums
     * collected (broadcast-sized by contract). Shared by the

@@ -244,6 +244,62 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ---------- v124/v128: deterministic k-means++ ----------
+
+  test("v124: an independent replay of the inverse-CDF selection " +
+    "(nearest-seed D² recomputed from scratch each round) reproduces " +
+    "the gated trace, and the D² mass strictly decreases") {
+    import graft.operators.Sampling
+    val sample = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"),
+        graft.functions.VectorFunctions.quantize(col("embedding"))
+          .as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy { case (id, _) => (pHash(id), id) }
+      .take(Sampling.KppSampleSize)
+    val n = sample.length
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+    val two31 = BigInt(2147483648L)
+    var sel = List(sample(
+      ((BigInt(n) * Sampling.kppThreshold(0)) / two31).toInt)._1)
+    var trace = List((1L, sel.head, 0L))
+    for (r <- 1 to 9) {
+      // from-scratch min over ALL selected seeds (the gate updates
+      // incrementally — the replay must not share that shortcut)
+      val selVecs = sel.map(id => sample.find(_._1 == id).get._2)
+      val dmin = sample.map(p => selVecs.map(sv => d2(p._2, sv)).min)
+      val t = dmin.sum
+      val ar = BigInt(Sampling.kppThreshold(r))
+      val cums = dmin.scanLeft(BigInt(0))(_ + _).tail
+      val idx = cums.indexWhere(c => c * two31 > t * ar)
+      sel = sel :+ sample(idx)._1
+      trace = trace :+ (((r + 1).toLong, sample(idx)._1, t.toLong))
+    }
+    val got = Queries.v124KmeansppSeeds(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(got === trace)
+    assert(got.map(_._2).distinct.size == 10, "seeds not distinct")
+    val masses = got.map(_._3).drop(1)
+    assert(masses.zip(masses.tail).forall { case (a, b) => b < a },
+      "D² mass did not strictly decrease across rounds")
+  }
+
+  test("v128: the ++-seeded trained serve returns 5 ranked rows per " +
+    "query with non-decreasing distances") {
+    val rows = Queries.v128KmeansppTrain(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} rows")
+      val byRnk = rs.sortBy(_._2).map(_._3)
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a <= b },
+        s"query $q distances not monotone in rank")
+    }
+  }
+
   test("flat code stores compact on v71's shards: the executed flag " +
     "set IS the planner's decision") {
     // builds are idempotent (ensurePersisted); the serve tests above
