@@ -817,6 +817,61 @@ r AS (SELECT query_id, gid, adc,
              row_number() OVER (PARTITION BY query_id ORDER BY adc, gid) AS rnk
       FROM adc)"""
 
+  /** The Gram-diagonal GREEDY OPQ allocation as CTEs (v125/v129): the
+    * exact per-dim variance numerators (v33's second-moment pass over
+    * the gallery `g0`), ranked descending, then a 64-step RECURSIVE
+    * greedy fold — at each step the next dim goes to the least-loaded
+    * eligible subspace (capacity 8; ties → lowest index), the sums and
+    * counts carried as list state, the argmin computed by
+    * lexicographically sorting [load, j] pairs over the eligible set
+    * (HUGEINT loads — no float compares). `vr` is MATERIALIZED: the
+    * recursion references it 64 times and per-reference inlining would
+    * recompute the corpus aggregate each step. Ends with
+    * slotx(dim, sub, slot) and vr(dim, vn, rk). Queries using this
+    * template must open with WITH RECURSIVE. */
+  private def opqAllocCtes: String = s"""g0 AS (SELECT CAST(vec_id AS BIGINT) AS gid, ${qv("embedding")} AS v0 FROM embeddings),
+dx AS (SELECT CAST(j AS BIGINT) AS dim, v0[CAST(j AS INT) + 1] AS qx
+      FROM g0, (SELECT unnest(range(64)) AS j)),
+da AS (SELECT dim, count(*) AS n,
+             sum(CAST(qx AS HUGEINT)) AS sx,
+             sum(CAST(qx AS HUGEINT) * CAST(qx AS HUGEINT)) AS sx2
+      FROM dx GROUP BY 1),
+vr AS MATERIALIZED (SELECT dim, (n * sx2 - sx * sx) AS vn,
+              row_number() OVER (ORDER BY (n * sx2 - sx * sx) DESC, dim) AS rk
+       FROM da),
+alloc(t, dims, subs, sums, cnts) AS (
+  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+         CAST([0,0,0,0,0,0,0,0] AS HUGEINT[]),
+         CAST([0,0,0,0,0,0,0,0] AS BIGINT[])
+  UNION ALL
+  SELECT t + 1,
+         list_append(dims, vdim),
+         list_append(subs, CAST(chs AS BIGINT)),
+         list_transform(range(8), j -> CASE WHEN j = chs
+           THEN sums[CAST(j AS INT) + 1] + vvn
+           ELSE sums[CAST(j AS INT) + 1] END),
+         list_transform(range(8), j -> CASE WHEN j = chs
+           THEN cnts[CAST(j AS INT) + 1] + 1
+           ELSE cnts[CAST(j AS INT) + 1] END)
+  FROM (SELECT a.t, a.dims, a.subs, a.sums, a.cnts,
+               vr.dim AS vdim, vr.vn AS vvn,
+               list_sort(list_transform(
+                 list_filter(range(8),
+                   j -> a.cnts[CAST(j AS INT) + 1] < 8),
+                 j -> [a.sums[CAST(j AS INT) + 1], CAST(j AS HUGEINT)]))[1][2]
+                 AS chs
+        FROM alloc a JOIN vr ON vr.rk = a.t + 1
+        WHERE a.t < 64)
+),
+res AS (SELECT dims, subs FROM alloc WHERE t = 64),
+outx AS (SELECT CAST(o.ord AS INT) AS ord,
+                dims[CAST(o.ord AS INT)] AS dim,
+                subs[CAST(o.ord AS INT)] AS sub
+         FROM res, (SELECT unnest(range(1, 65)) AS ord) o),
+slotx AS MATERIALIZED (SELECT dim, sub,
+                 row_number() OVER (PARTITION BY sub ORDER BY ord) - 1 AS slot
+          FROM outx)"""
+
   /** CTE chain producing m6's pair-manifest inputs (`qd` quality-scored
     * captions, `v` vector norms) — shared by m6 and m7 so the manifest
     * and its split can never drift. */
@@ -5125,6 +5180,36 @@ rk2 AS (SELECT query_id, gid, adc,
 ha AS (SELECT query_id, gid FROM rk2 WHERE rnk <= 5),
 dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
         FROM g CROSS JOIN q WHERE g.gid % 7 <> 0),
+rex AS (SELECT query_id, gid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
+        FROM dex),
+hx AS (SELECT query_id, gid FROM rex WHERE rnk <= 5)
+SELECT hx.query_id,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN ha.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS recall_at_5
+FROM hx LEFT JOIN ha ON ha.query_id = hx.query_id AND ha.gid = hx.gid
+GROUP BY 1""",
+    // Gram-driven greedy OPQ subspace allocation: the recursive
+    // least-loaded fold over the exact variance numerators — the
+    // allocation table v129 serves under.
+    "v125_opq_alloc" -> s"""
+WITH RECURSIVE $opqAllocCtes
+SELECT s.dim, CAST(s.sub AS BIGINT) AS sub, CAST(s.slot AS BIGINT) AS slot,
+       CAST(vr.vn AS DOUBLE) AS var_num
+FROM slotx s JOIN vr ON vr.dim = s.dim""",
+    // Greedy-allocation OPQ recall: the allocation's permutation
+    // rotates the gallery, v31's seeded-book ADC chain runs verbatim,
+    // v69/v102's recall tail closes — the (v69, v102, v129) triple.
+    "v129_opq_alloc_recall" -> s"""
+WITH RECURSIVE ${pqAdcCtes(s"""$opqAllocCtes,
+pp AS (SELECT list(dim ORDER BY sub * 8 + slot) AS perm FROM slotx),
+g AS (SELECT gid, list_transform(range(64),
+         i -> v0[CAST(pp.perm[i + 1] AS INT) + 1]) AS v
+      FROM g0 CROSS JOIN pp)""")},
+ha AS (SELECT query_id, gid FROM r WHERE rnk <= 5),
+dex AS (SELECT q.query_id, g.gid, ${l2sq("g.v", "q.qvec")} AS d2
+        FROM g CROSS JOIN q),
 rex AS (SELECT query_id, gid,
                row_number() OVER (PARTITION BY query_id ORDER BY d2, gid) AS rnk
         FROM dex),

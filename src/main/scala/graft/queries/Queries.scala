@@ -2445,6 +2445,106 @@ object Queries {
         (col("n_hit") / col("k")).as("recall_at_5"))
   }
 
+  /** The Gram-diagonal GREEDY OPQ allocation (v125's engine): dims
+    * ranked by the exact integer variance numerator n·Σx² − (Σx)²
+    * (v34's Gram diagonal — the same second moments v33 gates), then
+    * each dim in descending order goes to the least-loaded ELIGIBLE
+    * subspace (capacity dim/m; ties → lowest subspace index) — the
+    * exact greedy argmin-load step per dim, the balance objective
+    * faiss OPQ's rotation seeks restricted to permutations. Strictly
+    * better-balanced than v102's round-robin deal whenever variance
+    * tiers are uneven (round-robin fixes the bin BEFORE seeing the
+    * loads). All comparisons on exact BigInts; the 64-entry stats
+    * collect is bounded by contract. Returns (dim, sub, slot,
+    * varnum) in selection order per subspace. */
+  private[graft] def opqGreedyAlloc(s: SparkSession, d: String)
+      : IndexedSeq[(Int, Int, Int, BigInt)] = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = emb(s, d)
+      .select(posexplode(quantize(col("embedding"))).as(Seq("pos", "qx")))
+      .groupBy(col("pos").cast("int").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx").cast(dec)).as("sx"),
+        sum(col("qx").cast(dec) * col("qx").cast(dec)).as("sx2"))
+      .collect()
+    require(rows.length == PqDim,
+      s"opqGreedyAlloc: expected $PqDim dims, found ${rows.length}")
+    val nums: Map[Int, BigInt] = rows.map { r =>
+      val n = BigInt(r.getLong(1))
+      val sx = BigInt(r.getDecimal(2).toBigInteger)
+      val sx2 = BigInt(r.getDecimal(3).toBigInteger)
+      r.getInt(0) -> (n * sx2 - sx * sx)
+    }.toMap
+    val cap = PqDim / PqM
+    val ranked = (0 until PqDim).sortBy(dim => (-nums(dim), dim))
+    val sums = Array.fill(PqM)(BigInt(0))
+    val cnts = Array.fill(PqM)(0)
+    ranked.map { dim =>
+      val sub = (0 until PqM).filter(cnts(_) < cap)
+        .minBy(j => (sums(j), j))
+      val slot = cnts(sub)
+      sums(sub) += nums(dim)
+      cnts(sub) += 1
+      (dim, sub, slot, nums(dim))
+    }.toIndexedSeq
+  }
+
+  /** Gram-driven OPQ subspace allocation as a gated row — the greedy
+    * least-loaded assignment table (dim, sub, slot, var_num), the
+    * TRAINED permutation v129 serves under. var_num is the exact
+    * integer variance numerator emitted as its deterministic
+    * nearest-double (it passes 2⁶³ at the big-SF point — the v43
+    * convention). */
+  def v125OpqAlloc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    opqGreedyAlloc(s, d)
+      .map { case (dim, sub, slot, vn) =>
+        (dim.toLong, sub.toLong, slot.toLong, vn.toDouble)
+      }.toDF("dim", "sub", "slot", "var_num")
+  }
+
+  /** v31's ADC chain over the GREEDY-allocation permutation (signs all
+    * +1 — a pure permutation, exactly isometric): perm[sub·cap+slot] =
+    * the allocated dim. */
+  private[graft] def opqAllocSearch(s: SparkSession, d: String): DataFrame = {
+    val cap = PqDim / PqM
+    val perm = new Array[Int](PqDim)
+    opqGreedyAlloc(s, d).foreach { case (dim, sub, slot, _) =>
+      perm(sub * cap + slot) = dim
+    }
+    val g = emb(s, d).select(col("vec_id").cast("long").as("id"),
+      graft.functions.VectorFunctions.applySignedPerm(
+        transform(quantize(col("embedding")), x => x.cast("double")),
+        perm, Array.fill(PqDim)(1)).as("qemb"))
+    val book = PqIndex.seededBook(g, "id", "qemb", PqDim, PqM, PqKsub)
+    val codes = PqIndex.encode(g, "id", "qemb", PqDim, PqM, book)
+    PqIndex.searchAdc(codes, g.filter(col("id") % 100 === 0),
+        "id", "qemb", PqDim, PqM, book, k = 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (col("dist") / lit(10000.0)).as("dist"))
+  }
+
+  /** Greedy-allocation OPQ retrieval quality — v69's recall tail over
+    * v125's permutation, completing the rotation-eval triple: (v69
+    * seeded random, v102 round-robin deal, v129 greedy balance) at
+    * identical code size — each training refinement's value is a
+    * measured delta between gated rows. Same scale shape as v102:
+    * one O(dims)-key exact aggregate collected to a 64-entry literal,
+    * then the map-only encode + broadcast-table ADC + O(Q·k) top-k. */
+  def v129OpqAllocRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = v1KnnL2(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = opqAllocSearch(s, d)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact.join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("na").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit") / col("k")).as("recall_at_5"))
+  }
+
   /** Triplet mining — for each anchor, the nearest SAME-label vector
     * (hard positive) and the nearest DIFFERENT-label vector (hard
     * negative), the metric-learning batch-prep step behind the

@@ -161,8 +161,9 @@ object ExplainAudit {
     // crossjoin (the v17/v86 batch-KNN class); the verify joins BY ID.
     "v101_range_prefilter",
     // v102 composes v1's exact chain and v31's rotated-ADC chain over
-    // the trained permutation (the v69 eval class).
-    "v102_opq_trained_recall",
+    // the trained permutation (the v69 eval class); v129 is the same
+    // composition over the greedy-allocation permutation.
+    "v102_opq_trained_recall", "v129_opq_alloc_recall",
     // v103 serves v88's walk from the merged upserted stores (the
     // v88 scalar-entry class; checkpoint boundaries may hide the
     // entry crossjoin from the printed final plan, but it is the

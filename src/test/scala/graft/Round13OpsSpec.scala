@@ -300,6 +300,60 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ---------- v125/v129: Gram-driven greedy OPQ allocation ----------
+
+  test("v125: every step of the gated allocation is the exact greedy " +
+    "argmin-load choice over eligible subspaces, from independently " +
+    "recomputed variance numerators") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(graft.functions.VectorFunctions.quantize(col("embedding"))
+        .as("qv"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = BigInt(vecs.length)
+    val nums = (0 until 64).map { d =>
+      val sx = vecs.foldLeft(BigInt(0))((a, v) => a + BigInt(v(d)))
+      val sx2 = vecs.foldLeft(BigInt(0))((a, v) =>
+        a + BigInt(v(d)) * BigInt(v(d)))
+      d -> (n * sx2 - sx * sx)
+    }.toMap
+    val got = Queries.v125OpqAlloc(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt,
+        (r.getLong(1).toInt, r.getLong(2).toInt, r.getDouble(3)))).toMap
+    assert(got.keySet === (0 until 64).toSet)
+    got.foreach { case (d, (_, _, vn)) => assert(vn == nums(d).toDouble) }
+    // replay: walk the gated allocation in rank order and check each
+    // pick was the least-loaded eligible subspace at that moment
+    val ranked = (0 until 64).sortBy(d => (-nums(d), d))
+    val sums = Array.fill(8)(BigInt(0)); val cnts = Array.fill(8)(0)
+    ranked.foreach { d =>
+      val (sub, slot, _) = got(d)
+      val best = (0 until 8).filter(cnts(_) < 8)
+        .minBy(j => (sums(j), j))
+      assert(sub == best,
+        s"dim $d went to $sub but the greedy argmin-load was $best")
+      assert(slot == cnts(sub), s"dim $d slot ${slot} != ${cnts(sub)}")
+      sums(sub) += nums(d); cnts(sub) += 1
+    }
+    assert(cnts.forall(_ == 8), "a subspace missed its capacity")
+  }
+
+  test("v129: the recall row recomputes from the greedy-permutation " +
+    "ADC serve and v1's exact scan") {
+    val approx = Queries.opqAllocSearch(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Queries.v1KnnL2(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val aSet = approx.toSet
+    val want = exact.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.count(aSet.contains).toLong
+    }
+    val got = Queries.v129OpqAllocRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty && got === want)
+  }
+
   test("flat code stores compact on v71's shards: the executed flag " +
     "set IS the planner's decision") {
     // builds are idempotent (ensurePersisted); the serve tests above
