@@ -124,6 +124,13 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_full_latest.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // The capture harness keeps only a ~2000-char stdout TAIL and
+    // parses its last line as JSON — the full per-key line above never
+    // fits, so every round's wrapper carried "parsed": null (r12
+    // verdict's artifact-hygiene item). Print a COMPACT summary line
+    // LAST: it fits the tail, parses, and names the durable per-key
+    // artifact, making the round wrapper self-describing.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"$out"}""")
     spark.stop()
   }
 }
