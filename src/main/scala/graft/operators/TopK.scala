@@ -56,13 +56,33 @@ object TopK {
     * Output: (groupCol, rnk, id, score) with rnk 1-based in score order.
     */
   def perGroup(scored: DataFrame, groupCol: String, idCol: String,
-               scoreCol: String, k: Int, ascending: Boolean): DataFrame = {
+               scoreCol: String, k: Int, ascending: Boolean): DataFrame =
+    perGroupImpl(scored, groupCol, idCol, scoreCol, k, ascending,
+      distinctIds = false)
+
+  /** [[perGroup]] with duplicate (id, score) rows collapsed INSIDE the
+    * aggregate buffer — exactly what `scored.distinct()` before the
+    * aggregate produces when the score is a deterministic function of
+    * (group, id), but without the distinct's extra exchange: the dedup
+    * is an O(1) compare at the insertion point of the sorted bounded
+    * buffer. Use where candidates legitimately repeat (e.g. a beam
+    * frontier ∪ its neighbor expansion). */
+  def perGroupDistinct(scored: DataFrame, groupCol: String, idCol: String,
+                       scoreCol: String, k: Int, ascending: Boolean)
+      : DataFrame =
+    perGroupImpl(scored, groupCol, idCol, scoreCol, k, ascending,
+      distinctIds = true)
+
+  private def perGroupImpl(scored: DataFrame, groupCol: String,
+                           idCol: String, scoreCol: String, k: Int,
+                           ascending: Boolean, distinctIds: Boolean)
+      : DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     val agg = GraftSqlBridge.column(
       graft.plans.TopKAggregate(
         GraftSqlBridge.expression(col(idCol).cast("long")),
         GraftSqlBridge.expression(col(scoreCol).cast("double")),
-        k, ascending).toAggregateExpression())
+        k, ascending, distinctIds).toAggregateExpression())
     scored
       .groupBy(col(groupCol))
       .agg(agg.as("topk"))

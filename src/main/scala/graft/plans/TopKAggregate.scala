@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * reject for non-qualifying rows (the overwhelming majority once the
   * buffer fills) and an O(k) shift otherwise — k is small by contract.
   */
-final class TopKState(val k: Int) {
+final class TopKState(val k: Int, val distinctIds: Boolean = false) {
   var size: Int = 0
   val keys: Array[Double] = new Array[Double](k)   // adjusted score
   val scores: Array[Double] = new Array[Double](k) // raw score
@@ -32,6 +32,15 @@ final class TopKState(val k: Int) {
         (keys(pos - 1) > key || (keys(pos - 1) == key && ids(pos - 1) > id))) {
       pos -= 1
     }
+    // distinct-ids mode: the buffer is sorted by (key, id) and the
+    // position scan above stops AT an equal (key, id) element, so a
+    // duplicate of the incoming row — one a pre-aggregation
+    // `.distinct()` would have collapsed — can only sit directly
+    // BEFORE the insertion position. One O(1) compare replaces the
+    // upstream distinct's whole exchange (scores are deterministic
+    // per id, so dedup-by-(key,id) ≡ dedup-by-id here).
+    if (distinctIds && pos > 0 && keys(pos - 1) == key && ids(pos - 1) == id)
+      return
     var i = math.min(size, k - 1)
     while (i > pos) {
       keys(i) = keys(i - 1); scores(i) = scores(i - 1); ids(i) = ids(i - 1)
@@ -56,7 +65,7 @@ final class TopKState(val k: Int) {
   */
 case class TopKAggregate(
     idChild: Expression, scoreChild: Expression, k: Int,
-    ascending: Boolean,
+    ascending: Boolean, distinctIds: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKState] {
@@ -70,7 +79,8 @@ case class TopKAggregate(
     StructField("score", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_topk"
 
-  override def createAggregationBuffer(): TopKState = new TopKState(k)
+  override def createAggregationBuffer(): TopKState =
+    new TopKState(k, distinctIds)
 
   override def update(b: TopKState, input: InternalRow): TopKState = {
     val idRaw = idChild.eval(input)
@@ -117,7 +127,7 @@ case class TopKAggregate(
   override def deserialize(bytes: Array[Byte]): TopKState = {
     val buf = ByteBuffer.wrap(bytes)
     val n = buf.getInt()
-    val b = new TopKState(k)
+    val b = new TopKState(k, distinctIds)
     b.size = n
     var i = 0
     while (i < n) {

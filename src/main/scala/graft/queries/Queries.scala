@@ -2304,13 +2304,16 @@ object Queries {
         col("g1.dst_id") === col("g2.src_id") &&
           col("g1.src_id") =!= col("g2.dst_id"))
       .select(col("g1.src_id").as("src_id"), col("g2.dst_id").as("dst_id"))
-    val cand = g.union(twoHop).distinct()
+    // r13 optimization: candidate dedup moved inside the bounded top-k
+    // buffer (perGroupDistinct — d2 is deterministic per (src, dst)),
+    // dropping the O(N·k²) closure frame's distinct exchange.
+    val cand = g.union(twoHop)
     val rescored = cand
       .join(v.select(col("id").as("src_id"), col("qv").as("sv")), "src_id")
       .join(v.select(col("id").as("dst_id"), col("qv").as("dv")), "dst_id")
       .select(col("src_id"), col("dst_id"),
         intL2Sq(col("sv"), col("dv")).cast("double").as("d2"))
-    TopK.perGroup(rescored, "src_id", "dst_id", "d2", k = 3,
+    TopK.perGroupDistinct(rescored, "src_id", "dst_id", "d2", k = 3,
       ascending = true)
       .select(col("src_id"), col("rnk"), col("dst_id"),
         distFromIntSq(col("d2")).as("dist"))
@@ -6605,19 +6608,28 @@ object Queries {
                             ef: Int = 4): DataFrame = {
     var frontier = frontier0
     var ranked: DataFrame = null
-    for (_ <- 1 to 3) {
+    for (step <- 1 to 3) {
+      // candidate dedup happens INSIDE the bounded top-k buffer
+      // (perGroupDistinct) — d2 is a deterministic function of
+      // (query_id, nid), so this is exactly the old
+      // `.distinct()` → perGroup result with one less exchange per
+      // step (r13 optimization: 3 shuffles/step → 2).
       val cand = frontier
         .unionAll(broadcast(frontier)
           .join(edges, col("nid") === col("src_id"))
           .select(col("query_id"), col("dst_id").as("nid")))
-        .distinct()
       val scored = cand
         .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
         .join(q, "query_id")
         .select(col("query_id"), col("nid"),
           intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
-      ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
-        ascending = true).localCheckpoint(false)
+      // checkpoint only the steps whose ranked frame is referenced
+      // twice by the NEXT step (union + edge join); the final step's
+      // output flows straight to the caller — materializing it was one
+      // wasted Spark action per walk (r13 optimization).
+      ranked = TopK.perGroupDistinct(scored, "query_id", "nid", "d2", ef,
+        ascending = true)
+      if (step < 3) ranked = ranked.localCheckpoint(false)
       frontier = ranked.select(col("query_id"), col("nid"))
     }
     ranked
@@ -6955,26 +6967,35 @@ object Queries {
                            tombs: DataFrame, ef: Int = 4): DataFrame = {
     var frontier = frontier0
     var ranked: DataFrame = null
-    for (_ <- 1 to 3) {
+    for (step <- 1 to 3) {
+      // r13 optimization: both per-step `.distinct()`s dropped — the
+      // neighbor frame's dedup only shrank already-tiny O(Q·k)
+      // broadcast frames (duplicates change neither the dead-detection
+      // join's output set nor the bypass expansion's), and candidate
+      // dedup happens inside the bounded top-k buffer
+      // (perGroupDistinct; d2 is deterministic per (query_id, nid)).
+      // 5 shuffles/step → 3, identical rows out.
       val nbrs = broadcast(frontier)
         .join(edges, col("nid") === col("src_id"))
         .select(col("query_id"), col("dst_id").as("nid"))
-        .distinct()
       val deadN = tombs.join(broadcast(nbrs),
           col("dead_id") === col("nid"))
         .select(col("query_id"), col("nid"))
       val bypass = broadcast(deadN)
         .join(edges, col("nid") === col("src_id"))
         .select(col("query_id"), col("dst_id").as("nid"))
-      val cand = frontier.unionAll(nbrs).unionAll(bypass).distinct()
+      val cand = frontier.unionAll(nbrs).unionAll(bypass)
       val scored = cand
         .join(aliveVec.select(col("id").as("nid"), col("qv").as("nv")),
           "nid")
         .join(q, "query_id")
         .select(col("query_id"), col("nid"),
           intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
-      ranked = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
-        ascending = true).localCheckpoint(false)
+      // final step's ranked frame is only read once by the caller —
+      // no checkpoint (plainBeamLoop's rationale).
+      ranked = TopK.perGroupDistinct(scored, "query_id", "nid", "d2", ef,
+        ascending = true)
+      if (step < 3) ranked = ranked.localCheckpoint(false)
       frontier = ranked.select(col("query_id"), col("nid"))
     }
     ranked
@@ -7012,10 +7033,13 @@ object Queries {
     val entry = subAlive.agg(min("id").as("cur"))
     var cur = q.select(col("query_id")).crossJoin(entry)
     for (_ <- 1 to 3) {
+      // r13 optimization: both per-step `.distinct()`s dropped — the
+      // groupBy-min below is duplicate-insensitive, so the candidate
+      // dedup bought nothing, and the neighbor dedup only shrank an
+      // O(Q·k) broadcast frame. 2 exchanges/step removed, same winner.
       val nbrs = broadcast(cur)
         .join(coarse, col("cur") === col("src_id"))
         .select(col("query_id"), col("dst_id").as("nid"))
-        .distinct()
       val deadN = tombs.join(broadcast(nbrs),
           col("dead_id") === col("nid"))
         .select(col("query_id"), col("nid"))
@@ -7023,7 +7047,7 @@ object Queries {
         .join(coarse, col("nid") === col("src_id"))
         .select(col("query_id"), col("dst_id").as("nid"))
       val cand = cur.select(col("query_id"), col("cur").as("nid"))
-        .unionAll(nbrs).unionAll(bypass).distinct()
+        .unionAll(nbrs).unionAll(bypass)
       cur = cand
         .join(subAlive.select(col("id").as("nid"), col("qv").as("nv")),
           "nid")
@@ -7223,21 +7247,26 @@ object Queries {
     val entry = vec.agg(min("id").as("nid"))
     var frontier = q.select(col("query_id")).crossJoin(entry)
     var visited = frontier
-    for (_ <- 1 to 3) {
+    for (step <- 1 to 3) {
+      // r13 optimization: per-step candidate distinct dropped — the
+      // visited pool is distinct'd once at the end anyway, and the
+      // frontier cut dedups inside the top-k buffer (perGroupDistinct).
       val cand = frontier
         .unionAll(broadcast(frontier)
           .join(edges, col("nid") === col("src_id"))
           .select(col("query_id"), col("dst_id").as("nid")))
-        .distinct().localCheckpoint(false)
+        .localCheckpoint(false)
       visited = visited.unionAll(cand)
       val scored = cand
         .join(vec.select(col("id").as("nid"), col("qv").as("nv")), "nid")
         .join(q, "query_id")
         .select(col("query_id"), col("nid"),
           intL2Sq(col("nv"), col("query_v")).cast("double").as("d2"))
-      frontier = TopK.perGroup(scored, "query_id", "nid", "d2", ef,
+      // the loop's LAST frontier is never read again (only the visited
+      // pool flows on) — checkpointing it was a wasted action.
+      frontier = TopK.perGroupDistinct(scored, "query_id", "nid", "d2", ef,
         ascending = true).select(col("query_id"), col("nid"))
-        .localCheckpoint(false)
+      if (step < 3) frontier = frontier.localCheckpoint(false)
     }
     val allowed = emb(s, d).filter(col("label") % 3 === 0)
       .select(col("vec_id").cast("long").as("nid"))

@@ -32,4 +32,36 @@ class TopKSpec extends SparkSpec {
       k = 10, ascending = true)
     assert(r.count() === 3)
   }
+
+  test("perGroupDistinct ≡ distinct() + perGroup on duplicated input") {
+    // the beam-loop shape: candidates repeat (frontier ∪ neighbor
+    // expansion) with a deterministic score per (group, id). The
+    // in-buffer dedup must reproduce the pre-aggregation distinct
+    // EXACTLY — duplicates must not eat top-k slots.
+    val dup = scored.unionAll(scored).unionAll(scored.filter($"id" % 2 === 0))
+      .repartition(4)
+    for (asc <- Seq(true, false); k <- Seq(1, 2, 3, 10)) {
+      val viaDistinct = TopK.perGroup(dup.distinct(), "g", "id", "s", k, asc)
+        .orderBy("g", "rnk").as[(Long, Long, Long, Double)].collect().toSeq
+      val viaBuffer = TopK.perGroupDistinct(dup, "g", "id", "s", k, asc)
+        .orderBy("g", "rnk").as[(Long, Long, Long, Double)].collect().toSeq
+      assert(viaBuffer === viaDistinct, s"asc=$asc k=$k")
+    }
+  }
+
+  test("perGroupDistinct handles NaN-score duplicates like distinct()") {
+    // NaN scores map to +Inf keys inside the buffer; duplicated NaN
+    // rows for the same id must still collapse to one entry.
+    val nan = Seq((1L, 1L, Double.NaN), (1L, 1L, Double.NaN),
+      (1L, 2L, 1.0), (1L, 2L, 1.0)).toDF("g", "id", "s").repartition(3)
+    val viaDistinct = TopK.perGroup(nan.distinct(), "g", "id", "s",
+      k = 3, ascending = true).orderBy("rnk")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val viaBuffer = TopK.perGroupDistinct(nan, "g", "id", "s",
+      k = 3, ascending = true).orderBy("rnk")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(viaBuffer.map(r => (r._1, r._2, r._3)) ===
+      viaDistinct.map(r => (r._1, r._2, r._3)))
+    assert(viaBuffer.size === 2)
+  }
 }
